@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md) plus the
+  * canonical vector-dataset views used across the engine.
+  *
+  * The reference's "vector dataset" is a `(nvecs x dim)` binary matrix with
+  * ordinal row ids (/root/reference/src/util/utils.py:91-130); here the
+  * canonical form is a DataFrame `(id: Long, vec: Array[Float])`, loaded from
+  * the `embeddings` parquet table (64-dim float vectors).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = table(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame = table(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = table(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = table(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame = table(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame = table(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
+  def events(s: SparkSession, dir: String): DataFrame = table(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
+
+  /** Canonical points table `(id, vec)` — the engine's "vector dataset". */
+  def points(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Deterministic query workload: a fixed stride of the points themselves
+    * (the reference reads queries from a second file with the same layout,
+    * kanndi_search.py:35-43; a stride keeps the oracle SQL-reproducible). */
+  def queryPoints(s: SparkSession, dir: String, stride: Int = 25): DataFrame =
+    points(s, dir)
+      .where(col("id") % stride === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+}

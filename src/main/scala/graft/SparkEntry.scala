@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Knn
+import graft.operators.{Knn, Sharding, ShardedSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,8 +43,57 @@ object SparkEntry {
 
     // ---- M1: exact 1-NN via min_by aggregate (SURVEY §2 W3)
     "q03_nearest" -> ((s, dir) =>
-      Knn.nearest(Tables.points(s, dir), Tables.queryPoints(s, dir)))
+      Knn.nearest(Tables.points(s, dir), Tables.queryPoints(s, dir))),
+
+    // ---- M2: median pairwise distance over a sample (SURVEY §2 J1+A1)
+    "q04_median_dist" -> ((s, dir) =>
+      Sharding.medianPairwiseDist(Tables.points(s, dir), sampleSize = 200)),
+
+    // ---- M3: deterministic Lloyd's K-Means centroids (SURVEY §2 A15)
+    "q05_centroids" -> ((s, dir) =>
+      Sharding.centroidsLong(
+        Sharding.fitCentroids(s, Tables.points(s, dir), k = Params.k, iters = Params.iters))),
+
+    // ---- M3: nearest-centroid assignment (SURVEY §2 J4/W3)
+    "q06_assign" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      Sharding.assign(pts, Sharding.fitCentroids(s, pts, Params.k, Params.iters))
+    }),
+
+    // ---- M3: shard sizes + saturation (SURVEY §2 A2/A3, bucket CSV sink)
+    "q07_shard_sizes" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      val assigned = Sharding.assign(pts, Sharding.fitCentroids(s, pts, Params.k, Params.iters))
+      Sharding.shardSizes(assigned, expectedShardSize = 100L)
+    }),
+
+    // ---- M4: shard-routed top-k search (SURVEY §2 J5/J10/W1-W2, E3)
+    "q08_search_routed" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      val cents = Sharding.fitCentroids(s, pts, Params.k, Params.iters)
+      val sharded = pts.join(Sharding.assign(pts, cents).select("id", "shard_id"), "id")
+      ShardedSearch.search(sharded, Tables.queryPoints(s, dir), cents, k = 10, t = Params.t)
+    }),
+
+    // ---- M4: recall of routed search vs exact kNN (SURVEY §2 A13/J7)
+    "q09_router_recall" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      val qs = Tables.queryPoints(s, dir)
+      val cents = Sharding.fitCentroids(s, pts, Params.k, Params.iters)
+      val sharded = pts.join(Sharding.assign(pts, cents).select("id", "shard_id"), "id")
+      val exact = Knn.knnExact(pts, qs, 10)
+      val routed = ShardedSearch.search(sharded, qs, cents, k = 10, t = Params.t)
+      ShardedSearch.recallAtK(exact, routed, 10)
+    })
   )
+
+  /** Shared knobs for the sharding family (kept small so the unrolled
+    * Lloyd's oracle SQL stays readable). */
+  object Params {
+    val k = 8      // shards (reference M ∈ {10,100,1000}, scaled to testdata)
+    val iters = 3  // Lloyd's rounds (reference MAX_ITER=50; deterministic subset)
+    val t = 2      // probe count (reference MAX_CENTROIDS=3, searches top-1)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -71,7 +120,53 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
          |  FROM pairs
          |)
-         |SELECT qid, id AS neighbor_id, dist FROM ranked WHERE rn = 1""".stripMargin
+         |SELECT qid, id AS neighbor_id, dist FROM ranked WHERE rn = 1""".stripMargin,
+
+    "q04_median_dist" ->
+      s"""WITH s AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id < 200),
+         |pairs AS (
+         |  SELECT ${Oracles.l2("a.vec", "b.vec")} AS dist
+         |  FROM s a JOIN s b ON a.id < b.id
+         |)
+         |SELECT count(*) AS n_pairs, round(median(dist), 4) AS median_dist FROM pairs""".stripMargin,
+
+    "q05_centroids" ->
+      s"""WITH ${Oracles.centroidCtes(Params.k, Params.iters)}
+         |SELECT shard_id, dims.i - 1 AS dim, round(centroid[dims.i], 6) AS value
+         |FROM cfin CROSS JOIN (SELECT unnest(generate_series(1, ${Oracles.dim})) AS i) dims""".stripMargin,
+
+    "q06_assign" ->
+      s"""WITH ${Oracles.assignCtes(Params.k, Params.iters)}
+         |SELECT id, shard_id, round(d, 4) AS dist FROM asg""".stripMargin,
+
+    "q07_shard_sizes" ->
+      s"""WITH ${Oracles.assignCtes(Params.k, Params.iters)}
+         |SELECT shard_id, count(*) AS n,
+         |  round(CAST(count(*) AS DOUBLE) * 100 / 100, 2) AS saturation_pct
+         |FROM asg GROUP BY shard_id""".stripMargin,
+
+    "q08_search_routed" ->
+      s"""WITH ${Oracles.routedCtes(Params.k, Params.iters, 25, 10, Params.t)}
+         |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM routed""".stripMargin,
+
+    "q09_router_recall" ->
+      s"""WITH ${Oracles.routedCtes(Params.k, Params.iters, 25, 10, Params.t)},
+         |exact_p AS (
+         |  SELECT qs.qid, pts.id AS neighbor_id,
+         |    round(${Oracles.l2("qs.qvec", "pts.vec")}, 4) AS dist
+         |  FROM qs CROSS JOIN pts
+         |),
+         |exact AS (SELECT qid, neighbor_id FROM (
+         |  SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rn
+         |  FROM exact_p) WHERE rn <= 10),
+         |hits AS (
+         |  SELECT r.qid, count(*) AS n_hits
+         |  FROM routed r JOIN exact e ON e.qid = r.qid AND e.neighbor_id = r.neighbor_id
+         |  GROUP BY r.qid),
+         |allq AS (SELECT DISTINCT qid FROM exact)
+         |SELECT count(*) AS n_queries,
+         |  round(avg(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10), 6) AS recall
+         |FROM allq LEFT JOIN hits h USING (qid)""".stripMargin
   )
 }
 
@@ -92,6 +187,65 @@ object Oracles {
 
   def queryPoints(stride: Int): String =
     s"SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % $stride = 0"
+
+  /** Double-cast points CTE (body). */
+  def ptsD: String =
+    "SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings"
+
+  /** Unrolled deterministic Lloyd's K-Means as CTE chain; the final centroid
+    * relation is named `cfin` (shard_id, centroid LIST(DOUBLE)). Mirrors
+    * Sharding.fitCentroids exactly (same init, argmin tie-break, mean). */
+  def centroidCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"pts AS ($ptsD),\n")
+    sb.append(s"c0 AS (SELECT CAST(id AS INT) AS shard_id, vec AS centroid FROM pts WHERE id < $k),\n")
+    for (t <- 1 to iters) {
+      val prev = if (t == 1) "c0" else s"c${t - 1}"
+      sb.append(
+        s"""a$t AS (SELECT p.id, c.shard_id,
+           |  ${l2("p.vec", "c.centroid")} AS d
+           |  FROM pts p CROSS JOIN $prev c),
+           |s$t AS (SELECT id, shard_id FROM (
+           |  SELECT id, shard_id, row_number() OVER (PARTITION BY id ORDER BY d, shard_id) AS rn FROM a$t)
+           |  WHERE rn = 1),
+           |c$t AS (SELECT shard_id, list(mv ORDER BY dim) AS centroid FROM (
+           |  SELECT s.shard_id, dims.i AS dim, avg(p.vec[dims.i]) AS mv
+           |  FROM s$t s JOIN pts p USING (id)
+           |  CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) dims
+           |  GROUP BY s.shard_id, dims.i)
+           |  GROUP BY shard_id),
+           |""".stripMargin)
+    }
+    sb.append(s"cfin AS (SELECT * FROM c$iters)")
+    sb.toString
+  }
+
+  /** Final-assignment CTEs on top of centroidCtes; relation `asg`
+    * (id, shard_id, d). NOTE `d` here is full precision (round at use). */
+  def assignCtes(k: Int, iters: Int): String =
+    s"""${centroidCtes(k, iters)},
+       |fa AS (SELECT p.id, c.shard_id, ${l2("p.vec", "c.centroid")} AS d
+       |  FROM pts p CROSS JOIN cfin c),
+       |asg AS (SELECT id, shard_id, d FROM (
+       |  SELECT id, shard_id, d, row_number() OVER (PARTITION BY id ORDER BY d, shard_id) AS rn FROM fa)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Routed-search CTEs; final relation `routed`
+    * (qid, neighbor_id, shard_id, dist, rnk) with rnk already <= topK. */
+  def routedCtes(k: Int, iters: Int, stride: Int, topK: Int, t: Int): String =
+    s"""${assignCtes(k, iters)},
+       |sp AS (SELECT p.id, p.vec, a.shard_id FROM pts p JOIN asg a USING (id)),
+       |qs AS (SELECT id AS qid, vec AS qvec FROM pts WHERE id % $stride = 0),
+       |rd AS (SELECT q.qid, q.qvec, c.shard_id, round(${l2("q.qvec", "c.centroid")}, 4) AS dr
+       |  FROM qs q CROSS JOIN cfin c),
+       |ra AS (SELECT qid, qvec, shard_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dr, shard_id) AS crank FROM rd),
+       |routes AS (SELECT qid, qvec, shard_id FROM ra WHERE crank <= $t),
+       |cand AS (SELECT r.qid, sp.id, sp.shard_id, round(${l2("r.qvec", "sp.vec")}, 4) AS dist
+       |  FROM routes r JOIN sp ON r.shard_id = sp.shard_id),
+       |rkd AS (SELECT qid, id AS neighbor_id, shard_id, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk FROM cand),
+       |routed AS (SELECT * FROM rkd WHERE rnk <= $topK)""".stripMargin
 
   def knnExact(k: Int, stride: Int): String =
     s"""WITH pairs AS (

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Shard-routed top-k search — the reference's query path
+  * (kanndi_search.py:28-66, search_by_cluster.py:57-86): route each query to
+  * its top-T nearest centroids, search only those shards, union and re-rank.
+  * The reference searches only the top-1 shard; its README specifies the
+  * multi-shard union + re-sort (kanndi/README.md SEARCHING 2-5) which we
+  * implement with T as the probe-count knob.
+  *
+  * Scale shape: centroids and routes are tiny (broadcast); the points side
+  * arrives pre-assigned (and, when persisted via Sharding.writeSharded,
+  * partition-pruned to the routed shards). The candidate set is
+  * |queries| * T * shardSize instead of |queries| * N — the whole point of
+  * sharding. The final top-k window benefits from WindowGroupLimit's
+  * partial per-partition limit before the shuffle.
+  */
+object ShardedSearch {
+
+  /** Per-query top-T nearest centroids (J5/W2): (qid, shard_id, centroid_rank). */
+  def route(queries: DataFrame, centroids: DataFrame, t: Int): DataFrame = {
+    val d = l2Dist(col("qvec"), col("centroid"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(d, 4), col("shard_id"))
+    queries
+      .join(broadcast(centroids))
+      .withColumn("centroid_rank", row_number().over(w))
+      .where(col("centroid_rank") <= t)
+      .select(col("qid"), col("qvec"), col("shard_id"), col("centroid_rank"))
+  }
+
+  /** Routed search: (qid, rank, neighbor_id, dist, shard_id).
+    *
+    * @param shardedPoints (id, vec, shard_id) — e.g. points joined with a
+    *   Sharding.assign result, or a read of a partitionBy(shard_id) layout.
+    */
+  def search(
+      shardedPoints: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      t: Int,
+      distance: (Column, Column) => Column = l2Dist): DataFrame = {
+    val routes = route(queries, centroids, t)
+    // equi-join on shard_id: only routed shards' points become candidates
+    val cands = shardedPoints
+      .join(broadcast(routes), "shard_id")
+      .withColumn("dist", round(distance(col("qvec"), col("vec")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("dist"), col("shard_id"))
+  }
+
+  /** Recall@k of a routed result vs the exact result (recall.py:34-83
+    * industrialized): per-query |routed ∩ exact| / k, then the mean. */
+  def recallAtK(exact: DataFrame, routed: DataFrame, k: Int): DataFrame = {
+    val e = exact.select(col("qid"), col("neighbor_id"))
+    val r = routed.select(col("qid"), col("neighbor_id"))
+    val hits = r.join(e, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hits"))
+    val allQ = e.select(col("qid")).distinct()
+    allQ
+      .join(hits, Seq("qid"), "left")
+      .select(coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        round(avg(col("n_hits") / k.toDouble), 6).as("recall"))
+  }
+}

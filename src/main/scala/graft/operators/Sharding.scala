@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions._
+
+/** Dataset sharding by K-Means clustering — the reference's
+  * `centroids.py` (fit) + `shard.py` (assign + bucket sinks) pipeline
+  * (/root/reference/src/algorithms/sharding/clustering/), rebuilt as
+  * DataFrame ops:
+  *
+  *  - fit: deterministic Lloyd's iterations expressed as Spark jobs with the
+  *    (tiny) centroid set collected to the driver each round — the same
+  *    shape spark.ml's KMeans uses internally, but with a fully
+  *    deterministic init (first-k points) and tie-break so the DuckDB
+  *    oracle can replay it as unrolled SQL CTEs.
+  *  - assign: broadcast nearest-centroid join (J4) via min(struct(dist,id))
+  *    — deterministic argmin, no window shuffle.
+  *  - sinks: `writeSharded` persists the points partitioned by shard_id —
+  *    the engine's replacement for per-shard HNSW files (SURVEY §2 S7/S8):
+  *    at scale the partition layout + broadcast centroid router IS the index.
+  */
+object Sharding {
+
+  /** Median pairwise L2 distance over the first `sampleSize` points —
+    * `compute_median_dist` (kanndi/shard_by_distance.py:39-78): pdist over
+    * the unordered pairs {i<j}, exact median. Returns one row
+    * (n_pairs, median_dist). */
+  def medianPairwiseDist(points: DataFrame, sampleSize: Int): DataFrame = {
+    val s = points.where(col("id") < sampleSize)
+    val a = s.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = s.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(round(l2Dist(col("vec_a"), col("vec_b")), 4).as("dist"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(expr("percentile(dist, 0.5)"), 4).as("median_dist"))
+  }
+
+  /** First-k-by-id init (deterministic; reference seeds MiniBatchKMeans with
+    * RANDOM_SEED=505 — we trade its RNG for a replayable init). */
+  def initCentroids(points: DataFrame, k: Int): DataFrame =
+    points
+      .where(col("id") < k)
+      .select(col("id").cast("int").as("shard_id"), vecD(col("vec")).as("centroid"))
+
+  /** Nearest-centroid assignment (J4): (id, shard_id, dist).
+    * `centroids` must be small — it is always broadcast.
+    *
+    * Ranking convention (engine-wide, FIXTURES.md): argmin over the
+    * 4-dp-ROUNDED distance with shard_id as tie-break, so the result is
+    * reproducible across engines/summation orders. */
+  def assign(points: DataFrame, centroids: DataFrame): DataFrame =
+    points
+      .join(broadcast(centroids))
+      .select(
+        col("id"),
+        col("shard_id"),
+        round(l2Dist(col("vec"), col("centroid")), 4).as("dist"))
+      .groupBy(col("id"))
+      .agg(
+        min(struct(col("dist"), col("shard_id"))).as("m"))
+      .select(
+        col("id"),
+        col("m.shard_id").as("shard_id"),
+        col("m.dist").as("dist"))
+
+  /** Recompute centroids as the per-shard elementwise mean (Lloyd's M-step):
+    * explode to (shard_id, dim, value), average, reassemble. */
+  private def meanCentroids(points: DataFrame, assigned: DataFrame): DataFrame =
+    assigned
+      .join(points, "id")
+      .select(col("shard_id"), posexplode(col("vec")).as(Seq("dim", "v")))
+      .groupBy(col("shard_id"), col("dim"))
+      .agg(avg(col("v").cast("double")).as("mv"))
+      .groupBy(col("shard_id"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mv")))).as("pairs"))
+      .select(
+        col("shard_id"),
+        transform(col("pairs"), p => p.getField("mv")).as("centroid"))
+
+  /** Deterministic Lloyd's K-Means: `iters` full assign+mean rounds from the
+    * first-k init. Centroids are collected to the driver between rounds
+    * (k*dim doubles — tiny), keeping lineage flat; each round is one
+    * distributed job, the same structure as `MiniBatchKMeans.partial_fit`
+    * over the whole data (centroids.py:93-104). Returns (shard_id, centroid). */
+  def fitCentroids(
+      spark: SparkSession,
+      points: DataFrame,
+      k: Int,
+      iters: Int): DataFrame = {
+    var cents = initCentroids(points, k)
+    for (_ <- 1 to iters) {
+      val assigned = assign(points, cents)
+      // collect + rebuild: bounded driver state, flat lineage per round
+      val rows = meanCentroids(points, assigned).collect().toSeq
+      val schema = StructType(Seq(
+        StructField("shard_id", IntegerType, false),
+        StructField("centroid", ArrayType(DoubleType, false), false)))
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          Row(r.getInt(0), r.getSeq[Double](r.fieldIndex("centroid")))), 1),
+        schema)
+    }
+    cents
+  }
+
+  /** Long-form view of a centroid set for oracle-friendly output. */
+  def centroidsLong(centroids: DataFrame): DataFrame =
+    centroids
+      .select(col("shard_id"), posexplode(col("centroid")).as(Seq("dim", "v")))
+      .select(col("shard_id"), col("dim"), round(col("v"), 6).as("value"))
+
+  /** Shard-size distribution + saturation percent — the bucket CSV sink +
+    * saturation logic (shard.py:139-147; shard_by_distance.py:98-99,271). */
+  def shardSizes(assigned: DataFrame, expectedShardSize: Long): DataFrame =
+    assigned
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("shard_id"),
+        col("n"),
+        round(col("n") * 100.0 / expectedShardSize, 2).as("saturation_pct"))
+
+  /** Persist points partitioned by shard — the engine's "index build" sink.
+    * Sorting within partitions by id keeps parquet row-groups clusterable;
+    * at 100 TB each shard_id directory is independently scannable and the
+    * search path prunes all but the routed shards. */
+  def writeSharded(points: DataFrame, assigned: DataFrame, path: String): Unit =
+    points
+      .join(assigned.select("id", "shard_id"), "id")
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("id"))
+      .write
+      .mode("overwrite")
+      .partitionBy("shard_id")
+      .parquet(path)
+}

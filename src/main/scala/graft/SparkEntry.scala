@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Knn, Sharding, ShardedSearch}
+import graft.operators.{Kanndi, Knn, Sharding, ShardedSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -84,6 +84,18 @@ object SparkEntry {
       val exact = Knn.knnExact(pts, qs, 10)
       val routed = ShardedSearch.search(sharded, qs, cents, k = 10, t = Params.t)
       ShardedSearch.recallAtK(exact, routed, 10)
+    }),
+
+    // ---- M5: KANNDI distance-based sharding, fixed-d (SURVEY §2 E1, P3/P4/J6/A3)
+    "q10_kanndi_assign" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      Kanndi.shardAuto(s, pts, m = 4, sampleSize = 200).assigned
+    }),
+
+    // ---- M5: KANNDI with starvation escalation d*=2 (rows-only; invariants in ScalaTest)
+    "q11_kanndi_adaptive" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      Kanndi.shardAuto(s, pts, m = 4, sampleSize = 200, distScale = 0.25, adaptive = true).assigned
     })
   )
 
@@ -166,7 +178,9 @@ object SparkEntry {
          |allq AS (SELECT DISTINCT qid FROM exact)
          |SELECT count(*) AS n_queries,
          |  round(avg(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10), 6) AS recall
-         |FROM allq LEFT JOIN hits h USING (qid)""".stripMargin
+         |FROM allq LEFT JOIN hits h USING (qid)""".stripMargin,
+
+    "q10_kanndi_assign" -> Oracles.kanndi(m = 4, sampleSize = 200)
   )
 }
 
@@ -246,6 +260,42 @@ object Oracles {
        |rkd AS (SELECT qid, id AS neighbor_id, shard_id, dist,
        |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk FROM cand),
        |routed AS (SELECT * FROM rkd WHERE rnk <= $topK)""".stripMargin
+
+  /** Unrolled fixed-d KANNDI (mirrors Kanndi.shardAuto with adaptive=false):
+    * d = rounded sample median, capacity = N/m, m greedy rounds of
+    * nearest-first admission, leftovers to shard -2. */
+  def kanndi(m: Int, sampleSize: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH pts AS ($ptsD),\n")
+    sb.append(
+      s"""dpar AS (SELECT round(median(dist), 4) AS d FROM (
+         |  SELECT ${l2("a.vec", "b.vec")} AS dist
+         |  FROM (SELECT * FROM pts WHERE id < $sampleSize) a
+         |  JOIN (SELECT * FROM pts WHERE id < $sampleSize) b ON a.id < b.id)),
+         |cap AS (SELECT count(*) // $m AS c FROM pts),
+         |u1 AS (SELECT id, vec FROM pts),
+         |""".stripMargin)
+    for (r <- 1 to m) {
+      sb.append(
+        s"""sd$r AS (SELECT id, vec FROM u$r ORDER BY id LIMIT 1),
+           |cd$r AS (SELECT u.id, ${l2("u.vec", "s.vec")} AS dist FROM u$r u CROSS JOIN sd$r s),
+           |ad$r AS (SELECT id, dist FROM (
+           |  SELECT id, dist, row_number() OVER (ORDER BY dist, id) AS rn
+           |  FROM cd$r WHERE dist <= (SELECT d FROM dpar))
+           |  WHERE rn <= (SELECT c FROM cap)),
+           |u${r + 1} AS (SELECT * FROM u$r WHERE id NOT IN (SELECT id FROM ad$r)),
+           |""".stripMargin)
+    }
+    val unions = (1 to m)
+      .map(r => s"SELECT id, ${r - 1} AS shard_id, dist FROM ad$r")
+      .mkString("", "\nUNION ALL ", "")
+    sb.append(
+      s"""fin AS (
+         |$unions
+         |UNION ALL SELECT id, -2 AS shard_id, CAST(NULL AS DOUBLE) AS dist FROM u${m + 1})
+         |SELECT id, shard_id, dist FROM fin""".stripMargin)
+    sb.toString
+  }
 
   def knnExact(k: Int, stride: Int): String =
     s"""WITH pairs AS (

@@ -1,0 +1,120 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions._
+
+/** KANNDI — "K Approximate Nearest Neighbours DIstance-based" sharding
+  * (/root/reference/src/algorithms/sharding/kanndi/shard_by_distance.py:82-372).
+  *
+  * Reference semantics: greedy single pass — pick a seed (next unprocessed
+  * point in file order), absorb unprocessed points within distance `d` of
+  * the seed until the shard reaches `N/M` points; on starvation multiply
+  * `d` by DIST_MULTIPLIER=2 (line 23,161-182); leftovers accumulate into a
+  * special shard (lines 313-358); seeds are persisted as the routing
+  * centroids (lines 365-370).
+  *
+  * Spark redesign (SURVEY §7.2 M5): the seed loop is inherently sequential,
+  * so it runs as M driver-orchestrated rounds, each ONE distributed pass
+  * over the unassigned remainder:
+  *   candidates = unassigned.where(dist(seed,·) <= d)     — a filter, no shuffle
+  *   admitted   = candidates.orderBy(dist,id).limit(cap)  — TakeOrdered, no full sort
+  *   unassigned = unassigned antijoin admitted
+  * Deviation from the reference (documented): admission is nearest-first
+  * instead of file-order — same capacity/saturation semantics, better shards.
+  * Lineage is cut with localCheckpoint every few rounds; at cluster scale
+  * substitute a checkpoint dir. M is bounded (reference exercises M<=1000),
+  * so the driver loop is M small jobs over a shrinking remainder.
+  */
+object Kanndi {
+
+  final case class KanndiResult(assigned: DataFrame, seeds: DataFrame)
+
+  val SpecialShard: Int = -2 // leftover accumulator (shard_by_distance.py:313-358)
+
+  /** @param m          target number of shards
+    * @param d0         initial admission distance (median pairwise distance
+    *                   of a sample — compute_median_dist)
+    * @param capacity   shard capacity; reference N/M
+    * @param saturationPctMin minimum fill to accept without escalation (75)
+    * @param adaptive   double `d` (up to maxDoublings) when a round starves
+    */
+  def shardByDistance(
+      spark: SparkSession,
+      points: DataFrame,
+      m: Int,
+      d0: Double,
+      capacity: Long,
+      saturationPctMin: Int = 75,
+      adaptive: Boolean = false,
+      maxDoublings: Int = 3): KanndiResult = {
+    var unassigned = points.select(col("id"), col("vec")).localCheckpoint()
+    val parts = ArrayBuffer.empty[DataFrame]
+    val seedRows = ArrayBuffer.empty[(Int, Seq[Float])]
+    var d = d0
+    var sid = 0
+    while (sid < m && !unassigned.isEmpty) {
+      val seed = unassigned.orderBy(col("id")).limit(1).collect()(0)
+      val seedVec = seed.getSeq[Float](seed.fieldIndex("vec"))
+      seedRows += ((sid, seedVec))
+      val seedLit = typedLit(seedVec)
+
+      def admit(dd: Double): DataFrame =
+        unassigned
+          .withColumn("dist", round(l2Dist(col("vec"), seedLit), 4))
+          .where(col("dist") <= dd)
+          .orderBy(col("dist"), col("id"))
+          .limit(capacity.toInt)
+
+      var admitted = admit(d)
+      if (adaptive) {
+        var n = admitted.count()
+        var dbl = 0
+        while (n * 100 < capacity * saturationPctMin && dbl < maxDoublings) {
+          d *= 2 // DIST_MULTIPLIER escalation on starvation
+          dbl += 1
+          admitted = admit(d)
+          n = admitted.count()
+        }
+      }
+      val admittedIds = admitted.select(col("id"), col("dist")).localCheckpoint()
+      parts += admittedIds.select(col("id"), lit(sid).as("shard_id"), col("dist"))
+      unassigned = unassigned.join(admittedIds.select("id"), Seq("id"), "left_anti")
+      if (sid % 4 == 3) unassigned = unassigned.localCheckpoint()
+      sid += 1
+    }
+    // leftovers -> special shard, dist undefined
+    val leftover = unassigned.select(
+      col("id"),
+      lit(SpecialShard).as("shard_id"),
+      lit(null).cast(DoubleType).as("dist"))
+    val assigned = (parts :+ leftover).reduce(_.unionByName(_))
+
+    val schema = StructType(Seq(
+      StructField("shard_id", IntegerType, false),
+      StructField("centroid", ArrayType(FloatType, true), true)))
+    val seeds = spark.createDataFrame(
+      spark.sparkContext.parallelize(seedRows.toSeq.map { case (s, v) => Row(s, v) }, 1),
+      schema)
+    KanndiResult(assigned, seeds)
+  }
+
+  /** Convenience: full reference pipeline — estimate d from a sample median,
+    * capacity = N/M (shard_by_distance.py:98), then shard. */
+  def shardAuto(
+      spark: SparkSession,
+      points: DataFrame,
+      m: Int,
+      sampleSize: Int,
+      distScale: Double = 1.0,
+      adaptive: Boolean = false): KanndiResult = {
+    val medRow = Sharding.medianPairwiseDist(points, sampleSize).collect()(0)
+    val d0 = medRow.getDouble(medRow.fieldIndex("median_dist")) * distScale
+    val n = points.count()
+    shardByDistance(spark, points, m, d0, capacity = n / m, adaptive = adaptive)
+  }
+}

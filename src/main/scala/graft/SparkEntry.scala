@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Kanndi, Knn, Sharding, ShardedSearch}
+import graft.operators.{Kanndi, Knn, Sharding, ShardedSearch, Stats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,6 +96,49 @@ object SparkEntry {
     "q11_kanndi_adaptive" -> ((s, dir) => {
       val pts = Tables.points(s, dir)
       Kanndi.shardAuto(s, pts, m = 4, sampleSize = 200, distScale = 0.25, adaptive = true).assigned
+    }),
+
+    // ---- M6: per-dimension variance + entropy (SURVEY §2 A4/A5)
+    "q12_dim_variance_entropy" -> ((s, dir) =>
+      Stats.varianceEntropy(Tables.points(s, dir))),
+
+    // ---- M6: two-sample Kolmogorov–Smirnov, all dim pairs (SURVEY §2 A8)
+    "q13_ks_pairs" -> ((s, dir) =>
+      Stats.ksAllPairs(Tables.points(s, dir))),
+
+    // ---- M6: variance-of-concatenation covariance proxy (SURVEY §2 A7)
+    "q14_covar_proxy" -> ((s, dir) =>
+      Stats.covarianceProxy(Tables.points(s, dir))),
+
+    // ---- M6: Pearson correlation, all dim pairs (SURVEY §2 A10)
+    "q15_corr_pairs" -> ((s, dir) =>
+      Stats.corrPairs(Tables.points(s, dir))),
+
+    // ---- M6: VIF = inverse correlation matrix (SURVEY §2 A11; driver-side Breeze)
+    "q16_vif" -> ((s, dir) =>
+      Stats.vifMatrix(s, Tables.points(s, dir))),
+
+    // ---- M6: percentile-thresholded KS similarity graph (SURVEY §2 A12)
+    "q17_ks_graph" -> ((s, dir) =>
+      Stats.buddyGraph(Stats.ksAllPairs(Tables.points(s, dir)), "ks", 0.75)),
+
+    // ---- M6: greedy buddy ordering over the VIF graph (SURVEY §2 W4; driver-side)
+    "q18_buddy_order" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      val offDiag = Stats.vifMatrix(s, pts).where(col("dim_i") < col("dim_j"))
+      Stats.buddyOrder(s, Stats.buddyGraph(offDiag, "vif", 0.75), nDims = 64)
+    }),
+
+    // ---- M6: buddy_up dimension permutation projection (SURVEY §2 P6)
+    "q19_buddy_up" -> ((s, dir) =>
+      Stats.buddyUpLong(Tables.points(s, dir), Params.evensOddsPerm)),
+
+    // ---- M6: blended stat VIF + (1-KS) (SURVEY §2 J9)
+    "q20_blended" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      Stats.blend(
+        Stats.vifMatrix(s, pts).where(col("dim_i") < col("dim_j")),
+        Stats.ksAllPairs(pts))
     })
   )
 
@@ -105,6 +148,8 @@ object SparkEntry {
     val k = 8      // shards (reference M ∈ {10,100,1000}, scaled to testdata)
     val iters = 3  // Lloyd's rounds (reference MAX_ITER=50; deterministic subset)
     val t = 2      // probe count (reference MAX_CENTROIDS=3, searches top-1)
+    /** Demo permutation for q19: even dims then odd dims (0-based). */
+    val evensOddsPerm: Seq[Int] = (0 until 64 by 2) ++ (1 until 64 by 2)
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -180,7 +225,51 @@ object SparkEntry {
          |  round(avg(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10), 6) AS recall
          |FROM allq LEFT JOIN hits h USING (qid)""".stripMargin,
 
-    "q10_kanndi_assign" -> Oracles.kanndi(m = 4, sampleSize = 200)
+    "q10_kanndi_assign" -> Oracles.kanndi(m = 4, sampleSize = 200),
+
+    "q12_dim_variance_entropy" ->
+      s"""WITH ${Oracles.longFormCte},
+         |va AS (SELECT dim, round(var_pop(value), 6) AS variance FROM lf GROUP BY dim),
+         |bins AS (SELECT dim, round(value, 2) AS bin, count(*) AS cnt FROM lf GROUP BY dim, round(value, 2)),
+         |ent AS (SELECT dim, round(-sum((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)), 6) AS entropy
+         |  FROM (SELECT dim, cnt, CAST(sum(cnt) OVER (PARTITION BY dim) AS DOUBLE) AS n FROM bins)
+         |  GROUP BY dim)
+         |SELECT va.dim, variance, entropy FROM va JOIN ent USING (dim)""".stripMargin,
+
+    "q13_ks_pairs" ->
+      s"""WITH ${Oracles.ksCtes}
+         |SELECT dim_i, dim_j, ks FROM ks""".stripMargin,
+
+    "q14_covar_proxy" ->
+      s"""WITH ${Oracles.longFormCte},
+         |${Oracles.dimPairsCte},
+         |u AS (SELECT p.dim_i, p.dim_j, l.value FROM pairs p
+         |  JOIN lf l ON l.dim = p.dim_i OR l.dim = p.dim_j)
+         |SELECT dim_i, dim_j, round(var_pop(value), 6) AS var_concat
+         |FROM u GROUP BY dim_i, dim_j""".stripMargin,
+
+    "q15_corr_pairs" ->
+      s"""WITH ${Oracles.longFormCte},
+         |a AS (SELECT id, dim AS dim_i, value AS vi FROM lf),
+         |b AS (SELECT id, dim AS dim_j, value AS vj FROM lf)
+         |SELECT dim_i, dim_j, round(corr(vi, vj), 6) AS "corr"
+         |FROM a JOIN b USING (id) WHERE dim_i < dim_j
+         |GROUP BY dim_i, dim_j""".stripMargin,
+
+    "q17_ks_graph" ->
+      s"""WITH ${Oracles.ksCtes},
+         |thr AS (SELECT quantile_cont(abs(ks), 0.75) AS t FROM ks)
+         |SELECT dim_i AS src, dim_j AS dst, CAST(ks AS DOUBLE) AS weight
+         |FROM ks, thr WHERE abs(ks) > t""".stripMargin,
+
+    "q19_buddy_up" -> {
+      val perm1 = SparkEntry.Params.evensOddsPerm.map(_ + 1)
+      s"""WITH p AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, ${Oracles.dim})) AS i)
+         |SELECT id, dims.i - 1 AS dim,
+         |  round(CAST(vec[(list_value(${perm1.mkString(",")}))[dims.i]] AS DOUBLE), 6) AS value
+         |FROM p CROSS JOIN dims""".stripMargin
+    }
   )
 }
 
@@ -296,6 +385,39 @@ object Oracles {
          |SELECT id, shard_id, dist FROM fin""".stripMargin)
     sb.toString
   }
+
+  /** Long-form CTE `lf` (id, dim 0-based, value DOUBLE) — mirrors Stats.longForm. */
+  def longFormCte: String =
+    s"""lf AS (SELECT p.id, dims.i - 1 AS dim, CAST(p.vec[dims.i] AS DOUBLE) AS value
+       |  FROM (SELECT vec_id AS id, embedding AS vec FROM embeddings) p
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) dims)""".stripMargin
+
+  /** Unordered dim pairs CTE `pairs` (dim_i < dim_j); requires `lf`. */
+  def dimPairsCte: String =
+    """dims2 AS (SELECT DISTINCT dim FROM lf),
+      |pairs AS (SELECT a.dim AS dim_i, b.dim AS dim_j
+      |  FROM dims2 a JOIN dims2 b ON a.dim < b.dim)""".stripMargin
+
+  /** KS-statistic CTE chain ending in `ks` (dim_i, dim_j, ks) — mirrors
+    * Stats.ksAllPairs (RANGE frame => ties counted as peers). */
+  def ksCtes: String =
+    s"""$longFormCte,
+       |$dimPairsCte,
+       |u AS (
+       |  SELECT p.dim_i, p.dim_j, l.value, 0 AS side FROM pairs p JOIN lf l ON l.dim = p.dim_i
+       |  UNION ALL
+       |  SELECT p.dim_i, p.dim_j, l.value, 1 AS side FROM pairs p JOIN lf l ON l.dim = p.dim_j),
+       |c AS (SELECT dim_i, dim_j,
+       |  sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER
+       |    (PARTITION BY dim_i, dim_j ORDER BY value RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_i,
+       |  sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER
+       |    (PARTITION BY dim_i, dim_j ORDER BY value RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_j,
+       |  sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY dim_i, dim_j) AS n_i,
+       |  sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER (PARTITION BY dim_i, dim_j) AS n_j
+       |  FROM u),
+       |ks AS (SELECT dim_i, dim_j,
+       |  round(max(abs(CAST(cum_i AS DOUBLE) / n_i - CAST(cum_j AS DOUBLE) / n_j)), 6) AS ks
+       |  FROM c GROUP BY dim_i, dim_j)""".stripMargin
 
   def knnExact(k: Int, stride: Int): String =
     s"""WITH pairs AS (

@@ -1,0 +1,169 @@
+package graft.operators
+
+import breeze.linalg.{inv, DenseMatrix}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Per-dimension statistics suite — the reference's dataset-analysis jobs
+  * used to design the BuddyPQ dimension permutation
+  * (/root/reference/src/algorithms/sharding/clustering/{variance,
+  * komolgorovsmirnov,multicollinearity,network_*}.py).
+  *
+  * Everything operates on the long form (id, dim, value) produced by ONE
+  * posexplode of the vector column (SURVEY §1.2: columnar access over a
+  * row-major table); all-pairs stats join the 64-dim dimension list, not the
+  * data, so the data is scanned once per stat family.
+  */
+object Stats {
+
+  /** Explode points to long form (id, dim, value:double). dim is 0-based. */
+  def longForm(points: DataFrame): DataFrame =
+    points.select(
+      col("id"),
+      posexplode(col("vec")).as(Seq("dim", "v")))
+      .select(col("id"), col("dim"), col("v").cast("double").as("value"))
+
+  /** Per-dimension variance + binned-frequency entropy
+    * (variance.py:90,105-108; utils.py:238-245). Entropy bins on 2-dp
+    * rounded values — the reference computes value-frequency entropy, which
+    * on continuous data degenerates to ln(n); binning keeps the statistic
+    * informative and deterministic. */
+  def varianceEntropy(points: DataFrame, entropyBinDp: Int = 2): DataFrame = {
+    val lf = longForm(points)
+    val binned = lf
+      .groupBy(col("dim"), round(col("value"), entropyBinDp).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val ent = binned
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("dim"))))
+      .groupBy(col("dim"))
+      .agg(round(-sum((col("cnt") / col("n")) * log(col("cnt") / col("n"))), 6).as("entropy"))
+    val va = lf.groupBy(col("dim")).agg(round(var_pop(col("value")), 6).as("variance"))
+    va.join(ent, "dim").select(col("dim"), col("variance"), col("entropy"))
+  }
+
+  /** Unordered dimension pairs (dim_i < dim_j) of a long form. */
+  private def dimPairs(lf: DataFrame): DataFrame = {
+    val dims = lf.select(col("dim")).distinct()
+    dims.select(col("dim").as("dim_i"))
+      .join(dims.select(col("dim").as("dim_j")), col("dim_i") < col("dim_j"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic for every dimension pair
+    * (komolgorovsmirnov.py:89-115): D = max_x |ECDF_i(x) - ECDF_j(x)|,
+    * evaluated at every observed value via a RANGE-frame running count
+    * (peers included, so ties are handled exactly). */
+  def ksAllPairs(points: DataFrame): DataFrame = {
+    val lf = longForm(points)
+    val pairs = dimPairs(lf)
+    val sideI = pairs.join(lf, col("dim_i") === col("dim"))
+      .select(col("dim_i"), col("dim_j"), col("value"), lit(0).as("side"))
+    val sideJ = pairs.join(lf, col("dim_j") === col("dim"))
+      .select(col("dim_i"), col("dim_j"), col("value"), lit(1).as("side"))
+    val u = sideI.unionByName(sideJ)
+    val wAll = Window.partitionBy(col("dim_i"), col("dim_j"))
+    val wCum = wAll.orderBy(col("value"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("cum_i", sum(when(col("side") === 0, 1).otherwise(0)).over(wCum))
+      .withColumn("cum_j", sum(when(col("side") === 1, 1).otherwise(0)).over(wCum))
+      .withColumn("n_i", sum(when(col("side") === 0, 1).otherwise(0)).over(wAll))
+      .withColumn("n_j", sum(when(col("side") === 1, 1).otherwise(0)).over(wAll))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(round(max(abs(col("cum_i") / col("n_i") - col("cum_j") / col("n_j"))), 6).as("ks"))
+  }
+
+  /** Variance-of-concatenation "covariance proxy" for every pair — the
+    * reference deliberately uses np.var(concat(dim_i, dim_j))
+    * (variance.py:112-135), not true covariance. */
+  def covarianceProxy(points: DataFrame): DataFrame = {
+    val lf = longForm(points)
+    val pairs = dimPairs(lf)
+    val u = pairs.join(lf, col("dim_i") === col("dim") || col("dim_j") === col("dim"))
+    u.groupBy(col("dim_i"), col("dim_j"))
+      .agg(round(var_pop(col("value")), 6).as("var_concat"))
+  }
+
+  /** Pearson correlation for every dimension pair (multicollinearity.py:92-95).
+    * Wide join of the long form with itself on id. */
+  def corrPairs(points: DataFrame): DataFrame = {
+    val lf = longForm(points)
+    val a = lf.select(col("id"), col("dim").as("dim_i"), col("value").as("vi"))
+    val b = lf.select(col("id"), col("dim").as("dim_j"), col("value").as("vj"))
+    a.join(b, Seq("id"))
+      .where(col("dim_i") < col("dim_j"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(round(corr(col("vi"), col("vj")), 6).as("corr"))
+  }
+
+  /** Top-n pairs by a stat, deterministic ordering (A16). */
+  def topPairs(pairStats: DataFrame, statCol: String, n: Int): DataFrame = {
+    val w = Window.orderBy(col(statCol).desc, col("dim_i"), col("dim_j"))
+    pairStats.withColumn("rn", row_number().over(w)).where(col("rn") <= n).drop("rn")
+  }
+
+  /** VIF / multicollinearity matrix: inverse of the full correlation matrix
+    * (multicollinearity.py:96-97). The corr matrix is dim x dim (64x64) —
+    * a driver-side Breeze inverse by design (SURVEY §2 A11); only the
+    * matrix assembly is distributed. Returns long form (dim_i, dim_j, vif)
+    * for ALL ordered pairs including the diagonal. */
+  def vifMatrix(spark: SparkSession, points: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pairs = corrPairs(points).collect()
+    val d = pairs.iterator.map(r => r.getInt(1)).foldLeft(0)(math.max) + 1
+    val m = DenseMatrix.eye[Double](d)
+    pairs.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i, j) = c; m(j, i) = c
+    }
+    val v = inv(m)
+    val rows = for (i <- 0 until d; j <- 0 until d)
+      yield (i, j, BigDecimal(v(i, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    spark.createDataset(rows).toDF("dim_i", "dim_j", "vif")
+  }
+
+  /** Percentile-thresholded similarity graph (network_*.py:85-107): keep
+    * edges whose |stat| exceeds the given percentile of |stat|. */
+  def buddyGraph(pairStats: DataFrame, statCol: String, pct: Double = 0.75): DataFrame = {
+    val thr = pairStats.agg(
+      expr(s"percentile(abs($statCol), $pct)").as("thr"))
+    pairStats.join(broadcast(thr))
+      .where(abs(col(statCol)) > col("thr"))
+      .select(col("dim_i").as("src"), col("dim_j").as("dst"),
+        col(statCol).cast("double").as("weight"))
+  }
+
+  /** Greedy "buddy" ordering of dimensions (network_mutlicollinearity.py:
+    * 108-119): walk edges by descending weight, appending unseen endpoints;
+    * remaining dims appended in ascending order. Driver-side by design —
+    * the graph is at most dim^2 edges. Returns (order_idx, dim). */
+  def buddyOrder(spark: SparkSession, edges: DataFrame, nDims: Int): DataFrame = {
+    import spark.implicits._
+    val es = edges
+      .orderBy(col("weight").desc, col("src"), col("dst"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Int]
+    es.foreach { case (a, b) => seen += a; seen += b }
+    (0 until nDims).foreach(seen += _)
+    spark.createDataset(seen.toSeq.zipWithIndex.map { case (dim, i) => (i, dim) })
+      .toDF("order_idx", "dim")
+  }
+
+  /** Elementwise blended stat VIF + (1 - KS) (network_blended.py:78-81). */
+  def blend(vif: DataFrame, ks: DataFrame): DataFrame =
+    vif.join(ks, Seq("dim_i", "dim_j"))
+      .select(col("dim_i"), col("dim_j"),
+        round(col("vif") + (lit(1.0) - col("ks")), 6).as("blended"))
+
+  /** Apply a dimension permutation to the vectors — `buddy_up`
+    * (utils.py:195-202) as a pure projection; emitted long-form for
+    * oracle-friendliness: (id, dim, value) where value = vec[perm[dim]]. */
+  def buddyUpLong(points: DataFrame, perm: Seq[Int]): DataFrame =
+    points.select(
+      col("id"),
+      posexplode(permute(col("vec"), perm)).as(Seq("dim", "v")))
+      .select(col("id"), col("dim"), round(col("v").cast("double"), 6).as("value"))
+}

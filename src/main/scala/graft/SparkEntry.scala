@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Kanndi, Knn, Sharding, ShardedSearch, Stats}
+import graft.operators.{Intervals, Kanndi, Knn, Sharding, ShardedSearch, Stats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -139,6 +139,31 @@ object SparkEntry {
       Stats.blend(
         Stats.vifMatrix(s, pts).where(col("dim_i") < col("dim_j")),
         Stats.ksAllPairs(pts))
+    }),
+
+    // ---- M7: gaps-and-islands interval extraction (SURVEY §2 W5)
+    "q21_islands" -> ((s, dir) =>
+      Intervals.islands(
+        Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("x")).distinct())),
+
+    // ---- M7: point-in-interval membership range join (SURVEY §2 J8)
+    "q22_interval_membership" -> ((s, dir) => {
+      val iv = Intervals.islands(
+        Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("x")).distinct())
+      val xs = Tables.orders(s, dir)
+        .where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("x")).distinct()
+      Intervals.membership(xs, iv)
+    }),
+
+    // ---- M7: interval-set union via neighbor merge (SURVEY §2 O3)
+    "q23_merge_intervals" -> ((s, dir) => {
+      def iv(status: String) = Intervals.islands(
+        Tables.orders(s, dir).where(col("o_orderstatus") === status)
+          .select(col("o_orderkey").as("x")).distinct())
+      Intervals.mergeNeighbors(iv("F").unionByName(iv("O")))
     })
   )
 
@@ -261,6 +286,34 @@ object SparkEntry {
          |thr AS (SELECT quantile_cont(abs(ks), 0.75) AS t FROM ks)
          |SELECT dim_i AS src, dim_j AS dst, CAST(ks AS DOUBLE) AS weight
          |FROM ks, thr WHERE abs(ks) > t""".stripMargin,
+
+    "q21_islands" ->
+      s"""WITH ${Oracles.islandsCte("o_orderstatus = 'F'")}
+         |SELECT "begin", "end" FROM iv""".stripMargin,
+
+    "q22_interval_membership" ->
+      s"""WITH ${Oracles.islandsCte("o_orderstatus = 'F'")},
+         |xs AS (SELECT DISTINCT o_orderkey AS x FROM orders WHERE o_orderkey % 5 = 0)
+         |SELECT xs.x, max(iv."begin" IS NOT NULL) AS in_intervals
+         |FROM xs LEFT JOIN iv ON xs.x >= iv."begin" AND xs.x <= iv."end"
+         |GROUP BY xs.x""".stripMargin,
+
+    "q23_merge_intervals" ->
+      s"""WITH ivf AS (SELECT min(x) AS "begin", max(x) AS "end" FROM (
+         |    SELECT x, x - row_number() OVER (ORDER BY x) AS grp
+         |    FROM (SELECT DISTINCT o_orderkey AS x FROM orders WHERE o_orderstatus = 'F')) g
+         |  GROUP BY grp),
+         |ivo AS (SELECT min(x) AS "begin", max(x) AS "end" FROM (
+         |    SELECT x, x - row_number() OVER (ORDER BY x) AS grp
+         |    FROM (SELECT DISTINCT o_orderkey AS x FROM orders WHERE o_orderstatus = 'O')) g
+         |  GROUP BY grp),
+         |uv AS (SELECT * FROM ivf UNION ALL SELECT * FROM ivo),
+         |m AS (SELECT "begin", "end",
+         |  max("end") OVER (ORDER BY "begin", "end" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM uv),
+         |n AS (SELECT *, CASE WHEN pme IS NULL OR "begin" > pme + 1 THEN 1 ELSE 0 END AS ng FROM m),
+         |o AS (SELECT *, sum(ng) OVER (ORDER BY "begin", "end" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM n)
+         |SELECT min("begin") AS "begin", max("end") AS "end" FROM o GROUP BY grp""".stripMargin,
 
     "q19_buddy_up" -> {
       val perm1 = SparkEntry.Params.evensOddsPerm.map(_ + 1)
@@ -418,6 +471,14 @@ object Oracles {
        |ks AS (SELECT dim_i, dim_j,
        |  round(max(abs(CAST(cum_i AS DOUBLE) / n_i - CAST(cum_j AS DOUBLE) / n_j)), 6) AS ks
        |  FROM c GROUP BY dim_i, dim_j)""".stripMargin
+
+  /** Islands CTE `iv` ("begin", "end") over distinct o_orderkey with a
+    * predicate — mirrors Intervals.islands. */
+  def islandsCte(where: String): String =
+    s"""iv AS (SELECT min(x) AS "begin", max(x) AS "end" FROM (
+       |  SELECT x, x - row_number() OVER (ORDER BY x) AS grp
+       |  FROM (SELECT DISTINCT o_orderkey AS x FROM orders WHERE $where)) g
+       |GROUP BY grp)""".stripMargin
 
   def knnExact(k: Int, stride: Int): String =
     s"""WITH pairs AS (

@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Codec for the reference's binary columnar-vector file family
+  * (/root/reference/src/util/utils.py:72-193; layout in FIXTURES.md §A1):
+  *
+  *   bytes 0-3  int32 nvecs | bytes 4-7 int32 dim | row-major elements
+  *
+  * `.fbin` float32, `.u8bin` uint8, `.i8bin` int8, `.ibin` int32.
+  *
+  * The reader is a parallel fixed-width scan: the row range is split into
+  * `numSlices` chunks and every task seeks directly to
+  * `8 + start*dim*elemSize` (the reference's chunked-read offset contract,
+  * utils.py:103-105 — we do NOT reproduce read_ibin's missing *4 offset
+  * bug, utils.py:146-147). Ids are file ordinals, exactly like the
+  * reference. On a cluster this parallelizes over any POSIX/NFS-visible
+  * path; engine-internal data should live in Parquet (SURVEY §2 S5) — this
+  * codec exists for interop with the reference's artifacts.
+  *
+  * The writer streams partitions to a single local file via
+  * `toLocalIterator` (header needs a global count first) — an export
+  * utility, not a 100 TB path.
+  */
+object BinFormat {
+
+  sealed abstract class ElemType(val size: Int)
+  case object F32 extends ElemType(4) // .fbin
+  case object U8 extends ElemType(1) // .u8bin
+  case object I8 extends ElemType(1) // .i8bin
+  case object I32 extends ElemType(4) // .ibin
+
+  /** (nvecs, dim) from the 8-byte little-endian header (utils.py:77-88). */
+  def readHeader(path: String): (Int, Int) = {
+    val f = new RandomAccessFile(path, "r")
+    try {
+      val b = new Array[Byte](8)
+      f.readFully(b)
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      (bb.getInt, bb.getInt)
+    } finally f.close()
+  }
+
+  /** Parallel ranged read: rows [startIdx, startIdx+count) as (id, vec),
+    * vec always promoted to Array[Float] (SURVEY §1.2: every consumer does
+    * float arithmetic; uint8 decoded with & 0xFF). */
+  def read(
+      spark: SparkSession,
+      path: String,
+      elem: ElemType,
+      startIdx: Long = 0L,
+      count: Long = -1L,
+      numSlices: Int = 32): DataFrame = {
+    val (nvecs, dim) = readHeader(path)
+    val n = if (count < 0) nvecs - startIdx else math.min(count, nvecs - startIdx)
+    val bounds = (0 until numSlices)
+      .map(i => (startIdx + i * n / numSlices, startIdx + (i + 1) * n / numSlices))
+      .filter { case (a, b) => b > a }
+    val rdd = spark.sparkContext
+      .parallelize(bounds, math.max(bounds.size, 1))
+      .flatMap { case (lo, hi) =>
+        val f = new RandomAccessFile(path, "r")
+        val rowBytes = dim * elem.size
+        f.seek(8L + lo * rowBytes)
+        val buf = new Array[Byte](rowBytes)
+        val out = (lo until hi).iterator.map { id =>
+          f.readFully(buf)
+          val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+          val vec = new Array[Float](dim)
+          var i = 0
+          while (i < dim) {
+            vec(i) = elem match {
+              case F32 => bb.getFloat(i * 4)
+              case I32 => bb.getInt(i * 4).toFloat
+              case U8 => (buf(i) & 0xff).toFloat
+              case I8 => buf(i).toFloat
+            }
+            i += 1
+          }
+          Row(id, vec)
+        }
+        // drain fully before close: iterator is lazy, so materialize
+        val rows = out.toVector
+        f.close()
+        rows
+      }
+    spark.createDataFrame(
+      rdd,
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("vec", ArrayType(FloatType, false), false))))
+  }
+
+  /** Int32 ground-truth matrix reader (.ibin) as (id, ids: Array[Int]). */
+  def readIbin(spark: SparkSession, path: String): DataFrame = {
+    val df = read(spark, path, I32)
+    import org.apache.spark.sql.functions._
+    df.select(col("id"), transform(col("vec"), _.cast("int")).as("ids"))
+  }
+
+  /** Write (id, vec) ordered by id to a single reference-format file. */
+  def write(df: DataFrame, path: String, elem: ElemType): Unit = {
+    import org.apache.spark.sql.functions._
+    val dim = df.select(size(col("vec"))).head().getInt(0)
+    val nvecs = df.count().toInt
+    val os = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      def le32(v: Int): Unit = {
+        os.write(v & 0xff); os.write((v >> 8) & 0xff)
+        os.write((v >> 16) & 0xff); os.write((v >> 24) & 0xff)
+      }
+      le32(nvecs); le32(dim)
+      val it = df.orderBy(col("id")).select(col("vec")).toLocalIterator()
+      val bb = ByteBuffer.allocate(dim * elem.size).order(ByteOrder.LITTLE_ENDIAN)
+      while (it.hasNext) {
+        val vec = it.next().getSeq[Float](0)
+        bb.clear()
+        vec.foreach { v =>
+          elem match {
+            case F32 => bb.putFloat(v)
+            case I32 => bb.putInt(v.toInt)
+            case U8 => bb.put((v.toInt & 0xff).toByte)
+            case I8 => bb.put(v.toByte)
+          }
+        }
+        os.write(bb.array())
+      }
+    } finally os.close()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.BinFormat
+import graft.sources.BinFormat.{F32, I32, I8, U8}
+
+class BinFormatSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val tmp = Files.createTempDirectory("graft-bin").toString
+
+  test("fbin round-trip preserves values, ids are ordinals") {
+    val pts = Tables.points(spark, sf0).where(col("id") < 50)
+    val path = s"$tmp/t.fbin"
+    BinFormat.write(pts, path, F32)
+    assert(BinFormat.readHeader(path) === ((50, 64)))
+    val back = BinFormat.read(spark, path, F32)
+    assert(back.count() === 50)
+    val diff = back.join(pts.withColumnRenamed("vec", "orig"), "id")
+      .where(col("vec") =!= col("orig"))
+    assert(diff.count() === 0)
+  }
+
+  test("u8bin/i8bin/ibin round-trips with integral values") {
+    def fixture(lo: Int, span: Int) = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(j => (lo + (i * 8 + j) % span).toFloat))).toDF("id", "vec")
+    val cases = Seq(
+      (U8, "u8bin", fixture(0, 250)), // full uint8 range incl >127
+      (I8, "i8bin", fixture(-120, 240)), // negative int8 values
+      (I32, "ibin", fixture(-100000, 200000))) // beyond byte range
+    for ((elem, ext, df) <- cases) {
+      val path = s"$tmp/t.$ext"
+      BinFormat.write(df, path, elem)
+      val back = BinFormat.read(spark, path, elem)
+      assert(back.join(df.withColumnRenamed("vec", "o"), "id")
+        .where(col("vec") =!= col("o")).count() === 0, s"mismatch for $ext")
+    }
+  }
+
+  test("ranged read honors the chunk offset contract (no read_ibin bug)") {
+    val pts = Tables.points(spark, sf0).where(col("id") < 30)
+    val path = s"$tmp/r.fbin"
+    BinFormat.write(pts, path, F32)
+    val chunk = BinFormat.read(spark, path, F32, startIdx = 10, count = 5)
+    assert(chunk.count() === 5)
+    assert(chunk.agg(min("id"), max("id")).head().toSeq === Seq(10L, 14L))
+    val diff = chunk.join(pts.withColumnRenamed("vec", "orig"), "id")
+      .where(col("vec") =!= col("orig"))
+    assert(diff.count() === 0)
+  }
+}

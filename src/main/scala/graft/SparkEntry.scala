@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Intervals, Kanndi, Knn, Sharding, ShardedSearch, Stats}
+import graft.operators.{Dedup, Intervals, Kanndi, Knn, Multimodal, Sharding, ShardedSearch, Stats, Streaming, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -164,8 +164,93 @@ object SparkEntry {
         Tables.orders(s, dir).where(col("o_orderstatus") === status)
           .select(col("o_orderkey").as("x")).distinct())
       Intervals.mergeNeighbors(iv("F").unionByName(iv("O")))
+    }),
+
+    // ---- M8: exact dedup on planted duplicates (hash-groupBy)
+    "q24_dedup_exact" -> ((s, dir) =>
+      docsWithDups(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_dups"), min(col("id")).as("keeper_id"))
+        .where(col("n_dups") > 1)),
+
+    // ---- M8: MinHash + LSH near-duplicate pairs, Jaccard-verified
+    "q25_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDups(docsWithDups(s, dir), threshold = 0.8)),
+
+    // ---- M8: 32-bit SimHash fingerprints
+    "q26_simhash" -> ((s, dir) =>
+      Dedup.simhash32(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
+
+    // ---- M8: char-3-gram Jaccard top pairs, blocked on (lang, source)
+    "q27_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        col("doc_id").as("id"), col("text"),
+        concat(col("lang"), lit("|"), col("source")).as("block"))
+      Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.0)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    }),
+
+    // ---- M8: embedding near-dups via sign-random-projection LSH + cosine verify
+    "q28_embed_neardup" -> ((s, dir) => {
+      val p = Tables.points(s, dir)
+      val planted = p.unionByName(
+        p.where(col("id") % 10 === 0).select((col("id") + 100000).as("id"), col("vec")))
+      Dedup.embeddingNearDups(planted, threshold = 0.99)
+    }),
+
+    // ---- M8: language-ID heuristic (stopword-ratio argmax)
+    "q29_lang_id" -> ((s, dir) =>
+      TextStats.langId(s,
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
+
+    // ---- M8: text quality scoring
+    "q30_quality" -> ((s, dir) =>
+      TextStats.qualityScore(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
+
+    // ---- M8: token counting (whitespace + BPE-ish regex)
+    "q31_token_counts" -> ((s, dir) =>
+      TextStats.tokenCounts(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
+
+    // ---- M8: min-k shingle fingerprint
+    "q32_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprint(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
+
+    // ---- M8: cosine brute-force top-k over embeddings
+    "q33_cosine_knn" -> ((s, dir) => {
+      import graft.functions.VectorFunctions._
+      Knn.knnExact(Tables.points(s, dir), Tables.queryPoints(s, dir), k = 10,
+        distance = cosineDist)
+    }),
+
+    // ---- M8: tumbling-window event aggregation (streaming-shaped batch)
+    "q34_events_window" -> ((s, dir) =>
+      Streaming.windowedCounts(Tables.events(s, dir))),
+
+    // ---- M8: gap-based sessionization
+    "q35_sessions" -> ((s, dir) =>
+      Streaming.sessionize(Tables.events(s, dir))),
+
+    // ---- M8: multimodal binary-column decode plumbing (stub kernel; rows-only)
+    "q36_multimodal_decode" -> ((s, dir) => {
+      val assets = Multimodal.syntheticAssets(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))
+      Multimodal.decode(s, assets).toDF()
     })
   )
+
+  /** Documents with planted duplicates (every 10th doc repeated at
+    * id+100000) — the testdata has no natural dups, so dedup queries plant
+    * deterministic ones to have signal (expressible in the oracle too). */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+    d.unionByName(
+      d.where(col("id") % 10 === 0).select((col("id") + 100000).as("id"), col("text")))
+  }
 
   /** Shared knobs for the sharding family (kept small so the unrolled
     * Lloyd's oracle SQL stays readable). */
@@ -314,6 +399,148 @@ object SparkEntry {
          |n AS (SELECT *, CASE WHEN pme IS NULL OR "begin" > pme + 1 THEN 1 ELSE 0 END AS ng FROM m),
          |o AS (SELECT *, sum(ng) OVER (ORDER BY "begin", "end" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM n)
          |SELECT min("begin") AS "begin", max("end") AS "end" FROM o GROUP BY grp""".stripMargin,
+
+    "q24_dedup_exact" ->
+      s"""WITH ${Oracles.dupDocsCte}
+         |SELECT md5(text) AS text_hash, count(*) AS n_dups, min(id) AS keeper_id
+         |FROM ddocs GROUP BY md5(text) HAVING count(*) > 1""".stripMargin,
+
+    "q25_minhash_lsh" ->
+      s"""WITH ${Oracles.dupDocsCte},
+         |${Oracles.shinglesCte("ddocs")},
+         |sig AS (SELECT id, list_transform(generate_series(0, 15),
+         |    k -> list_min(list_transform(sh, s -> md5(k::VARCHAR || ':' || s)))) AS sig
+         |  FROM sh),
+         |bnd AS (SELECT id, unnest(list_transform(generate_series(0, 3),
+         |    b -> b::VARCHAR || '_' || md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band
+         |  FROM sig),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.id < b.id)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    ${Oracles.rHU("CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(sa.sh, sb.sh)))", 4)} AS jaccard
+         |  FROM cand c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b)
+         |WHERE jaccard >= 0.8""".stripMargin,
+
+    "q26_simhash" ->
+      s"""WITH docs0 AS (SELECT doc_id AS id, text FROM documents),
+         |th AS (SELECT id, md5(tok) AS h FROM
+         |  (SELECT id, unnest(string_split(text, ' ')) AS tok FROM docs0)),
+         |v AS (SELECT id, b,
+         |    instr('0123456789abcdef', substr(h, 1 + b // 4, 1)) - 1 AS hv
+         |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)),
+         |w AS (SELECT id, b, (hv // CAST(power(2, 3 - b % 4) AS INT)) % 2 AS bit FROM v),
+         |s AS (SELECT id, b, sum(2 * bit - 1) AS s FROM w GROUP BY id, b)
+         |SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+         |FROM s GROUP BY id""".stripMargin,
+
+    "q27_ngram_jaccard" ->
+      s"""WITH docs0 AS (SELECT doc_id AS id, text, lang || '|' || source AS block FROM documents),
+         |g AS (SELECT id, block,
+         |    list_distinct(CASE WHEN length(text) >= 3
+         |      THEN list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3))
+         |      ELSE CAST([] AS VARCHAR[]) END) AS g
+         |  FROM docs0),
+         |pj AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    ${Oracles.rHU("CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(a.g, b.g)))", 4)} AS jaccard
+         |  FROM g a JOIN g b ON a.block = b.block AND a.id < b.id)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT *, row_number() OVER (ORDER BY jaccard DESC, id_a, id_b) AS rn FROM pj
+         |  WHERE jaccard >= 0.0)
+         |WHERE rn <= 100""".stripMargin,
+
+    "q28_embed_neardup" ->
+      s"""WITH p0 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |dp AS (SELECT id, vec FROM p0
+         |  UNION ALL SELECT id + 100000 AS id, vec FROM p0 WHERE id % 10 = 0),
+         |bk AS (SELECT id, vec, array_to_string(list_transform(generate_series(0, 7), k ->
+         |    CASE WHEN list_sum(list_transform(generate_series(0, 63),
+         |      i -> CAST(vec[i+1] AS DOUBLE) * (((k*31 + i*7) % 13) - 6))) > 0
+         |    THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM dp)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    round(${Oracles.dotp("a.vec", "b.vec")} /
+         |      (sqrt(${Oracles.dotp("a.vec", "a.vec")}) * sqrt(${Oracles.dotp("b.vec", "b.vec")})), 4) AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id)
+         |WHERE cosine >= 0.99""".stripMargin,
+
+    "q29_lang_id" ->
+      s"""WITH docs0 AS (SELECT doc_id AS id, text FROM documents),
+         |sw AS (SELECT * FROM (VALUES ${Oracles.stopwordValues}) t(sw_lang, word)),
+         |nw AS (SELECT id, len(string_split(text, ' ')) AS n_words FROM docs0),
+         |toks AS (SELECT id, unnest(string_split(text, ' ')) AS word FROM docs0),
+         |hits AS (SELECT t.id, s.sw_lang, count(*) AS hits
+         |  FROM toks t JOIN sw s ON t.word = s.word GROUP BY t.id, s.sw_lang),
+         |wr AS (SELECT n.id, coalesce(h.sw_lang, 'und') AS sw_lang,
+         |    ${Oracles.rHU("CAST(coalesce(h.hits, 0) AS DOUBLE) / n.n_words", 4)} AS ratio
+         |  FROM nw n LEFT JOIN hits h ON h.id = n.id)
+         |SELECT id, sw_lang AS lang_pred, ratio AS best_ratio FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY ratio DESC, sw_lang DESC) AS rn
+         |  FROM wr) WHERE rn = 1""".stripMargin,
+
+    "q30_quality" ->
+      s"""WITH b AS (SELECT doc_id AS id, length(text) AS n_chars,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+         |    len(list_filter(string_split(text, ' '),
+         |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS sw
+         |  FROM documents),
+         |r AS (SELECT id, n_words,
+         |    ${Oracles.rHU("CAST(n_chars AS DOUBLE) / n_words", 4)} AS avg_word_len,
+         |    ${Oracles.rHU("CAST(punct AS DOUBLE) / n_chars", 4)} AS punct_ratio,
+         |    ${Oracles.rHU("CAST(digits AS DOUBLE) / n_chars", 4)} AS digit_ratio,
+         |    ${Oracles.rHU("CAST(sw AS DOUBLE) / n_words", 4)} AS stopword_ratio
+         |  FROM b)
+         |SELECT id, n_words, avg_word_len, punct_ratio, digit_ratio, stopword_ratio,
+         |  ${Oracles.rHU("least(1.0, greatest(0.0, " +
+      "0.4 * least(1.0, CAST(n_words AS DOUBLE) / 100) " +
+      "+ 0.3 * least(1.0, stopword_ratio * 5) " +
+      "+ 0.3 * (1.0 - least(1.0, punct_ratio * 10))))", 4)} AS quality
+         |FROM r""".stripMargin,
+
+    "q31_token_counts" ->
+      s"""SELECT doc_id AS id, len(string_split(text, ' ')) AS n_words,
+         |  len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9 ]')) AS n_tokens
+         |FROM documents""".stripMargin,
+
+    "q32_fingerprint" ->
+      s"""WITH docs0 AS (SELECT doc_id AS id, text FROM documents),
+         |${Oracles.shinglesCte("docs0")}
+         |SELECT id, array_to_string(list_sort(list_transform(sh, s -> md5(s)))[1:5], '|') AS fingerprint
+         |FROM sh""".stripMargin,
+
+    "q33_cosine_knn" ->
+      s"""WITH pairs AS (
+         |  SELECT qs.qid, pts.id AS neighbor_id,
+         |    round(1 - ${Oracles.dotp("qs.qvec", "pts.vec")} /
+         |      (sqrt(${Oracles.dotp("qs.qvec", "qs.qvec")}) * sqrt(${Oracles.dotp("pts.vec", "pts.vec")})), 4) AS dist
+         |  FROM (${Oracles.queryPoints(25)}) qs CROSS JOIN (${Oracles.points}) pts
+         |),
+         |ranked AS (
+         |  SELECT qid, neighbor_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS "rank"
+         |  FROM pairs
+         |)
+         |SELECT qid, "rank", neighbor_id, dist FROM ranked WHERE "rank" <= 10""".stripMargin,
+
+    "q34_events_window" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q35_sessions" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events),
+         |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+         |n AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 300000 THEN 1 ELSE 0 END AS new_s FROM l),
+         |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n)
+         |SELECT user_id, session_id, count(*) AS n_events, min(ms) AS start_ms,
+         |  max(ms) AS end_ms, round(sum(value), 2) AS sum_value
+         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "q19_buddy_up" -> {
       val perm1 = SparkEntry.Params.evensOddsPerm.map(_ + 1)
@@ -471,6 +698,36 @@ object Oracles {
        |ks AS (SELECT dim_i, dim_j,
        |  round(max(abs(CAST(cum_i AS DOUBLE) / n_i - CAST(cum_j AS DOUBLE) / n_j)), 6) AS ks
        |  FROM c GROUP BY dim_i, dim_j)""".stripMargin
+
+  /** floor-based half-up rounding — mirrors VectorFunctions.roundHU. */
+  def rHU(e: String, d: Int): String = {
+    val p = s"1${"0" * d}.0"
+    s"floor(($e) * $p + 0.5) / $p"
+  }
+
+  /** Documents ∪ planted duplicates CTE `ddocs` — mirrors SparkEntry.docsWithDups. */
+  def dupDocsCte: String =
+    """docs AS (SELECT doc_id AS id, text FROM documents),
+      |ddocs AS (SELECT id, text FROM docs
+      |  UNION ALL SELECT id + 100000 AS id, text FROM docs WHERE id % 10 = 0)""".stripMargin
+
+  /** Distinct word-3-gram shingles CTE `sh` (id, sh LIST(VARCHAR)) — mirrors
+    * Dedup.shingles. */
+  def shinglesCte(src: String): String =
+    s"""sh AS (SELECT id, list_distinct(CASE WHEN len(w) >= 3
+       |    THEN list_transform(generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS sh
+       |  FROM (SELECT id, string_split(text, ' ') AS w FROM $src))""".stripMargin
+
+  /** Double-precision dot product fold — mirrors VectorFunctions.dot. */
+  def dotp(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $dim), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** Stopword VALUES list — mirrors TextStats.stopwords. */
+  def stopwordValues: String =
+    graft.operators.TextStats.stopwords
+      .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   /** Islands CTE `iv` ("begin", "end") over distinct o_orderkey with a
     * predicate — mirrors Intervals.islands. */

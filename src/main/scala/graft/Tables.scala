@@ -22,7 +22,14 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = table(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame = table(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
-  def events(s: SparkSession, dir: String): DataFrame = table(s, dir, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects outright;
+    * read nanos as long (legacy conf) and truncate to micros — the same
+    * value DuckDB's epoch_ms sees at ms granularity. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 

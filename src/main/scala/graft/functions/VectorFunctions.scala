@@ -21,6 +21,17 @@ object VectorFunctions {
   /** Elementwise cast to double; exact for float32 inputs. */
   def vecD(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Half-up rounding via floor(x*10^d + 0.5)/10^d. Unlike `round`, this is
+    * a pure double computation, so two engines holding the same double
+    * always agree — `round` differs cross-engine when a composite of
+    * already-rounded ratios lands exactly on a .5 decimal boundary (Java
+    * rounds the shortest decimal repr, DuckDB the binary value). Use for
+    * ratio-valued outputs (jaccard, rates, scores). */
+  def roundHU(c: Column, d: Int): Column = {
+    val p = math.pow(10, d)
+    floor(c * p + lit(0.5)) / lit(p)
+  }
+
   /** Squared L2 distance: fold of (a_i - b_i)^2 in array order. */
   def l2Sq(a: Column, b: Column): Column =
     aggregate(

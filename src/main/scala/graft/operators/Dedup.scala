@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.roundHU
+
+/** Deduplication operators for large-scale training-data pipelines (BASELINE
+  * north star): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup. Not present in the reference (its domain is
+  * vectors, not documents) — these extend the same sharding/bucketing idea:
+  * hash/bucket first so candidate generation is an equi-join on a bucket
+  * key (shuffle on small keys), and only verified candidates pay the
+  * expensive pairwise comparison. At 100 TB none of these operators ever
+  * forms the full cross product.
+  *
+  * Cross-engine determinism: every hash is md5 (identical hex in Spark and
+  * DuckDB); min-hashes compare lexicographically on the hex strings.
+  */
+object Dedup {
+
+  /** Whitespace tokens. Testdata text is single-space separated; a general
+    * pipeline would normalize first. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => array_join(slice(w, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash signature: for k in [0, numHashes), min over shingles of
+    * md5(k || ':' || shingle) — string-min on hex, engine-portable. */
+  def minhashSig(shingleCol: Column, numHashes: Int = 16): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(shingleCol,
+        s => md5(concat(k.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys: `bands` keys, each hashing `rowsPerBand` consecutive
+    * signature entries. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat(b.cast("string"), lit("_"),
+        md5(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "|"))))
+
+  /** Candidate pairs (id_a < id_b) sharing at least one LSH band. */
+  def lshCandidates(
+      docs: DataFrame, // (id, text)
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val r = numHashes / bands
+    val banded = docs
+      .select(col("id"),
+        explode(lshBandKeys(minhashSig(shingles(col("text")), numHashes), bands, r))
+          .as("band"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets for given candidate pairs. */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("id"), shingles(col("text"), n).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        roundHU(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))),
+          4).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification. */
+  def minhashNearDups(
+      docs: DataFrame,
+      threshold: Double,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame =
+    jaccardVerify(docs, lshCandidates(docs, numHashes, bands))
+      .where(col("jaccard") >= threshold)
+
+  /** 32-bit SimHash as a bit string. Token bit b comes from the b-th bit of
+    * the token's md5 (hex-digit arithmetic, engine-portable); document bit
+    * is the sign of the summed ±1 contributions (ties -> 0). */
+  def simhash32(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("id"), explode(words(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    // hex digit at position 1 + b/4; value via instr on the hex alphabet
+    val withVal = tok
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("hv",
+        expr("instr('0123456789abcdef', substring(h, 1 + cast(floor(b / 4) as int), 1)) - 1"))
+      .withColumn("bit",
+        expr("cast(floor(hv / power(2, 3 - b % 4)) as int) % 2"))
+      .withColumn("contrib", col("bit") * 2 - 1)
+    withVal
+      .groupBy(col("id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("ch", when(col("s") > 0, lit("1")).otherwise(lit("0")))
+      .groupBy(col("id"))
+      .agg(array_join(transform(sort_array(collect_list(struct(col("b"), col("ch")))),
+        p => p.getField("ch")), "").as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hammingBits(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+
+  /** Character-n-gram Jaccard near-dup pairs, blocked on grouping columns
+    * (e.g. lang) so the pairwise join never crosses blocks. */
+  def ngramJaccardPairs(
+      docs: DataFrame, // (id, text, block)
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val grams = docs.select(col("id"), col("block"),
+      array_distinct(
+        when(length(col("text")) >= n,
+          transform(sequence(lit(1), length(col("text")) - (n - 1)),
+            i => col("text").substr(i, lit(n))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val g2 = grams.select(col("id").as("id_b"), col("block"), col("g").as("g_b"))
+    grams.select(col("id").as("id_a"), col("block"), col("g").as("g_a"))
+      .join(g2, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        roundHU(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Deterministic sign-random-projection bucket for an embedding: bit k is
+    * the sign of dot(vec, r_k) with r_k[i] = ((k*31 + i*7) % 13) - 6 —
+    * integer weights so both engines compute identical doubles. */
+  def srpBucket(vec: Column, nProj: Int, dim: Int): Column =
+    array_join(
+      transform(sequence(lit(0), lit(nProj - 1)), k =>
+        when(
+          aggregate(
+            zip_with(vec, sequence(lit(0), lit(dim - 1)),
+              (v, i) => v.cast("double") * ((k * 31 + i * 7) % 13 - 6).cast("double")),
+            lit(0.0), (acc, v) => acc + v) > 0,
+          lit("1")).otherwise(lit("0"))),
+      "")
+
+  /** Embedding near-duplicate pairs: SRP bucket join + exact cosine verify.
+    * At scale the bucket key is the shuffle key; the verify join touches
+    * only same-bucket pairs. */
+  def embeddingNearDups(
+      points: DataFrame, // (id, vec)
+      threshold: Double,
+      nProj: Int = 8,
+      dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val b = points.select(col("id"), col("vec"), srpBucket(col("vec"), nProj, dim).as("bucket"))
+    val b2 = b.select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))
+    b.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
+      .join(b2, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineSim(col("vec_a"), col("vec_b")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamReader
+
+/** Event-stream operators over the `events` table. The transformations are
+  * written once as DataFrame functions and run EITHER on a batch read or a
+  * `readStream` source — the Structured Streaming contract. Batch forms
+  * feed the DuckDB oracle; the streaming path is exercised in ScalaTest
+  * with a file source + memory sink.
+  */
+object Streaming {
+
+  /** Tumbling-window counts/sums per event_type. Window rendered as a
+    * string for cross-engine comparison. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming form of windowedCounts with a watermark; same plan shape. */
+  def windowedCountsStream(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization (batch form): a new session starts when the
+    * gap to the previous event of the same user exceeds `gapMs`. Output one
+    * row per session. */
+  def sessionize(events: DataFrame, gapMs: Long = 300000L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"),
+        max(col("ms")).as("end_ms"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.roundHU
+
+/** Text analysis for training-data pipelines: language-ID heuristic,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column arithmetic (codegen'd, engine-portable for the DuckDB oracle);
+  * no external models.
+  */
+object TextStats {
+
+  /** Tiny built-in stopword profiles. A real pipeline would use proper
+    * lists; the OPERATOR shape (explode->join->ratio->argmax) is what
+    * matters at scale. */
+  val stopwords: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "to",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das", "de" -> "ist",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "que", "es" -> "los",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les", "fr" -> "des",
+    "zh" -> "的", "zh" -> "是", "zh" -> "了", "zh" -> "在", "zh" -> "我")
+
+  /** Per-language stopword-hit ratio + argmax prediction:
+    * (id, lang_pred, best_ratio). Ties break on language name ascending. */
+  def langId(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sw = broadcast(stopwords.toDF("sw_lang", "word"))
+    val toks = docs
+      .select(col("id"), size(split(col("text"), " ")).as("n_words"),
+        explode(split(col("text"), " ")).as("word"))
+    val scores = toks
+      .join(sw, Seq("word"), "inner")
+      .groupBy(col("id"), col("sw_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val withRatio = docs.select(col("id"), size(split(col("text"), " ")).as("n_words"))
+      .join(scores, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("sw_lang"), lit("und")).as("sw_lang"),
+        roundHU(coalesce(col("hits"), lit(0L)).cast("double") / col("n_words"), 4).as("ratio"))
+    withRatio
+      .groupBy(col("id"))
+      .agg(max(struct(col("ratio"), col("sw_lang"))).as("m"))
+      .select(col("id"),
+        col("m.sw_lang").as("lang_pred"),
+        col("m.ratio").as("best_ratio"))
+  }
+
+  /** Quality metrics + composite score in [0,1]:
+    * word stats, punctuation/digit ratios, English stopword ratio. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val nChars = length(col("text"))
+    val nWords = size(w)
+    val punct = nChars - length(regexp_replace(col("text"), "[.!?,;:]", ""))
+    val digits = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
+    val enSw = Seq("the", "a", "of", "and", "to")
+    val swHits = size(filter(w, x => x.isin(enSw.map(_.asInstanceOf[Any]): _*)))
+    docs.select(
+      col("id"),
+      nWords.as("n_words"),
+      roundHU(nChars.cast("double") / nWords, 4).as("avg_word_len"),
+      roundHU(punct.cast("double") / nChars, 4).as("punct_ratio"),
+      roundHU(digits.cast("double") / nChars, 4).as("digit_ratio"),
+      roundHU(swHits.cast("double") / nWords, 4).as("stopword_ratio"))
+      .withColumn("quality",
+        roundHU(least(lit(1.0), greatest(lit(0.0),
+          lit(0.4) * least(lit(1.0), col("n_words").cast("double") / 100)
+            + lit(0.3) * least(lit(1.0), col("stopword_ratio") * 5)
+            + lit(0.3) * (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10)))), 4))
+  }
+
+  /** Token counts: whitespace words plus a BPE-ish regex token count
+    * (letter runs, single digits, single punctuation marks). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("id"),
+      size(split(col("text"), " ")).as("n_words"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9 ]', 0)"))
+        .as("n_tokens"))
+
+  /** Document fingerprint: the 5 lexicographically-smallest md5s of the
+    * distinct word-3-gram shingles, joined — a compact containment sketch
+    * (winnowing-style min-k). */
+  def fingerprint(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.select(
+      col("id"),
+      array_join(
+        slice(array_sort(transform(Dedup.shingles(col("text")), s => md5(s))), 1, k),
+        "|").as("fingerprint"))
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 0
+    (2L, "completely different content about spark distributed query engines today"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank") // exact dup of 0
+  ).toDF("id", "text")
+
+  test("shingles: distinct word 3-grams, short texts empty") {
+    val sh = docs.select(col("id"), Dedup.shingles(col("text")).as("sh"))
+    assert(sh.where(col("id") === 0).head().getSeq[String](1).head === "the quick brown")
+    val short = Seq((9L, "two words")).toDF("id", "text")
+    assert(short.select(Dedup.shingles(col("text"))).head().getSeq[String](0).isEmpty)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup always caught
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated never
+    val j03 = Dedup.minhashNearDups(docs, 0.5)
+      .where(col("id_a") === 0 && col("id_b") === 3).head().getDouble(2)
+    assert(j03 === 1.0)
+  }
+
+  test("simhash: identical texts share fingerprints; hamming of dup is 0") {
+    val sh = Dedup.simhash32(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(0L).length === 32 && sh(0L).forall(c => c == '0' || c == '1'))
+    assert(sh(0L) === sh(3L))
+    assert(sh(0L) !== sh(2L))
+    val h = docs.limit(1).select(
+      Dedup.hammingBits(lit(sh(0L)), lit(sh(1L))).as("h")).head().getInt(0)
+    assert(h >= 0 && h <= 8) // near-dup stays close in hamming space
+  }
+
+  test("ngram jaccard: dup pair scores 1.0 within block") {
+    val blocked = docs.withColumn("block", lit("b"))
+    val res = Dedup.ngramJaccardPairs(blocked, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(res((0L, 3L)) === 1.0)
+  }
+
+  test("embedding near-dups: planted copy found with cosine 1.0") {
+    val pts = Tables.points(spark, sf0)
+    val planted = pts.unionByName(
+      pts.where(col("id") === 7).select(lit(100007L).as("id"), col("vec")))
+    val res = Dedup.embeddingNearDups(planted, threshold = 0.99)
+    val hits = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.exists(h => h._1 == 7L && h._2 == 100007L && h._3 == 1.0))
+  }
+}

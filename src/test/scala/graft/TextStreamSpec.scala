@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Streaming, TextStats}
+
+class TextStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId predicts via stopword ratios with deterministic ties") {
+    val d = Seq(
+      (0L, "the cat and the dog of the house"), // en stopwords
+      (1L, "der hund und die katze ist hier"), // de stopwords
+      (2L, "xyzzy plugh quux")) // no stopwords anywhere
+      .toDF("id", "text")
+    val got = TextStats.langId(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) === "en")
+    assert(got(1L) === "de")
+    assert(got(2L) === "und")
+  }
+
+  test("qualityScore bounds and monotonicity in word count") {
+    val d = Seq((0L, "short text"), (1L, ("the word " * 120).trim)).toDF("id", "text")
+    val q = TextStats.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality"))).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(0L))
+  }
+
+  test("tokenCounts: regex tokens >= whitespace words") {
+    val d = Seq((0L, "hello world 42 x!")).toDF("id", "text")
+    val r = TextStats.tokenCounts(d).head()
+    assert(r.getInt(1) === 4) // words
+    assert(r.getInt(2) === 6) // hello, world, 4, 2, x, !
+  }
+
+  test("fingerprint is stable and discriminative") {
+    val d = Seq(
+      (0L, "a b c d e f g h"), (1L, "a b c d e f g h"), (2L, "z y x w v u t s"))
+      .toDF("id", "text")
+    val fp = TextStats.fingerprint(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) === fp(1L))
+    assert(fp(0L) !== fp(2L))
+    assert(fp(0L).split('|').length === 5)
+  }
+
+  test("multimodal decode kernel: deterministic metadata from real bytes") {
+    val assets = Multimodal.syntheticAssets(
+      Tables.documents(spark, sf0).select(col("doc_id").as("id"), col("text")))
+    val dec = Multimodal.decode(spark, assets)
+    assert(dec.count() === 500)
+    val d0 = dec.filter(_.id == 0L).head()
+    assert(d0.n_bytes > 0 && d0.width >= 16 && d0.width < 128)
+    // features: 16-bin L1-normalized histogram
+    val f = Multimodal.byteHistogramFeatures(spark, assets)
+    val row = f.where(col("id") === 0).head().getSeq[Double](1)
+    assert(row.length === 16)
+    assert(math.abs(row.sum - 1.0) < 0.01)
+    // frame sampling plumbing
+    val frames = Multimodal.frameSample(spark, assets, stride = 32)
+    assert(frames.where(col("id") === 0).count() > 0)
+  }
+
+  test("streaming windowedCounts equals the batch result") {
+    val dir = sf0
+    val batch = Streaming.windowedCounts(Tables.events(spark, dir))
+    // stage the events parquet as a streaming source dir first
+    Tables.events(spark, dir).write.mode("overwrite").parquet("/tmp/graft-stream-in")
+    val schema = Tables.events(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet("/tmp/graft-stream-in")
+    val q = Streaming.windowedCountsStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("winout").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("winout")
+      assert(got.count() === batch.count())
+      assert(got.except(batch).count() === 0)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions per user") {
+    val e = Streaming.sessionize(Tables.events(spark, sf0))
+    // every user has at least one session; session event counts sum to total
+    val total = e.agg(sum("n_events")).head().getLong(0)
+    assert(total === Tables.events(spark, sf0).count())
+    assert(e.where(col("end_ms") < col("start_ms")).count() === 0)
+  }
+}

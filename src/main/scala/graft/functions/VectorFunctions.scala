@@ -32,8 +32,15 @@ object VectorFunctions {
     floor(c * p + lit(0.5)) / lit(p)
   }
 
-  /** Squared L2 distance: fold of (a_i - b_i)^2 in array order. */
-  def l2Sq(a: Column, b: Column): Column =
+  /** Squared L2 distance: fold of (a_i - b_i)^2 in array order. Backed by
+    * the codegen'd native expression; identical double semantics to the
+    * HOF form (see [[graft.functions.VectorExpressions]] and
+    * [[l2SqHof]]). */
+  def l2Sq(a: Column, b: Column): Column = VectorExpressions.l2Sq(a, b)
+
+  /** Interpreted HOF form of l2Sq — kept as the semantic reference the
+    * native expression is tested against. */
+  def l2SqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")
@@ -45,8 +52,11 @@ object VectorFunctions {
   /** L2 (Euclidean) distance. */
   def l2Dist(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
 
-  /** Dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product in double precision (codegen'd native expression). */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
+
+  /** Interpreted HOF form of dot — semantic reference for tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

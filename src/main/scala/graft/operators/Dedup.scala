@@ -47,16 +47,42 @@ object Dedup {
       b => concat(b.cast("string"), lit("_"),
         md5(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "|"))))
 
+  /** Long-form LSH band keys (id, band) via the RELATIONAL pipeline:
+    * explode shingles -> explode hash index -> codegen md5 -> partial-agg
+    * min -> band md5. Produces byte-identical band keys to
+    * [[lshBandKeys]]∘[[minhashSig]], but every step is a codegen'd
+    * join/agg instead of interpreted nested HOF lambdas (~50x faster), and
+    * the min() gets map-side partial aggregation — the shape that survives
+    * 100 TB. */
+  def minhashBandsLong(
+      docs: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val rpb = numHashes / bands
+    val shl = docs.select(col("id"), explode(shingles(col("text"))).as("s"))
+    val minhashes = shl
+      .select(col("id"), col("s"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
+      .select(col("id"), col("k"),
+        md5(concat(col("k").cast("string"), lit(":"), col("s"))).as("h"))
+      .groupBy(col("id"), col("k"))
+      .agg(min(col("h")).as("mh"))
+    minhashes
+      .withColumn("b", (col("k") / rpb).cast("int"))
+      .groupBy(col("id"), col("b"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("k"), col("mh")))),
+          p => p.getField("mh")), "|").as("joined"))
+      .select(col("id"),
+        concat(col("b").cast("string"), lit("_"), md5(col("joined"))).as("band"))
+  }
+
   /** Candidate pairs (id_a < id_b) sharing at least one LSH band. */
   def lshCandidates(
       docs: DataFrame, // (id, text)
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    val r = numHashes / bands
-    val banded = docs
-      .select(col("id"),
-        explode(lshBandKeys(minhashSig(shingles(col("text")), numHashes), bands, r))
-          .as("band"))
+    val banded = minhashBandsLong(docs, numHashes, bands).cache()
     banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -115,24 +141,37 @@ object Dedup {
       lit(0), (acc, v) => acc + v)
 
   /** Character-n-gram Jaccard near-dup pairs, blocked on grouping columns
-    * (e.g. lang) so the pairwise join never crosses blocks. */
+    * (e.g. lang) so the pairwise join never crosses blocks.
+    *
+    * Relational similarity-join shape: explode distinct grams, equi-join on
+    * (block, gram) to count intersections, derive the union from per-doc
+    * set sizes — all codegen'd joins + partial aggs, no per-pair array ops.
+    * NOTE pairs sharing zero grams are omitted (their jaccard is 0, below
+    * any positive threshold). */
   def ngramJaccardPairs(
       docs: DataFrame, // (id, text, block)
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val grams = docs.select(col("id"), col("block"),
-      array_distinct(
+      explode(array_distinct(
         when(length(col("text")) >= n,
           transform(sequence(lit(1), length(col("text")) - (n - 1)),
             i => col("text").substr(i, lit(n))))
-          .otherwise(array().cast("array<string>"))).as("g"))
-    val g2 = grams.select(col("id").as("id_b"), col("block"), col("g").as("g_b"))
-    grams.select(col("id").as("id_a"), col("block"), col("g").as("g_a"))
-      .join(g2, Seq("block"))
-      .where(col("id_a") < col("id_b"))
+          .otherwise(array().cast("array<string>")))).as("g"))
+      .cache()
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("ng").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("ng").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        roundHU(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))), 4).as("jaccard"))
+        roundHU(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -47,6 +47,23 @@ object Knn {
         col("dist"))
   }
 
+  /** Exact cosine top-k with point/query norms computed ONCE instead of per
+    * pair (2N norm folds instead of N*Q*2). Same values as
+    * knnExact(distance = cosineDist). */
+  def knnCosine(points: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val p = points.withColumn("pn", norm2(col("vec")))
+    val q = queries.withColumn("qn", norm2(col("qvec")))
+    val joined = p
+      .join(broadcast(q))
+      .withColumn("dist",
+        round(lit(1.0) - dot(col("qvec"), col("vec")) / (col("qn") * col("pn")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("dist"))
+  }
+
   /** Exact 1-NN as an aggregate (`min_by`) — cheaper than a window when only
     * the argmin is needed (recall.py:37-45 pattern). */
   def nearest(

@@ -57,6 +57,11 @@ object Stats {
     * evaluated at every observed value via a RANGE-frame running count
     * (peers included, so ties are handled exactly). */
   def ksAllPairs(points: DataFrame): DataFrame = {
+    // Both samples of every pair have exactly |points| values (each dim is a
+    // full column), so the ECDF denominators are a driver scalar — avoids
+    // two whole-partition count windows. Both running sums share one window
+    // spec => ONE Window operator (one sort pass), not four.
+    val n = points.count()
     val lf = longForm(points)
     val pairs = dimPairs(lf)
     val sideI = pairs.join(lf, col("dim_i") === col("dim"))
@@ -64,15 +69,14 @@ object Stats {
     val sideJ = pairs.join(lf, col("dim_j") === col("dim"))
       .select(col("dim_i"), col("dim_j"), col("value"), lit(1).as("side"))
     val u = sideI.unionByName(sideJ)
-    val wAll = Window.partitionBy(col("dim_i"), col("dim_j"))
-    val wCum = wAll.orderBy(col("value"))
+    val wCum = Window.partitionBy(col("dim_i"), col("dim_j"))
+      .orderBy(col("value"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("cum_i", sum(when(col("side") === 0, 1).otherwise(0)).over(wCum))
-      .withColumn("cum_j", sum(when(col("side") === 1, 1).otherwise(0)).over(wCum))
-      .withColumn("n_i", sum(when(col("side") === 0, 1).otherwise(0)).over(wAll))
-      .withColumn("n_j", sum(when(col("side") === 1, 1).otherwise(0)).over(wAll))
+    u.select(col("dim_i"), col("dim_j"),
+      sum(when(col("side") === 0, 1).otherwise(0)).over(wCum).as("cum_i"),
+      sum(when(col("side") === 1, 1).otherwise(0)).over(wCum).as("cum_j"))
       .groupBy(col("dim_i"), col("dim_j"))
-      .agg(round(max(abs(col("cum_i") / col("n_i") - col("cum_j") / col("n_j"))), 6).as("ks"))
+      .agg(round(max(abs(col("cum_i") / lit(n) - col("cum_j") / lit(n))), 6).as("ks"))
   }
 
   /** Variance-of-concatenation "covariance proxy" for every pair — the
@@ -125,12 +129,16 @@ object Stats {
   }
 
   /** Percentile-thresholded similarity graph (network_*.py:85-107): keep
-    * edges whose |stat| exceeds the given percentile of |stat|. */
+    * edges whose |stat| exceeds the given percentile of |stat|. The stat
+    * table is post-aggregation (≤ dim² rows), so it is cached and the
+    * threshold collected as a driver scalar — the expensive upstream
+    * computation runs exactly once. */
   def buddyGraph(pairStats: DataFrame, statCol: String, pct: Double = 0.75): DataFrame = {
-    val thr = pairStats.agg(
-      expr(s"percentile(abs($statCol), $pct)").as("thr"))
-    pairStats.join(broadcast(thr))
-      .where(abs(col(statCol)) > col("thr"))
+    val cached = pairStats.cache()
+    val thr = cached
+      .agg(expr(s"percentile(abs($statCol), $pct)")).head().getDouble(0)
+    cached
+      .where(abs(col(statCol)) > lit(thr))
       .select(col("dim_i").as("src"), col("dim_j").as("dst"),
         col(statCol).cast("double").as("weight"))
   }

@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Audit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    def audit(name: String)(checks: (String, String => Boolean)*): Unit = {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      checks.foreach { case (label, f) =>
+        println(f"$name%-22s ${if (f(plan)) "OK " else "MISS"} $label")
+      }
+    }
+    audit("q01_pricing_summary")(
+      ("filter pushed to scan", _.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")),
+      ("column pruned scan", p => p.contains("ReadSchema") && !p.contains("l_partkey")))
+    audit("q02_knn_exact")(
+      ("queries broadcast", _.contains("BroadcastNestedLoopJoin")),
+      ("rank pushdown (WindowGroupLimit)", _.contains("WindowGroupLimit")))
+    audit("q08_search_routed")(
+      ("routes broadcast", _.contains("BroadcastHashJoin")),
+      ("top-k partial limit", _.contains("WindowGroupLimit")))
+    audit("q25_minhash_lsh")(
+      ("band equi-join (no cross product)", p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")))
+    audit("q34_events_window")(
+      ("partial agg before shuffle", _.contains("HashAggregate")))
+    spark.stop()
+  }
+}

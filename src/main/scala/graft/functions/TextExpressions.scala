@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.commons.codec.digest.DigestUtils
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass MinHash signature over a shingle array.
+  *
+  * Semantics — identical to the relational pipeline (explode → md5 →
+  * group-min) and to the DuckDB oracle: for k in [0, numHashes),
+  * sig[k] = min over shingles s of md5Hex(k + ":" + s), minimum taken
+  * lexicographically on the hex string (ASCII, so UTF8String binary order
+  * == String order). Empty shingle arrays yield null entries, matching
+  * list_min([]) = NULL.
+  *
+  * Why an Expression: the relational form materializes |shingles| ×
+  * numHashes rows through a shuffle just to take per-(doc,k) minima; this
+  * computes the same 16 minima in one tight per-row loop — no explode, no
+  * shuffle, codegen-friendly. At 100 TB the signature step becomes a pure
+  * map stage.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(StringType, true)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    MinHashSignature.compute(arr, numHashes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = MinHashSignature.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = ($cls).compute($a, $numHashes);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSignature {
+  /** "<k>:" prefixes as UTF-8 bytes (md5 input is the UTF-8 of k:shingle). */
+  private val prefixCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixes(numHashes: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(numHashes, n =>
+      Array.tabulate(n)(k => (k.toString + ":").getBytes("UTF-8")))
+
+  /** Unsigned byte-array compare — equals hex-string lexicographic order. */
+  private def ltUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    false
+  }
+
+  private def hex(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach { b =>
+      sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(b & 0xf, 16))
+    }
+    sb.toString
+  }
+
+  /** Shared kernel for interpreted + codegen paths. One reused MessageDigest,
+    * raw-digest minima (hex order == unsigned byte order), hex only at the
+    * end — identical results to md5Hex-per-pair, far fewer allocations. */
+  def compute(arr: ArrayData, numHashes: Int): GenericArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pfx = prefixes(numHashes)
+    val n = arr.numElements()
+    val mins = new Array[Array[Byte]](numHashes)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val sBytes = arr.getUTF8String(i).getBytes
+        var k = 0
+        while (k < numHashes) {
+          md.reset()
+          md.update(pfx(k))
+          md.update(sBytes)
+          val h = md.digest()
+          if (mins(k) == null || ltUnsigned(h, mins(k))) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      mins.map(m => if (m == null) null else UTF8String.fromString(hex(m))))
+  }
+}
+
+object TextExpressions {
+  /** MinHash signature column: array of numHashes hex-string minima. */
+  def minhashSig(shingles: Column, numHashes: Int = 16): Column =
+    column(MinHashSignature(expression(shingles), numHashes))
+}

@@ -47,34 +47,19 @@ object Dedup {
       b => concat(b.cast("string"), lit("_"),
         md5(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "|"))))
 
-  /** Long-form LSH band keys (id, band) via the RELATIONAL pipeline:
-    * explode shingles -> explode hash index -> codegen md5 -> partial-agg
-    * min -> band md5. Produces byte-identical band keys to
-    * [[lshBandKeys]]∘[[minhashSig]], but every step is a codegen'd
-    * join/agg instead of interpreted nested HOF lambdas (~50x faster), and
-    * the min() gets map-side partial aggregation — the shape that survives
-    * 100 TB. */
+  /** Long-form LSH band keys (id, band): the signature is ONE map-stage
+    * expression per document ([[graft.functions.MinHashSignature]] — no
+    * explode, no shuffle), then 4 band keys per doc. Byte-identical band
+    * keys to the HOF pipeline [[lshBandKeys]]∘[[minhashSig]]. */
   def minhashBandsLong(
       docs: DataFrame,
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val rpb = numHashes / bands
-    val shl = docs.select(col("id"), explode(shingles(col("text"))).as("s"))
-    val minhashes = shl
-      .select(col("id"), col("s"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
-      .select(col("id"), col("k"),
-        md5(concat(col("k").cast("string"), lit(":"), col("s"))).as("h"))
-      .groupBy(col("id"), col("k"))
-      .agg(min(col("h")).as("mh"))
-    minhashes
-      .withColumn("b", (col("k") / rpb).cast("int"))
-      .groupBy(col("id"), col("b"))
-      .agg(array_join(
-        transform(sort_array(collect_list(struct(col("k"), col("mh")))),
-          p => p.getField("mh")), "|").as("joined"))
+    docs
       .select(col("id"),
-        concat(col("b").cast("string"), lit("_"), md5(col("joined"))).as("band"))
+        graft.functions.TextExpressions.minhashSig(shingles(col("text")), numHashes).as("sig"))
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rpb)).as("band"))
   }
 
   /** Candidate pairs (id_a < id_b) sharing at least one LSH band. */
@@ -82,7 +67,9 @@ object Dedup {
       docs: DataFrame, // (id, text)
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    val banded = minhashBandsLong(docs, numHashes, bands).cache()
+    // eager materialization: the self-join would otherwise race both sides
+    // into recomputing the (same) upstream pipeline under the cache lock
+    val banded = minhashBandsLong(docs, numHashes, bands).localCheckpoint()
     banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

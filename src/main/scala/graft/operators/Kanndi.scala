@@ -52,7 +52,15 @@ object Kanndi {
       saturationPctMin: Int = 75,
       adaptive: Boolean = false,
       maxDoublings: Int = 3): KanndiResult = {
-    var unassigned = points.select(col("id"), col("vec")).localCheckpoint()
+    // Right-size partitioning for the round loop: each round runs several
+    // tiny jobs (seed collect, admit, anti-join), so partitions should hold
+    // ~50k+ rows or scheduling overhead dominates. Capped at the session's
+    // parallelism; a real cluster run would raise the cap with its size.
+    val nRows = points.count()
+    val nParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nRows / 50000L).toInt + 1))
+    var unassigned = points.select(col("id"), col("vec"))
+      .repartition(nParts).localCheckpoint()
     val parts = ArrayBuffer.empty[DataFrame]
     val seedRows = ArrayBuffer.empty[(Int, Seq[Float])]
     var d = d0

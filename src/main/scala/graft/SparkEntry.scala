@@ -235,7 +235,41 @@ object SparkEntry {
       val assets = Multimodal.syntheticAssets(
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))
       Multimodal.decode(s, assets).toDF()
-    })
+    }),
+
+    // ---- log-scale shard-size histogram (SURVEY §2 A14/S12)
+    "q37_shard_size_hist" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      val sizes = Sharding.shardSizes(
+        Sharding.assign(pts, fitCentroidsMemo(s, dir)), expectedShardSize = 100L)
+      Sharding.shardSizeHistogram(sizes)
+    }),
+
+    // ---- centroid spread stats: min/median/max pairwise cosine (SURVEY §2 A6/J2)
+    "q38_centroid_spread" -> ((s, dir) =>
+      Sharding.centroidSpreadStats(fitCentroidsMemo(s, dir))),
+
+    // ---- vector formatting: L2-normalize + Solr/CSV strings (SURVEY §2 F3-F6)
+    "q39_vector_format" -> ((s, dir) => {
+      import graft.functions.VectorFunctions._
+      val nv = normalize(col("vec"), 10)
+      Tables.points(s, dir)
+        .where(col("id") % 50 === 0)
+        .select(
+          col("id"),
+          array_join(
+            zip_with(sequence(lit(1), size(col("vec"))), nv,
+              (i, x) => concat(i.cast("string"), lit("|"), format_string("%.6f", x))),
+            " ").as("solr_vec"),
+          array_join(transform(nv, x => format_string("%.6f", x)), ",").as("csv_vec"))
+    }),
+
+    // ---- native session-window sessionization (streaming-capable form).
+    // ts truncated to ms so the oracle (epoch_ms precision) is exact.
+    "q40_session_windows" -> ((s, dir) =>
+      Streaming.sessionWindows(
+        Tables.events(s, dir)
+          .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))))
   )
 
   /** Memoized K-Means fit: q05-q09 all need the same centroid set; the fit
@@ -570,6 +604,44 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n)
          |SELECT user_id, session_id, count(*) AS n_events, min(ms) AS start_ms,
          |  max(ms) AS end_ms, round(sum(value), 2) AS sum_value
+         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q37_shard_size_hist" ->
+      s"""WITH ${Oracles.assignCtes(Params.k, Params.iters)},
+         |sz AS (SELECT shard_id, count(*) AS n FROM asg GROUP BY shard_id)
+         |SELECT CAST(floor(ln(n) / 0.5) AS BIGINT) AS bucket, count(*) AS n_shards
+         |FROM sz GROUP BY 1""".stripMargin,
+
+    "q38_centroid_spread" ->
+      s"""WITH ${Oracles.centroidCtes(Params.k, Params.iters)},
+         |cp AS (SELECT round(${Oracles.dotp("a.centroid", "b.centroid")} /
+         |    (sqrt(${Oracles.dotp("a.centroid", "a.centroid")}) *
+         |     sqrt(${Oracles.dotp("b.centroid", "b.centroid")})), 6) AS cos
+         |  FROM cfin a JOIN cfin b ON a.shard_id < b.shard_id)
+         |SELECT count(*) AS n_pairs, round(min(cos), 6) AS min_cos,
+         |  round(quantile_cont(cos, 0.5), 6) AS median_cos, round(max(cos), 6) AS max_cos
+         |FROM cp""".stripMargin,
+
+    "q39_vector_format" ->
+      s"""WITH p AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 50 = 0),
+         |nrm AS (SELECT id,
+         |    list_transform(vec, x -> round(CAST(x AS DOUBLE) /
+         |      sqrt(${Oracles.dotp("vec", "vec")}), 10)) AS nv
+         |  FROM p)
+         |SELECT id,
+         |  array_to_string(list_transform(generate_series(1, ${Oracles.dim}),
+         |    i -> i::VARCHAR || '|' || printf('%.6f', nv[i])), ' ') AS solr_vec,
+         |  array_to_string(list_transform(nv, x -> printf('%.6f', x)), ',') AS csv_vec
+         |FROM nrm""".stripMargin,
+
+    "q40_session_windows" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events),
+         |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+         |n AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 300000 THEN 1 ELSE 0 END AS new_s FROM l),
+         |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n)
+         |SELECT user_id, min(ms) AS start_ms, max(ms) + 300000 AS end_ms,
+         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
          |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "q19_buddy_up" -> {

@@ -108,6 +108,52 @@ object Sharding {
     cents
   }
 
+  /** spark.ml K-Means alternative fit (the built-in path SURVEY §2 A15
+    * recommends; seed matches the reference's RANDOM_SEED=505,
+    * config_bigann_small.py). Deterministic given the seed but not
+    * SQL-replayable — use [[fitCentroids]] when an oracle must replay the
+    * fit; use this when quality/speed at scale matters. */
+  def fitCentroidsML(
+      spark: SparkSession,
+      points: DataFrame,
+      k: Int,
+      maxIter: Int = 20,
+      seed: Long = 505L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = points.select(col("id"), array_to_vector(vecD(col("vec"))).as("features"))
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed).fit(feats)
+    val rows = model.clusterCenters.zipWithIndex.map { case (c, i) => Row(i, c.toArray.toSeq) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("shard_id", IntegerType, false),
+        StructField("centroid", ArrayType(DoubleType, false), false))))
+  }
+
+  /** Min/median/max of pairwise centroid cosine similarity — the
+    * reference's `show_distance_stats` spread report (shard.py:48-55,
+    * centroids.py:38-50). */
+  def centroidSpreadStats(centroids: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    val a = centroids.select(col("shard_id").as("sa"), col("centroid").as("ca"))
+    val b = centroids.select(col("shard_id").as("sb"), col("centroid").as("cb"))
+    a.join(broadcast(b), col("sa") < col("sb"))
+      .select(round(cosineSim(col("ca"), col("cb")), 6).as("cos"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(min(col("cos")), 6).as("min_cos"),
+        round(expr("percentile(cos, 0.5)"), 6).as("median_cos"),
+        round(max(col("cos")), 6).as("max_cos"))
+  }
+
+  /** Log-scale histogram of shard sizes — `distributions.py:1-8` (A14/S12):
+    * bucket = floor(ln(n) / binWidth). */
+  def shardSizeHistogram(sizes: DataFrame, binWidth: Double = 0.5): DataFrame =
+    sizes
+      .groupBy(floor(log(col("n")) / binWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_shards"))
+
   /** Long-form view of a centroid set for oracle-friendly output. */
   def centroidsLong(centroids: DataFrame): DataFrame =
     centroids

@@ -33,6 +33,18 @@ object Streaming {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Native session-window aggregation (Spark's `session_window`, the
+    * streaming-capable form of sessionization — works identically on
+    * readStream with a watermark). One row per (user, session window). */
+  def sessionWindows(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("start_ms"),
+        unix_millis(col("w.end")).as("end_ms"),
+        col("n_events"), col("sum_value"))
+
   /** Gap-based sessionization (batch form): a new session starts when the
     * gap to the previous event of the same user exceeds `gapMs`. Output one
     * row per session. */

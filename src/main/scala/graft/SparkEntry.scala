@@ -269,7 +269,17 @@ object SparkEntry {
     "q40_session_windows" -> ((s, dir) =>
       Streaming.sessionWindows(
         Tables.events(s, dir)
-          .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))))
+          .withColumn("ts", timestamp_millis(unix_millis(col("ts")))))),
+
+    // ---- M5: KANNDI routed search — the reference's E3 with the seed
+    // router over the distance-built shards (kanndi_search.py:28-66)
+    "q41_kanndi_search" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      val r = Kanndi.shardAuto(s, pts, m = 4, sampleSize = 200)
+      val sharded = pts.join(
+        r.assigned.where(col("shard_id") >= 0).select("id", "shard_id"), "id")
+      ShardedSearch.search(sharded, Tables.queryPoints(s, dir), r.seeds, k = 10, t = Params.t)
+    })
   )
 
   /** Memoized K-Means fit: q05-q09 all need the same centroid set; the fit
@@ -400,6 +410,9 @@ object SparkEntry {
          |FROM allq LEFT JOIN hits h USING (qid)""".stripMargin,
 
     "q10_kanndi_assign" -> Oracles.kanndi(m = 4, sampleSize = 200),
+
+    "q41_kanndi_search" ->
+      Oracles.kanndiSearch(m = 4, sampleSize = 200, stride = 25, topK = 10, t = Params.t),
 
     "q12_dim_variance_entropy" ->
       s"""WITH ${Oracles.longFormCte},
@@ -735,9 +748,14 @@ object Oracles {
   /** Unrolled fixed-d KANNDI (mirrors Kanndi.shardAuto with adaptive=false):
     * d = rounded sample median, capacity = N/m, m greedy rounds of
     * nearest-first admission, leftovers to shard -2. */
-  def kanndi(m: Int, sampleSize: Int): String = {
+  def kanndi(m: Int, sampleSize: Int): String =
+    s"WITH ${kanndiCtes(m, sampleSize)}\nSELECT id, shard_id, dist FROM fin"
+
+  /** CTE chain for the fixed-d KANNDI rounds; final relations `fin`
+    * (id, shard_id, dist) and `sd1..sdM` (per-round seeds). */
+  def kanndiCtes(m: Int, sampleSize: Int): String = {
     val sb = new StringBuilder
-    sb.append(s"WITH pts AS ($ptsD),\n")
+    sb.append(s"pts AS ($ptsD),\n")
     sb.append(
       s"""dpar AS (SELECT round(median(dist), 4) AS d FROM (
          |  SELECT ${l2("a.vec", "b.vec")} AS dist
@@ -763,9 +781,31 @@ object Oracles {
     sb.append(
       s"""fin AS (
          |$unions
-         |UNION ALL SELECT id, -2 AS shard_id, CAST(NULL AS DOUBLE) AS dist FROM u${m + 1})
-         |SELECT id, shard_id, dist FROM fin""".stripMargin)
+         |UNION ALL SELECT id, -2 AS shard_id, CAST(NULL AS DOUBLE) AS dist FROM u${m + 1})""".stripMargin)
     sb.toString
+  }
+
+  /** KANNDI routed search (reference E3 with the seed router): seeds from
+    * the build rounds route each query to its top-T shards; exact top-k
+    * inside routed shards. */
+  def kanndiSearch(m: Int, sampleSize: Int, stride: Int, topK: Int, t: Int): String = {
+    val seedUnion = (1 to m)
+      .map(r => s"SELECT ${r - 1} AS shard_id, vec AS centroid FROM sd$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${kanndiCtes(m, sampleSize)},
+       |seeds AS ($seedUnion),
+       |sp AS (SELECT f.id, p.vec, f.shard_id FROM fin f JOIN pts p USING (id) WHERE f.shard_id >= 0),
+       |qs AS (SELECT id AS qid, vec AS qvec FROM pts WHERE id % $stride = 0),
+       |rd AS (SELECT q.qid, q.qvec, c.shard_id, round(${l2("q.qvec", "c.centroid")}, 4) AS dr
+       |  FROM qs q CROSS JOIN seeds c),
+       |ra AS (SELECT qid, qvec, shard_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dr, shard_id) AS crank FROM rd),
+       |routes AS (SELECT qid, qvec, shard_id FROM ra WHERE crank <= $t),
+       |cand AS (SELECT r.qid, sp.id, sp.shard_id, round(${l2("r.qvec", "sp.vec")}, 4) AS dist
+       |  FROM routes r JOIN sp ON r.shard_id = sp.shard_id),
+       |rkd AS (SELECT qid, id AS neighbor_id, shard_id, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk FROM cand)
+       |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM rkd WHERE rnk <= $topK""".stripMargin
   }
 
   /** Long-form CTE `lf` (id, dim 0-based, value DOUBLE) — mirrors Stats.longForm. */

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamReader
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-stream operators over the `events` table. The transformations are
   * written once as DataFrame functions and run EITHER on a batch read or a
@@ -44,6 +44,30 @@ object Streaming {
         unix_millis(col("w.start")).as("start_ms"),
         unix_millis(col("w.end")).as("end_ms"),
         col("n_events"), col("sum_value"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserState(n: Long, sum: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom-state streaming: cumulative per-user totals carried across
+    * micro-batches in explicit GroupState (`flatMapGroupsWithState`) —
+    * the hook a real pipeline uses for dedup-by-key, rate limiting, or
+    * incremental model state. State size is O(distinct users). Works on a
+    * batch Dataset too (one "batch"). */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var sum = prev.sum
+          it.foreach { e => n += 1; sum += e.value }
+          state.update(UserState(n, sum))
+          Iterator(UserTotals(uid, n, math.rint(sum * 100) / 100))
+      }
+  }
 
   /** Gap-based sessionization (batch form): a new session starts when the
     * gap to the previous event of the same user exceeds `gapMs`. Output one

@@ -1,0 +1,81 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Exact top-k-by-distance as a typed Aggregator (SURVEY §2.9) — the
+  * aggregate alternative to the window/rank form of kNN.
+  *
+  * Scale shape: a bounded max-heap of k candidates per group per
+  * partition; partial buffers combine map-side, so the shuffle carries at
+  * most |queries| * k * numPartitions rows, with NO sort of the candidate
+  * stream (the window form pays a per-partition sort under
+  * WindowGroupLimit). Preferable when k is small and candidates per
+  * partition are huge — exactly the 100 TB search case.
+  *
+  * Ordering matches the engine convention: (rounded dist, id) ascending.
+  */
+object TopK {
+
+  final case class Cand(qid: Long, id: Long, dist: Double)
+  final case class Neighbor(id: Long, dist: Double)
+
+  /** Max-heap on (dist, id): the WORST neighbor is on top for O(log k)
+    * eviction. */
+  private def heapOrdering: Ordering[Neighbor] =
+    Ordering.by((n: Neighbor) => (n.dist, n.id))
+
+  class TopKAggregator(k: Int)
+      extends Aggregator[Cand, mutable.PriorityQueue[Neighbor], Seq[Neighbor]] {
+    override def zero: mutable.PriorityQueue[Neighbor] =
+      mutable.PriorityQueue.empty(heapOrdering)
+
+    override def reduce(
+        b: mutable.PriorityQueue[Neighbor],
+        a: Cand): mutable.PriorityQueue[Neighbor] = {
+      b.enqueue(Neighbor(a.id, a.dist))
+      if (b.size > k) b.dequeue()
+      b
+    }
+
+    override def merge(
+        a: mutable.PriorityQueue[Neighbor],
+        b: mutable.PriorityQueue[Neighbor]): mutable.PriorityQueue[Neighbor] = {
+      b.foreach { n => a.enqueue(n); if (a.size > k) a.dequeue() }
+      a
+    }
+
+    override def finish(b: mutable.PriorityQueue[Neighbor]): Seq[Neighbor] =
+      b.toSeq.sortBy(n => (n.dist, n.id))
+
+    override def bufferEncoder: Encoder[mutable.PriorityQueue[Neighbor]] =
+      Encoders.kryo[mutable.PriorityQueue[Neighbor]]
+    override def outputEncoder: Encoder[Seq[Neighbor]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Neighbor]]()
+  }
+
+  /** Exact kNN via the aggregator: same output as Knn.knnExact. */
+  def knnExactAgg(
+      spark: SparkSession,
+      points: DataFrame,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val cands = points
+      .join(broadcast(queries))
+      .select(col("qid"), col("id"),
+        round(l2Dist(col("qvec"), col("vec")), 4).as("dist"))
+      .as[Cand]
+    cands
+      .groupByKey(_.qid)
+      .agg(new TopKAggregator(k).toColumn.name("nn"))
+      .toDF("qid", "nn")
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"), col("n.dist").as("dist"))
+  }
+}

@@ -81,6 +81,26 @@ class TextStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState carries per-user state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Streaming.{UserEvent, UserTotals}
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = graft.operators.Streaming.runningUserTotals(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("totals").start()
+    try {
+      in.addData(UserEvent(1L, 1.0), UserEvent(1L, 2.0), UserEvent(2L, 5.0))
+      q.processAllAvailable()
+      in.addData(UserEvent(1L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("totals").as[UserTotals].collect()
+      // batch 1 emitted (1 -> n=2,sum=3), (2 -> n=1,sum=5); batch 2 (1 -> n=3,sum=7)
+      assert(rows.exists(r => r.user_id == 1 && r.n_events == 2 && r.sum_value == 3.0))
+      assert(rows.exists(r => r.user_id == 1 && r.n_events == 3 && r.sum_value == 7.0))
+      assert(rows.exists(r => r.user_id == 2 && r.n_events == 1 && r.sum_value == 5.0))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions per user") {
     val e = Streaming.sessionize(Tables.events(spark, sf0))
     // every user has at least one session; session event counts sum to total

@@ -1,0 +1,19 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("native expressions callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    Tables.points(spark, sf0).createOrReplaceTempView("pts")
+    val r = spark.sql(
+      """SELECT p.id, round(l2_dist(p.vec, q.vec), 4) AS d,
+        |  round(dot_product(p.vec, q.vec), 4) AS dp,
+        |  round(l2_sq_distance(p.vec, q.vec), 4) AS dsq
+        |FROM pts p JOIN pts q ON q.id = 0 AND p.id = 1""".stripMargin).head()
+    assert(r.getDouble(1) > 0 && math.abs(r.getDouble(1) * r.getDouble(1) - r.getDouble(3)) < 1e-3)
+
+    val sig = spark.sql(
+      "SELECT minhash_signature(array('a b c', 'b c d'), 4) AS s").head().getSeq[String](0)
+    assert(sig.length === 4 && sig.forall(_.length == 32))
+  }
+}

@@ -89,14 +89,38 @@ object Dedup {
           4).as("jaccard"))
   }
 
-  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification. */
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * The shingle table is materialized ONCE (it feeds the signature, the
+    * band self-join, and both sides of the verify join — without a
+    * materialization every consumer re-inlines the whole shingle expression
+    * tree and pays its evaluation + planning repeatedly). */
   def minhashNearDups(
       docs: DataFrame,
       threshold: Double,
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame =
-    jaccardVerify(docs, lshCandidates(docs, numHashes, bands))
+      bands: Int = 4): DataFrame = {
+    val rpb = numHashes / bands
+    val sh = docs.select(col("id"), shingles(col("text")).as("sh")).localCheckpoint()
+    val banded = sh
+      .select(col("id"),
+        graft.functions.TextExpressions.minhashSig(col("sh"), numHashes).as("sig"))
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rpb)).as("band"))
+      .localCheckpoint()
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        roundHU(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))),
+          4).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
 
   /** 32-bit SimHash as a bit string. Token bit b comes from the b-th bit of
     * the token's md5 (hex-digit arithmetic, engine-portable); document bit

@@ -169,7 +169,7 @@ object Dedup {
           transform(sequence(lit(1), length(col("text")) - (n - 1)),
             i => col("text").substr(i, lit(n))))
           .otherwise(array().cast("array<string>")))).as("g"))
-      .cache()
+      .localCheckpoint()
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
     val inter = grams.as("a")
       .join(grams.as("b"),

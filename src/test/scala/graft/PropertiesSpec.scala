@@ -1,0 +1,83 @@
+package graft
+
+import org.scalacheck.Gen
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.Intervals
+
+/** Property-based checks (SURVEY §5 industrialization: triangle inequality
+  * of the distance expression, island extraction round-trips). Driven
+  * through the engine's column functions on small literal data. */
+class PropertiesSpec extends SparkSpec {
+
+  /** scalatest+scalacheck bridge isn't in the offline cache; sample
+    * generators directly. */
+  def forAll[A](g: Gen[A], n: Int = 25)(f: A => Unit): Unit =
+    (1 to n).foreach(_ => g.sample.foreach(f))
+  def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 25).foreach(_ => for (a <- g1.sample; b <- g2.sample) f(a, b))
+  def forAll[A, B, C](g1: Gen[A], g2: Gen[B], g3: Gen[C])(f: (A, B, C) => Unit): Unit =
+    (1 to 25).foreach(_ => for (a <- g1.sample; b <- g2.sample; c <- g3.sample) f(a, b, c))
+  import spark.implicits._
+
+  val vecGen: Gen[Array[Float]] =
+    Gen.containerOfN[Array, Float](8, Gen.chooseNum(-100f, 100f))
+
+  test("l2Dist: symmetry, identity, triangle inequality") {
+    forAll(vecGen, vecGen, vecGen) { (a, b, c) =>
+      val df = Seq((a, b, c)).toDF("a", "b", "c")
+      val r = df.select(
+        l2Dist($"a", $"b"), l2Dist($"b", $"a"),
+        l2Dist($"a", $"a"),
+        l2Dist($"a", $"c"), l2Dist($"c", $"b")).head()
+      val (ab, ba, aa, ac, cb) =
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(ab === ba)
+      assert(aa === 0.0)
+      assert(ab <= ac + cb + 1e-9)
+    }
+  }
+
+  test("cosineSim bounded in [-1, 1] for nonzero vectors") {
+    forAll(vecGen.suchThat(_.exists(_ != 0f)), vecGen.suchThat(_.exists(_ != 0f))) {
+      (a, b) =>
+        val r = Seq((a, b)).toDF("a", "b").select(cosineSim($"a", $"b")).head().getDouble(0)
+        assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    }
+  }
+
+  test("islands round-trip: expand(islands(S)) == S for any finite id set") {
+    val setGen = Gen.containerOf[Set, Long](Gen.chooseNum(0L, 300L)).suchThat(_.nonEmpty)
+    forAll(setGen, 15) { ids =>
+      val df = ids.toSeq.toDF("x")
+      val iv = Intervals.islands(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // intervals disjoint + non-adjacent
+      val sorted = iv.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array((_, e1), (b2, _)) => assert(b2 > e1 + 1)
+        case _ =>
+      }
+      val expanded = sorted.flatMap { case (b, e) => b to e }.toSet
+      assert(expanded === ids)
+    }
+  }
+
+  test("mergeNeighbors is idempotent and preserves coverage") {
+    val ivGen = Gen.listOfN(6,
+      for { b <- Gen.chooseNum(0L, 100L); len <- Gen.chooseNum(0L, 10L) } yield (b, b + len))
+    forAll(ivGen.suchThat(_.nonEmpty), 15) { ivs =>
+      val df = ivs.toDF("begin", "end")
+      val once = Intervals.mergeNeighbors(df)
+      val twice = Intervals.mergeNeighbors(once)
+      val a = once.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val b = twice.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(a === b)
+      val cover = ivs.flatMap { case (x, y) => x to y }.toSet
+      val merged = a.flatMap { case (x, y) => x to y }.toSet
+      assert(merged === cover)
+    }
+  }
+}

@@ -271,6 +271,10 @@ object SparkEntry {
         Tables.events(s, dir)
           .withColumn("ts", timestamp_millis(unix_millis(col("ts")))))),
 
+    // ---- M6: Anderson–Darling normality per dimension (SURVEY §2 A9)
+    "q42_anderson_darling" -> ((s, dir) =>
+      Stats.andersonDarling(Tables.points(s, dir))),
+
     // ---- M5: KANNDI routed search — the reference's E3 with the seed
     // router over the distance-built shards (kanndi_search.py:28-66)
     "q41_kanndi_search" -> ((s, dir) => {
@@ -413,6 +417,31 @@ object SparkEntry {
 
     "q41_kanndi_search" ->
       Oracles.kanndiSearch(m = 4, sampleSize = 200, stride = 25, topK = 10, t = Params.t),
+
+    "q42_anderson_darling" ->
+      s"""WITH ${Oracles.longFormCte},
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+         |st AS (SELECT dim, avg(value) AS mu, stddev_pop(value) AS sd FROM lf GROUP BY dim),
+         |rk AS (SELECT l.dim, (l.value - s.mu) / s.sd AS z,
+         |    row_number() OVER (PARTITION BY l.dim ORDER BY l.value, l.id) AS i
+         |  FROM lf l JOIN st s ON s.dim = l.dim),
+         |p1 AS (SELECT dim, i, z / 1.4142135623730951 AS y FROM rk),
+         |p2 AS (SELECT dim, i, y, abs(y) AS ax,
+         |    1.0 / (1.0 + 0.3275911 * abs(y)) AS t FROM p1),
+         |p3 AS (SELECT dim, i, y, ax,
+         |    t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+         |      t * (-1.453152027 + t * 1.061405429)))) AS poly FROM p2),
+         |p4 AS (SELECT dim, i,
+         |    CASE WHEN y < 0 THEN -(1.0 - poly * exp(-(ax * ax)))
+         |         ELSE 1.0 - poly * exp(-(ax * ax)) END AS erfv FROM p3),
+         |p5 AS (SELECT dim, i,
+         |    least(greatest(0.5 * (1.0 + erfv), 1e-15), 1.0 - 1e-15) AS phi FROM p4),
+         |c AS (SELECT dim,
+         |    (2 * i - 1) * ln(phi) + (2 * ((SELECT n FROM nn) - i) + 1) * ln(1.0 - phi) AS contrib
+         |  FROM p5)
+         |SELECT dim,
+         |  round(-(SELECT n FROM nn) - sum(contrib) / (SELECT n FROM nn), 4) AS ad_stat
+         |FROM c GROUP BY dim""".stripMargin,
 
     "q12_dim_variance_entropy" ->
       s"""WITH ${Oracles.longFormCte},

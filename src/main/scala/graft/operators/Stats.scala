@@ -2,7 +2,7 @@ package graft.operators
 
 import breeze.linalg.{inv, DenseMatrix}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,6 +43,47 @@ object Stats {
       .agg(round(-sum((col("cnt") / col("n")) * log(col("cnt") / col("n"))), 6).as("entropy"))
     val va = lf.groupBy(col("dim")).agg(round(var_pop(col("value")), 6).as("variance"))
     va.join(ent, "dim").select(col("dim"), col("variance"), col("entropy"))
+  }
+
+  /** Abramowitz–Stegun 7.1.26 erf approximation (|err| < 1.5e-7) as pure
+    * column arithmetic — elementary ops only, so the DuckDB oracle can
+    * evaluate the identical formula. */
+  def erf(x: Column): Column = {
+    val ax = abs(x)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * ax)
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+      t * (lit(1.421413741) + t * (lit(-1.453152027) + t * lit(1.061405429)))))
+    val e = lit(1.0) - poly * exp(-(ax * ax))
+    when(x < 0, -e).otherwise(e)
+  }
+
+  /** Standard normal CDF via erf, clamped away from {0,1} so ln() stays
+    * finite at extreme z. */
+  def phi(z: Column): Column = {
+    val p = lit(0.5) * (lit(1.0) + erf(z / lit(1.4142135623730951)))
+    least(greatest(p, lit(1e-15)), lit(1.0 - 1e-15))
+  }
+
+  /** Anderson–Darling normality statistic per dimension (variance.py:
+    * 109-110 — the reference prints scipy.stats.anderson per dim):
+    * A² = -n - (1/n) Σ_i [(2i-1) ln Φ(z_(i)) + (2(n-i)+1) ln(1-Φ(z_(i)))]
+    * with z standardized by the population mean/std of the dimension. */
+  def andersonDarling(points: DataFrame): DataFrame = {
+    val n = points.count()
+    val lf = longForm(points)
+    val stats = lf.groupBy(col("dim"))
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sd"))
+    val ranked = lf
+      .join(stats, "dim")
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .withColumn("i",
+        row_number().over(Window.partitionBy(col("dim")).orderBy(col("value"), col("id"))))
+    val contrib =
+      (lit(2) * col("i") - 1) * log(phi(col("z"))) +
+        (lit(2) * (lit(n) - col("i")) + 1) * log(lit(1.0) - phi(col("z")))
+    ranked
+      .groupBy(col("dim"))
+      .agg(round(-lit(n.toDouble) - sum(contrib) / lit(n.toDouble), 4).as("ad_stat"))
   }
 
   /** Unordered dimension pairs (dim_i < dim_j) of a long form. */

@@ -21,9 +21,12 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
-        // operators may cache intermediates (LSH bands, stat tables); drop
-        // them between runs so later timings aren't paying earlier GC
+        // operators may persist intermediates (stat-table .cache()s AND
+        // localCheckpoint block — the latter live in the BlockManager, not
+        // the catalog cache); drop both so later timings aren't paying
+        // accumulated memory pressure
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         dt
       }
       name -> dts.min

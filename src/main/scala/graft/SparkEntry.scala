@@ -185,7 +185,7 @@ object SparkEntry {
       val d = Tables.documents(s, dir).select(
         col("doc_id").as("id"), col("text"),
         concat(col("lang"), lit("|"), col("source")).as("block"))
-      Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.0)
+      Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.05)
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(100)
     }),
@@ -554,7 +554,7 @@ object SparkEntry {
          |  FROM g a JOIN g b ON a.block = b.block AND a.id < b.id)
          |SELECT id_a, id_b, jaccard FROM (
          |  SELECT *, row_number() OVER (ORDER BY jaccard DESC, id_a, id_b) AS rn FROM pj
-         |  WHERE jaccard >= 0.0)
+         |  WHERE jaccard >= 0.05)
          |WHERE rn <= 100""".stripMargin,
 
     "q28_embed_neardup" ->
@@ -641,7 +641,7 @@ object SparkEntry {
     "q35_sessions" ->
       s"""WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events),
          |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
-         |n AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 300000 THEN 1 ELSE 0 END AS new_s FROM l),
+         |n AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 300000 THEN 1 ELSE 0 END AS new_s FROM l),
          |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n)
          |SELECT user_id, session_id, count(*) AS n_events, min(ms) AS start_ms,

@@ -26,13 +26,18 @@ abstract class VectorFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(a: NumericType, _), ArrayType(b: NumericType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires two numeric array arguments")
+    // restricted to the element types the codegen accessors implement —
+    // a wider NumericType check would crash the generated code on e.g.
+    // int arrays reaching the SQL-registered functions
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
     }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> or array<double> arguments")
   }
 
   protected def elemAccessor(dt: DataType): (ArrayData, Int) => Double = dt match {

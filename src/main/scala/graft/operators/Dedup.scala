@@ -62,23 +62,25 @@ object Dedup {
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rpb)).as("band"))
   }
 
-  /** Candidate pairs (id_a < id_b) sharing at least one LSH band. */
-  def lshCandidates(
-      docs: DataFrame, // (id, text)
-      numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
-    // eager materialization: the self-join would otherwise race both sides
-    // into recomputing the (same) upstream pipeline under the cache lock
-    val banded = minhashBandsLong(docs, numHashes, bands).localCheckpoint()
+  /** Candidate pairs (id_a < id_b) sharing at least one LSH band, from a
+    * (materialized) band table. */
+  def candidatesFromBands(banded: DataFrame): DataFrame =
     banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-  }
 
-  /** Exact Jaccard over distinct shingle sets for given candidate pairs. */
-  def jaccardVerify(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = docs.select(col("id"), shingles(col("text"), n).as("sh"))
+  /** Candidate pairs (id_a < id_b) sharing at least one LSH band. */
+  def lshCandidates(
+      docs: DataFrame, // (id, text)
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame =
+    // eager materialization: the self-join would otherwise race both sides
+    // into recomputing the (same) upstream pipeline under the cache lock
+    candidatesFromBands(minhashBandsLong(docs, numHashes, bands).localCheckpoint())
+
+  /** Exact Jaccard for candidate pairs against a shingle table (id, sh). */
+  def jaccardFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame =
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -87,7 +89,11 @@ object Dedup {
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))),
           4).as("jaccard"))
-  }
+
+  /** Exact Jaccard over distinct shingle sets for given candidate pairs. */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame =
+    jaccardFromShingles(
+      docs.select(col("id"), shingles(col("text"), n).as("sh")), pairs)
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
@@ -107,18 +113,7 @@ object Dedup {
         graft.functions.TextExpressions.minhashSig(col("sh"), numHashes).as("sig"))
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rpb)).as("band"))
       .localCheckpoint()
-    val cand = banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        roundHU(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))),
-          4).as("jaccard"))
+    jaccardFromShingles(sh, candidatesFromBands(banded))
       .where(col("jaccard") >= threshold)
   }
 

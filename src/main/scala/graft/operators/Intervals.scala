@@ -17,14 +17,37 @@ import org.apache.spark.sql.functions._
 object Intervals {
 
   /** Compress a set of integers (column `x`, assumed distinct) into closed
-    * intervals: classic x - row_number() island key (SURVEY §2 W5). */
+    * intervals (SURVEY §2 W5).
+    *
+    * Scale shape: instead of the classic single global-window
+    * x - row_number() (which funnels the whole set through one task), the
+    * set is RANGE-partitioned and each partition compresses its sorted run
+    * locally; only the (already-compressed, tiny) per-partition interval
+    * lists then go through the boundary merge. */
   def islands(xs: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("x"))
-    xs.select(col("x"))
-      .withColumn("grp", col("x") - row_number().over(w))
-      .groupBy(col("grp"))
-      .agg(min(col("x")).as("begin"), max(col("x")).as("end"))
-      .select(col("begin"), col("end"))
+    val spark = xs.sparkSession
+    import spark.implicits._
+    val local = xs.select(col("x").cast("long"))
+      .repartitionByRange(col("x"))
+      .sortWithinPartitions(col("x"))
+      .as[Long]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var begin = 0L
+        var end = 0L
+        var has = false
+        it.foreach { x =>
+          if (!has) { begin = x; end = x; has = true }
+          else if (x == end + 1) end = x
+          else { out += ((begin, end)); begin = x; end = x }
+        }
+        if (has) out += ((begin, end))
+        out.iterator
+      }
+      .toDF("begin", "end")
+    // range partitions are contiguous, so only boundary-adjacent intervals
+    // remain to merge — over the compressed list, not the raw set
+    mergeNeighbors(local)
   }
 
   /** Membership of each x in ANY interval — `is_number_in_intervals`

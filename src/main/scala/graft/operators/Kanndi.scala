@@ -71,6 +71,10 @@ object Kanndi {
       seedRows += ((sid, seedVec))
       val seedLit = typedLit(seedVec)
 
+      // limit() takes an Int; guard the Long capacity instead of silently
+      // wrapping (a >2^31 per-shard capacity needs a window-based admission)
+      require(capacity > 0 && capacity <= Int.MaxValue,
+        s"shard capacity $capacity out of supported range (1, 2^31-1]")
       def admit(dd: Double): DataFrame =
         unassigned
           .withColumn("dist", round(l2Dist(col("vec"), seedLit), 4))

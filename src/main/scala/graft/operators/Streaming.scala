@@ -70,8 +70,10 @@ object Streaming {
   }
 
   /** Gap-based sessionization (batch form): a new session starts when the
-    * gap to the previous event of the same user exceeds `gapMs`. Output one
-    * row per session. */
+    * gap to the previous event of the same user reaches `gapMs` (split on
+    * gap >= gapMs — the same boundary rule as Spark's `session_window`, so
+    * the two forms are exactly interchangeable). Output one row per
+    * session. */
   def sessionize(events: DataFrame, gapMs: Long = 300000L): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
     events
@@ -79,7 +81,7 @@ object Streaming {
         unix_millis(col("ts")).as("ms"))
       .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
       .withColumn("new_s",
-        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1).otherwise(0))
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") >= gapMs, 1).otherwise(0))
       .withColumn("session_id", sum(col("new_s")).over(
         Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, 0)))

@@ -23,7 +23,9 @@ object TextStats {
     "zh" -> "的", "zh" -> "是", "zh" -> "了", "zh" -> "在", "zh" -> "我")
 
   /** Per-language stopword-hit ratio + argmax prediction:
-    * (id, lang_pred, best_ratio). Ties break on language name ascending. */
+    * (id, lang_pred, best_ratio). Ties break on the lexicographically LAST
+    * language name (max(struct) semantics; the q29 oracle mirrors it with
+    * ORDER BY ratio DESC, lang DESC). */
   def langId(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val sw = broadcast(stopwords.toDF("sw_lang", "word"))

@@ -64,29 +64,29 @@ object BinFormat {
       .parallelize(bounds, math.max(bounds.size, 1))
       .flatMap { case (lo, hi) =>
         val f = new RandomAccessFile(path, "r")
-        val rowBytes = dim * elem.size
-        f.seek(8L + lo * rowBytes)
-        val buf = new Array[Byte](rowBytes)
-        val out = (lo until hi).iterator.map { id =>
-          f.readFully(buf)
-          val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-          val vec = new Array[Float](dim)
-          var i = 0
-          while (i < dim) {
-            vec(i) = elem match {
-              case F32 => bb.getFloat(i * 4)
-              case I32 => bb.getInt(i * 4).toFloat
-              case U8 => (buf(i) & 0xff).toFloat
-              case I8 => buf(i).toFloat
+        try {
+          val rowBytes = dim * elem.size
+          f.seek(8L + lo * rowBytes)
+          val buf = new Array[Byte](rowBytes)
+          // drain fully inside try/finally (the iterator is lazy; a
+          // truncated file must not leak the handle across task retries)
+          (lo until hi).map { id =>
+            f.readFully(buf)
+            val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+            val vec = new Array[Float](dim)
+            var i = 0
+            while (i < dim) {
+              vec(i) = elem match {
+                case F32 => bb.getFloat(i * 4)
+                case I32 => bb.getInt(i * 4).toFloat
+                case U8 => (buf(i) & 0xff).toFloat
+                case I8 => buf(i).toFloat
+              }
+              i += 1
             }
-            i += 1
-          }
-          Row(id, vec)
-        }
-        // drain fully before close: iterator is lazy, so materialize
-        val rows = out.toVector
-        f.close()
-        rows
+            Row(id, vec)
+          }.toVector
+        } finally f.close()
       }
     spark.createDataFrame(
       rdd,

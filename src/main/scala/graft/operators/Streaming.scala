@@ -45,6 +45,27 @@ object Streaming {
         unix_millis(col("w.end")).as("end_ms"),
         col("n_events"), col("sum_value"))
 
+  /** Continuous index ingest (SURVEY §2.8's "idiomatic form" of streaming
+    * for this engine): a stream of new points is assigned to the broadcast
+    * centroid router per micro-batch and appended to the partitionBy
+    * (shard_id) layout — the same physical index the batch build writes,
+    * growing incrementally. Returns the started query. */
+  def incrementalAssign(
+      newPoints: DataFrame, // streaming (id, vec)
+      centroids: DataFrame,
+      indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newPoints.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val assigned = Sharding.assign(batch, centroids)
+        batch
+          .join(assigned.select(col("id"), col("shard_id")), "id")
+          .write.mode("append").partitionBy("shard_id").parquet(indexPath)
+      }
+      .start()
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(n: Long, sum: Double)
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)

@@ -101,6 +101,30 @@ class TextStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalAssign grows the sharded index from a point stream") {
+    import java.nio.file.Files
+    import graft.operators.Sharding
+    val tmp = Files.createTempDirectory("graft-inc").toString
+    val pts = Tables.points(spark, sf0)
+    val cents = Sharding.fitCentroids(spark, pts, k = 4, iters = 1)
+    // batch-build the initial index from the first half
+    val first = pts.where(col("id") < 250)
+    Sharding.writeSharded(first, Sharding.assign(first, cents), s"$tmp/index")
+    // stream the second half in as "new" points
+    pts.where(col("id") >= 250).write.parquet(s"$tmp/incoming")
+    val stream = spark.readStream.schema(pts.schema).parquet(s"$tmp/incoming")
+    val q = graft.operators.Streaming.incrementalAssign(
+      stream, cents, s"$tmp/index", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val index = spark.read.parquet(s"$tmp/index")
+    assert(index.count() === pts.count())
+    // incrementally-added points landed in the same shard the batch
+    // assignment would give them
+    val expect = Sharding.assign(pts, cents).select("id", "shard_id")
+    val got = index.select(col("id"), col("shard_id").cast("int").as("shard_id"))
+    assert(got.except(expect).count() === 0)
+  }
+
   test("sessionize: gap splits sessions per user") {
     val e = Streaming.sessionize(Tables.events(spark, sf0))
     // every user has at least one session; session event counts sum to total

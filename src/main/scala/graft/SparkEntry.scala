@@ -286,6 +286,19 @@ object SparkEntry {
       Pq.adcSearch(Tables.queryPoints(s, dir), codes, cb, m = 8, dsub = 8, k = 10)
     }),
 
+    // ---- the full modern ANN stack: IVF routing + PQ codes (ADC)
+    "q45_ivfpq_search" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      val cents = fitCentroidsMemo(s, dir)
+      val assigned = Sharding.assign(pts, cents)
+      val cb = pqFitMemo(s, dir)
+      val codes = Pq.encode(pts, cb, m = 8, dsub = 8)
+      val qs = Tables.queryPoints(s, dir)
+      val routes = ShardedSearch.route(qs, cents, t = Params.t)
+      val candidates = routes.join(assigned, "shard_id").select(col("qid"), col("id"))
+      Pq.adcSearchRouted(qs, candidates, codes, cb, m = 8, dsub = 8, k = 10)
+    }),
+
     // ---- M5: KANNDI routed search — the reference's E3 with the seed
     // router over the distance-built shards (kanndi_search.py:28-66)
     "q41_kanndi_search" -> ((s, dir) => {
@@ -446,6 +459,10 @@ object SparkEntry {
       Oracles.kanndiSearch(m = 4, sampleSize = 200, stride = 25, topK = 10, t = Params.t),
 
     "q43_pq_encode" -> Oracles.pqEncode(m = 8, dsub = 8, k = 16),
+
+    "q45_ivfpq_search" -> Oracles.ivfPq(
+      kShards = Params.k, iters = Params.iters, m = 8, dsub = 8, kCode = 16,
+      stride = 25, topK = 10, t = Params.t),
 
     "q44_pq_adc_search" -> Oracles.pqAdc(m = 8, dsub = 8, k = 16, stride = 25, topK = 10),
 
@@ -949,9 +966,12 @@ object Oracles {
     * (c1_s), encode assignments (enc_s), union relations `cb` (sub, code,
     * centroid) and `encall` (id, sub, code). Mirrors Pq.fit(iters=1) +
     * Pq.encode. */
-  def pqCtes(m: Int, dsub: Int, k: Int): String = {
+  def pqCtes(m: Int, dsub: Int, k: Int): String = pqCtes(m, dsub, k, withPts = true)
+
+  def pqCtes(m: Int, dsub: Int, k: Int, withPts: Boolean): String = {
     val sb = new StringBuilder
-    sb.append(s"pts AS ($ptsD)")
+    if (withPts) sb.append(s"pts AS ($ptsD)")
+    else sb.append(s"svbase AS (SELECT id, vec FROM pts)")
     for (sub <- 0 until m) {
       val lo = sub * dsub + 1
       val hi = sub * dsub + dsub
@@ -1002,6 +1022,36 @@ object Oracles {
        |  row_number() OVER (PARTITION BY qid ORDER BY approx_dist, id) AS rnk FROM dists)
        |SELECT qid, rnk AS "rank", id AS neighbor_id, approx_dist FROM rk WHERE rnk <= $topK""".stripMargin
   }
+
+  /** IVF-PQ: K-Means routing (top-T shards) + ADC over PQ codes of the
+    * routed shards only — composes assignCtes (kmeans pts/cfin/asg) with
+    * pqCtes (codebooks+codes). */
+  def ivfPq(kShards: Int, iters: Int, m: Int, dsub: Int, kCode: Int,
+      stride: Int, topK: Int, t: Int): String =
+    s"""WITH ${assignCtes(kShards, iters)},
+       |${pqCtes(m, dsub, kCode, withPts = false)},
+       |qs AS (SELECT id AS qid, vec AS qvec FROM pts WHERE id % $stride = 0),
+       |rd AS (SELECT q.qid, q.qvec, c.shard_id, round(${l2("q.qvec", "c.centroid")}, 4) AS dr
+       |  FROM qs q CROSS JOIN cfin c),
+       |ra AS (SELECT qid, qvec, shard_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dr, shard_id) AS crank FROM rd),
+       |routes AS (SELECT qid, qvec, shard_id FROM ra WHERE crank <= $t),
+       |candidates AS (SELECT r.qid, a.id FROM routes r JOIN asg a ON a.shard_id = r.shard_id),
+       |qsub AS (${(0 until m).map { s0 =>
+          val lo = s0 * dsub + 1; val hi = s0 * dsub + dsub
+          s"SELECT qid, $s0 AS sub, qvec[$lo:$hi] AS qsv FROM routes"
+        }.mkString("\nUNION ALL ")}),
+       |qsubd AS (SELECT DISTINCT qid, sub, qsv FROM qsub),
+       |lut AS (SELECT q.qid, q.sub, c.code, ${l2sqFrag("q.qsv", "c.centroid", dsub)} AS pd
+       |  FROM qsubd q JOIN cb c ON c.sub = q.sub),
+       |dists AS (SELECT cd.qid, cd.id, round(sqrt(sum(l.pd)), 4) AS approx_dist
+       |  FROM candidates cd
+       |  JOIN encall e ON e.id = cd.id
+       |  JOIN lut l ON l.qid = cd.qid AND l.sub = e.sub AND l.code = e.code
+       |  GROUP BY cd.qid, cd.id),
+       |rk AS (SELECT qid, id, approx_dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY approx_dist, id) AS rnk FROM dists)
+       |SELECT qid, rnk AS "rank", id AS neighbor_id, approx_dist FROM rk WHERE rnk <= $topK""".stripMargin
 
   def knnExact(k: Int, stride: Int): String =
     s"""WITH pairs AS (

@@ -62,6 +62,39 @@ object Pq {
       .select(col("id"), col("sub"), col("best.code").as("code"))
   }
 
+  /** IVF-PQ: ADC restricted to a routed candidate set (qid, id) — the
+    * composition of centroid routing (ShardedSearch.route x Sharding.assign)
+    * with PQ codes. Candidates and LUT are small relative to the corpus;
+    * the codes table is the only big input and it is filtered by the
+    * candidate join before any distance math. */
+  def adcSearchRouted(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (qid, id)
+      codes: DataFrame,
+      codebooks: DataFrame,
+      m: Int,
+      dsub: Int,
+      k: Int): DataFrame = {
+    val qsubs = queries.select(col("qid"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), subvec(col("qvec"), s, dsub).as("qsv"))): _*)).as("e"))
+      .select(col("qid"), col("e.sub").as("sub"), col("e.qsv").as("qsv"))
+    val lut = qsubs
+      .join(broadcast(codebooks), "sub")
+      .select(col("qid"), col("sub"), col("code"),
+        l2Sq(col("qsv"), col("centroid")).as("pd"))
+    val dists = candidates
+      .join(codes, "id")
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sqrt(sum(col("pd"))), 4).as("approx_dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx_dist"), col("id"))
+    dists
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("approx_dist"))
+  }
+
   /** ADC top-k search over encoded points: (qid, rank, neighbor_id,
     * approx_dist). `codes` is the long-form encode output. */
   def adcSearch(

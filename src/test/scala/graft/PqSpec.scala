@@ -36,6 +36,19 @@ class PqSpec extends SparkSpec {
     assert(self.count() >= qs.count() / 2)
   }
 
+  test("ivf-pq: routed ADC search returns ranked results per query") {
+    val qs = Tables.queryPoints(spark, sf0)
+    val cents = graft.operators.Sharding.fitCentroids(spark, pts, k = 4, iters = 2)
+    val assigned = graft.operators.Sharding.assign(pts, cents)
+    val routes = ShardedSearch.route(qs, cents, t = 2)
+    val cand = routes.join(assigned, "shard_id").select(col("qid"), col("id"))
+    val res = Pq.adcSearchRouted(qs, cand, codes, cb, m = 8, dsub = 8, k = 10)
+    assert(res.groupBy("qid").count().agg(max("count")).head().getLong(0) <= 10)
+    assert(res.count() > 0)
+    // routed candidates only: every result id is in the candidate set
+    assert(res.join(cand, Seq("qid"), "left_anti").count() === 0)
+  }
+
   test("buddy_up permutation composes with PQ (BuddyPQ shape)") {
     val perm = SparkEntry.Params.evensOddsPerm
     import graft.functions.VectorFunctions.permute

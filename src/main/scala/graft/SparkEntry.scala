@@ -89,39 +89,39 @@ object SparkEntry {
     }),
 
     // ---- M5: KANNDI distance-based sharding, fixed-d (SURVEY §2 E1, P3/P4/J6/A3)
-    "q10_kanndi_assign" -> ((s, dir) => {
-      val pts = Tables.points(s, dir)
-      Kanndi.shardAuto(s, pts, m = 4, sampleSize = 200).assigned
-    }),
+    "q10_kanndi_assign" -> ((s, dir) =>
+      kanndiMemoRes(s, dir, m = 4, sampleSize = 200).assigned),
 
     // ---- M5: KANNDI with starvation escalation d*=2 (rows-only; invariants in ScalaTest)
-    "q11_kanndi_adaptive" -> ((s, dir) => {
-      val pts = Tables.points(s, dir)
-      Kanndi.shardAuto(s, pts, m = 4, sampleSize = 200, distScale = 0.25, adaptive = true).assigned
-    }),
+    "q11_kanndi_adaptive" -> ((s, dir) =>
+      kanndiMemoRes(s, dir, m = 4, sampleSize = 200, distScale = 0.25,
+        adaptive = true).assigned),
 
-    // ---- M6: per-dimension variance + entropy (SURVEY §2 A4/A5)
+    // ---- M6: per-dimension variance + entropy (SURVEY §2 A4/A5).
+    // All M6 stats run on the reference-faithful first-N sample
+    // (variance.py:84-90) — at scale the scan is bounded by the sample.
     "q12_dim_variance_entropy" -> ((s, dir) =>
-      Stats.varianceEntropy(Tables.points(s, dir))),
+      Stats.varianceEntropy(Tables.points(s, dir), sampleSize = Params.statSample)),
 
     // ---- M6: two-sample Kolmogorov–Smirnov, all dim pairs (SURVEY §2 A8)
     "q13_ks_pairs" -> ((s, dir) =>
-      Stats.ksAllPairs(Tables.points(s, dir))),
+      Stats.ksAllPairs(Tables.points(s, dir), sampleSize = Params.statSample)),
 
     // ---- M6: variance-of-concatenation covariance proxy (SURVEY §2 A7)
     "q14_covar_proxy" -> ((s, dir) =>
-      Stats.covarianceProxy(Tables.points(s, dir))),
+      Stats.covarianceProxy(Tables.points(s, dir), sampleSize = Params.statSample)),
 
     // ---- M6: Pearson correlation, all dim pairs (SURVEY §2 A10)
     "q15_corr_pairs" -> ((s, dir) =>
-      Stats.corrPairs(Tables.points(s, dir))),
+      Stats.corrPairs(Tables.points(s, dir), sampleSize = Params.statSample)),
 
     // ---- M6: VIF = inverse correlation matrix (SURVEY §2 A11; driver-side Breeze)
     "q16_vif" -> ((s, dir) => vifMemoDf(s, dir)),
 
     // ---- M6: percentile-thresholded KS similarity graph (SURVEY §2 A12)
     "q17_ks_graph" -> ((s, dir) =>
-      Stats.buddyGraph(Stats.ksAllPairs(Tables.points(s, dir)), "ks", 0.75)),
+      Stats.buddyGraph(
+        Stats.ksAllPairs(Tables.points(s, dir), sampleSize = Params.statSample), "ks", 0.75)),
 
     // ---- M6: greedy buddy ordering over the VIF graph (SURVEY §2 W4; driver-side)
     "q18_buddy_order" -> ((s, dir) => {
@@ -137,7 +137,7 @@ object SparkEntry {
     "q20_blended" -> ((s, dir) =>
       Stats.blend(
         vifMemoDf(s, dir).where(col("dim_i") < col("dim_j")),
-        Stats.ksAllPairs(Tables.points(s, dir)))),
+        Stats.ksAllPairs(Tables.points(s, dir), sampleSize = Params.statSample))),
 
     // ---- M7: gaps-and-islands interval extraction (SURVEY §2 W5)
     "q21_islands" -> ((s, dir) =>
@@ -273,18 +273,15 @@ object SparkEntry {
 
     // ---- M6: Anderson–Darling normality per dimension (SURVEY §2 A9)
     "q42_anderson_darling" -> ((s, dir) =>
-      Stats.andersonDarling(Tables.points(s, dir))),
+      Stats.andersonDarling(Tables.points(s, dir), sampleSize = Params.statSample)),
 
     // ---- BuddyPQ realization: product-quantization encode (README.md:5-7)
-    "q43_pq_encode" -> ((s, dir) =>
-      Pq.encode(Tables.points(s, dir), pqFitMemo(s, dir), m = 8, dsub = 8)),
+    "q43_pq_encode" -> ((s, dir) => pqCodesMemoDf(s, dir)),
 
     // ---- BuddyPQ realization: asymmetric-distance PQ search
-    "q44_pq_adc_search" -> ((s, dir) => {
-      val cb = pqFitMemo(s, dir)
-      val codes = Pq.encode(Tables.points(s, dir), cb, m = 8, dsub = 8)
-      Pq.adcSearch(Tables.queryPoints(s, dir), codes, cb, m = 8, dsub = 8, k = 10)
-    }),
+    "q44_pq_adc_search" -> ((s, dir) =>
+      Pq.adcSearch(Tables.queryPoints(s, dir), pqCodesMemoDf(s, dir),
+        pqFitMemo(s, dir), m = 8, dsub = 8, k = 10)),
 
     // ---- the full modern ANN stack: IVF routing + PQ codes (ADC)
     "q45_ivfpq_search" -> ((s, dir) => {
@@ -292,7 +289,7 @@ object SparkEntry {
       val cents = fitCentroidsMemo(s, dir)
       val assigned = Sharding.assign(pts, cents)
       val cb = pqFitMemo(s, dir)
-      val codes = Pq.encode(pts, cb, m = 8, dsub = 8)
+      val codes = pqCodesMemoDf(s, dir)
       val qs = Tables.queryPoints(s, dir)
       val routes = ShardedSearch.route(qs, cents, t = Params.t)
       val candidates = routes.join(assigned, "shard_id").select(col("qid"), col("id"))
@@ -303,7 +300,7 @@ object SparkEntry {
     // router over the distance-built shards (kanndi_search.py:28-66)
     "q41_kanndi_search" -> ((s, dir) => {
       val pts = Tables.points(s, dir)
-      val r = Kanndi.shardAuto(s, pts, m = 4, sampleSize = 200)
+      val r = kanndiMemoRes(s, dir, m = 4, sampleSize = 200)
       val sharded = pts.join(
         r.assigned.where(col("shard_id") >= 0).select("id", "shard_id"), "id")
       ShardedSearch.search(sharded, Tables.queryPoints(s, dir), r.seeds, k = 10, t = Params.t)
@@ -335,7 +332,7 @@ object SparkEntry {
 
   private def vifMemoDf(s: SparkSession, dir: String): DataFrame = {
     val rows = vifMemo.computeIfAbsent(dir, _ =>
-      Stats.vifMatrix(s, Tables.points(s, dir)).collect())
+      Stats.vifMatrix(s, Tables.points(s, dir), sampleSize = Params.statSample).collect())
     import org.apache.spark.sql.types._
     s.createDataFrame(
       s.sparkContext.parallelize(rows.toIndexedSeq, 1),
@@ -344,6 +341,31 @@ object SparkEntry {
         StructField("dim_j", IntegerType, false),
         StructField("vif", DoubleType, false))))
   }
+
+  /** Memoized KANNDI build (q10 and q41 run IDENTICAL params — the build is
+    * M driver-orchestrated rounds, by far the bench's biggest cost, so the
+    * second consumer must not pay it again). The assigned table is one row
+    * per point — too big to collect — so it is pinned as a localCheckpoint
+    * (at cluster scale: a checkpoint dir / persisted table). */
+  private val kanndiMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, String, Boolean), Kanndi.KanndiResult]()
+
+  private def kanndiMemoRes(s: SparkSession, dir: String, m: Int, sampleSize: Int,
+      distScale: Double = 1.0, adaptive: Boolean = false): Kanndi.KanndiResult =
+    kanndiMemo.computeIfAbsent((dir, m, sampleSize, distScale.toString, adaptive), _ => {
+      val r = Kanndi.shardAuto(s, Tables.points(s, dir), m, sampleSize, distScale, adaptive)
+      Kanndi.KanndiResult(r.assigned.localCheckpoint(), r.seeds.localCheckpoint())
+    })
+
+  /** Memoized PQ codes (q43/q44/q45 share them; codes are m bytes per point
+    * — the one input a PQ search engine persists rather than recomputes). */
+  private val pqCodesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def pqCodesMemoDf(s: SparkSession, dir: String): DataFrame =
+    pqCodesMemo.computeIfAbsent(dir, _ =>
+      Pq.encode(Tables.points(s, dir), pqFitMemo(s, dir), m = 8, dsub = 8)
+        .localCheckpoint())
 
   /** Memoized PQ codebooks shared by q43/q44. */
   private val pqMemo =
@@ -376,6 +398,9 @@ object SparkEntry {
     val k = 8      // shards (reference M ∈ {10,100,1000}, scaled to testdata)
     val iters = 3  // Lloyd's rounds (reference MAX_ITER=50; deterministic subset)
     val t = 2      // probe count (reference MAX_CENTROIDS=3, searches top-1)
+    /** First-N stats sample (reference SAMPLE_SIZE, config_*.py: 100k-5M of
+      * up to 1B points; scaled to testdata). Mirrored in Oracles.longFormCte. */
+    val statSample = 2000
     /** Demo permutation for q19: even dims then odd dims (0-based). */
     val evensOddsPerm: Seq[Int] = (0 until 64 by 2) ++ (1 until 64 by 2)
   }
@@ -468,7 +493,8 @@ object SparkEntry {
 
     "q42_anderson_darling" ->
       s"""WITH ${Oracles.longFormCte},
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+         |  WHERE vec_id < ${SparkEntry.Params.statSample}),
          |st AS (SELECT dim, avg(value) AS mu, stddev_pop(value) AS sd FROM lf GROUP BY dim),
          |rk AS (SELECT l.dim, (l.value - s.mu) / s.sd AS z,
          |    row_number() OVER (PARTITION BY l.dim ORDER BY l.value, l.id) AS i
@@ -616,8 +642,8 @@ object SparkEntry {
          |  FROM dp)
          |SELECT id_a, id_b, cosine FROM (
          |  SELECT a.id AS id_a, b.id AS id_b,
-         |    round(${Oracles.dotp("a.vec", "b.vec")} /
-         |      (sqrt(${Oracles.dotp("a.vec", "a.vec")}) * sqrt(${Oracles.dotp("b.vec", "b.vec")})), 4) AS cosine
+         |    ${Oracles.rHU(s"${Oracles.dotp("a.vec", "b.vec")} / " +
+      s"(sqrt(${Oracles.dotp("a.vec", "a.vec")}) * sqrt(${Oracles.dotp("b.vec", "b.vec")}))", 4)} AS cosine
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id)
          |WHERE cosine >= 0.99""".stripMargin,
 
@@ -670,8 +696,8 @@ object SparkEntry {
     "q33_cosine_knn" ->
       s"""WITH pairs AS (
          |  SELECT qs.qid, pts.id AS neighbor_id,
-         |    round(1 - ${Oracles.dotp("qs.qvec", "pts.vec")} /
-         |      (sqrt(${Oracles.dotp("qs.qvec", "qs.qvec")}) * sqrt(${Oracles.dotp("pts.vec", "pts.vec")})), 4) AS dist
+         |    ${Oracles.rHU(s"1 - ${Oracles.dotp("qs.qvec", "pts.vec")} / " +
+      s"(sqrt(${Oracles.dotp("qs.qvec", "qs.qvec")}) * sqrt(${Oracles.dotp("pts.vec", "pts.vec")}))", 4)} AS dist
          |  FROM (${Oracles.queryPoints(25)}) qs CROSS JOIN (${Oracles.points}) pts
          |),
          |ranked AS (
@@ -704,12 +730,13 @@ object SparkEntry {
 
     "q38_centroid_spread" ->
       s"""WITH ${Oracles.centroidCtes(Params.k, Params.iters)},
-         |cp AS (SELECT round(${Oracles.dotp("a.centroid", "b.centroid")} /
-         |    (sqrt(${Oracles.dotp("a.centroid", "a.centroid")}) *
-         |     sqrt(${Oracles.dotp("b.centroid", "b.centroid")})), 6) AS cos
+         |cp AS (SELECT ${Oracles.rHU(s"${Oracles.dotp("a.centroid", "b.centroid")} / " +
+      s"(sqrt(${Oracles.dotp("a.centroid", "a.centroid")}) * " +
+      s"sqrt(${Oracles.dotp("b.centroid", "b.centroid")}))", 6)} AS cos
          |  FROM cfin a JOIN cfin b ON a.shard_id < b.shard_id)
-         |SELECT count(*) AS n_pairs, round(min(cos), 6) AS min_cos,
-         |  round(quantile_cont(cos, 0.5), 6) AS median_cos, round(max(cos), 6) AS max_cos
+         |SELECT count(*) AS n_pairs, ${Oracles.rHU("min(cos)", 6)} AS min_cos,
+         |  ${Oracles.rHU("quantile_cont(cos, 0.5)", 6)} AS median_cos,
+         |  ${Oracles.rHU("max(cos)", 6)} AS max_cos
          |FROM cp""".stripMargin,
 
     "q39_vector_format" ->
@@ -891,10 +918,12 @@ object Oracles {
        |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM rkd WHERE rnk <= $topK""".stripMargin
   }
 
-  /** Long-form CTE `lf` (id, dim 0-based, value DOUBLE) — mirrors Stats.longForm. */
+  /** Long-form CTE `lf` (id, dim 0-based, value DOUBLE) over the first-N
+    * stats sample — mirrors Stats.longForm ∘ Stats.sampleFirst. */
   def longFormCte: String =
     s"""lf AS (SELECT p.id, dims.i - 1 AS dim, CAST(p.vec[dims.i] AS DOUBLE) AS value
-       |  FROM (SELECT vec_id AS id, embedding AS vec FROM embeddings) p
+       |  FROM (SELECT vec_id AS id, embedding AS vec FROM embeddings
+       |        WHERE vec_id < ${SparkEntry.Params.statSample}) p
        |  CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) dims)""".stripMargin
 
   /** Unordered dim pairs CTE `pairs` (dim_i < dim_j); requires `lf`. */

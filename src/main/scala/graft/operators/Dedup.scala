@@ -210,7 +210,7 @@ object Dedup {
       .join(b2, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosineSim(col("vec_a"), col("vec_b")), 4).as("cosine"))
+        roundHU(cosineSim(col("vec_a"), col("vec_b")), 4).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

@@ -51,12 +51,13 @@ object Kanndi {
       capacity: Long,
       saturationPctMin: Int = 75,
       adaptive: Boolean = false,
-      maxDoublings: Int = 3): KanndiResult = {
+      maxDoublings: Int = 3,
+      knownRows: Long = -1L): KanndiResult = {
     // Right-size partitioning for the round loop: each round runs several
     // tiny jobs (seed collect, admit, anti-join), so partitions should hold
     // ~50k+ rows or scheduling overhead dominates. Capped at the session's
     // parallelism; a real cluster run would raise the cap with its size.
-    val nRows = points.count()
+    val nRows = if (knownRows >= 0) knownRows else points.count()
     val nParts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, (nRows / 50000L).toInt + 1))
     var unassigned = points.select(col("id"), col("vec"))
@@ -65,8 +66,14 @@ object Kanndi {
     val seedRows = ArrayBuffer.empty[(Int, Seq[Float])]
     var d = d0
     var sid = 0
-    while (sid < m && !unassigned.isEmpty) {
-      val seed = unassigned.orderBy(col("id")).limit(1).collect()(0)
+    var exhausted = false
+    while (sid < m && !exhausted) {
+      // ONE TakeOrdered job doubles as the emptiness probe (empty result =>
+      // no unassigned points left) and the seed fetch.
+      val seedArr = unassigned.orderBy(col("id")).limit(1).collect()
+      if (seedArr.isEmpty) { exhausted = true }
+      else {
+      val seed = seedArr(0)
       val seedVec = seed.getSeq[Float](seed.fieldIndex("vec"))
       seedRows += ((sid, seedVec))
       val seedLit = typedLit(seedVec)
@@ -75,29 +82,40 @@ object Kanndi {
       // wrapping (a >2^31 per-shard capacity needs a window-based admission)
       require(capacity > 0 && capacity <= Int.MaxValue,
         s"shard capacity $capacity out of supported range (1, 2^31-1]")
+      val distCol = round(l2Dist(col("vec"), seedLit), 4)
       def admit(dd: Double): DataFrame =
         unassigned
-          .withColumn("dist", round(l2Dist(col("vec"), seedLit), 4))
+          .withColumn("dist", distCol)
           .where(col("dist") <= dd)
           .orderBy(col("dist"), col("id"))
           .limit(capacity.toInt)
 
-      var admitted = admit(d)
       if (adaptive) {
-        var n = admitted.count()
+        // Fold ALL escalation probes into ONE aggregate: candidate counts at
+        // d, 2d, ... 2^maxDoublings·d in a single pass over the remainder,
+        // then pick the smallest doubling that satisfies the saturation
+        // floor (exactly the reference's sequential d*=2 loop,
+        // shard_by_distance.py:161-182, without its per-step re-scan).
+        val cnts = unassigned
+          .select(distCol.as("dist"))
+          .agg(
+            sum(when(col("dist") <= d, 1L).otherwise(0L)).as("c0"),
+            (1 to maxDoublings).map(i =>
+              sum(when(col("dist") <= d * (1L << i), 1L).otherwise(0L)).as(s"c$i")): _*)
+          .collect()(0)
         var dbl = 0
-        while (n * 100 < capacity * saturationPctMin && dbl < maxDoublings) {
-          d *= 2 // DIST_MULTIPLIER escalation on starvation
+        while (dbl < maxDoublings &&
+            math.min(cnts.getLong(dbl), capacity) * 100 < capacity * saturationPctMin) {
           dbl += 1
-          admitted = admit(d)
-          n = admitted.count()
         }
+        d *= (1L << dbl).toDouble // escalated d persists into later rounds
       }
-      val admittedIds = admitted.select(col("id"), col("dist")).localCheckpoint()
+      val admittedIds = admit(d).select(col("id"), col("dist")).localCheckpoint()
       parts += admittedIds.select(col("id"), lit(sid).as("shard_id"), col("dist"))
       unassigned = unassigned.join(admittedIds.select("id"), Seq("id"), "left_anti")
       if (sid % 4 == 3) unassigned = unassigned.localCheckpoint()
       sid += 1
+      }
     }
     // leftovers -> special shard, dist undefined
     val leftover = unassigned.select(
@@ -127,6 +145,7 @@ object Kanndi {
     val medRow = Sharding.medianPairwiseDist(points, sampleSize).collect()(0)
     val d0 = medRow.getDouble(medRow.fieldIndex("median_dist")) * distScale
     val n = points.count()
-    shardByDistance(spark, points, m, d0, capacity = n / m, adaptive = adaptive)
+    shardByDistance(spark, points, m, d0, capacity = n / m, adaptive = adaptive,
+      knownRows = n)
   }
 }

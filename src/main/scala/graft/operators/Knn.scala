@@ -49,14 +49,18 @@ object Knn {
 
   /** Exact cosine top-k with point/query norms computed ONCE instead of per
     * pair (2N norm folds instead of N*Q*2). Same values as
-    * knnExact(distance = cosineDist). */
+    * knnExact(distance = cosineDist).
+    *
+    * Cosine distance is RATIO-valued, so it rounds with [[roundHU]] (not
+    * `round`) per the engine convention (VectorFunctions.roundHU doc):
+    * plain round diverges cross-engine on exact .5 decimal boundaries. */
   def knnCosine(points: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val p = points.withColumn("pn", norm2(col("vec")))
     val q = queries.withColumn("qn", norm2(col("qvec")))
     val joined = p
       .join(broadcast(q))
       .withColumn("dist",
-        round(lit(1.0) - dot(col("qvec"), col("vec")) / (col("qn") * col("pn")), 4))
+        roundHU(lit(1.0) - dot(col("qvec"), col("vec")) / (col("qn") * col("pn")), 4))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
     joined
       .withColumn("rank", row_number().over(w))

@@ -139,12 +139,13 @@ object Sharding {
     val a = centroids.select(col("shard_id").as("sa"), col("centroid").as("ca"))
     val b = centroids.select(col("shard_id").as("sb"), col("centroid").as("cb"))
     a.join(broadcast(b), col("sa") < col("sb"))
-      .select(round(cosineSim(col("ca"), col("cb")), 6).as("cos"))
+      // cosine is ratio-valued: roundHU, not round (engine convention)
+      .select(roundHU(cosineSim(col("ca"), col("cb")), 6).as("cos"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        round(min(col("cos")), 6).as("min_cos"),
-        round(expr("percentile(cos, 0.5)"), 6).as("median_cos"),
-        round(max(col("cos")), 6).as("max_cos"))
+        roundHU(min(col("cos")), 6).as("min_cos"),
+        roundHU(expr("percentile(cos, 0.5)"), 6).as("median_cos"),
+        roundHU(max(col("cos")), 6).as("max_cos"))
   }
 
   /** Log-scale histogram of shard sizes — `distributions.py:1-8` (A14/S12):

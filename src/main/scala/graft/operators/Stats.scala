@@ -27,13 +27,23 @@ object Stats {
       posexplode(col("vec")).as(Seq("dim", "v")))
       .select(col("id"), col("dim"), col("v").cast("double").as("value"))
 
+  /** Reference-faithful deterministic sample: every dataset statistic in the
+    * reference runs on the FIRST sample_size points, never the full table
+    * (variance.py:84-90 `read_bin(..., start_idx=0, chunk_size=sample_size)`;
+    * komolgorovsmirnov.py and multicollinearity.py share the pattern, with
+    * an `assert(sample_size<=100000)` guard). The id-predicate pushes down
+    * to the parquet scan, so at 100 TB the all-pairs fan-out below touches a
+    * bounded input no matter the table size. sampleSize <= 0 disables. */
+  def sampleFirst(points: DataFrame, sampleSize: Int): DataFrame =
+    if (sampleSize > 0) points.where(col("id") < sampleSize) else points
+
   /** Per-dimension variance + binned-frequency entropy
     * (variance.py:90,105-108; utils.py:238-245). Entropy bins on 2-dp
     * rounded values — the reference computes value-frequency entropy, which
     * on continuous data degenerates to ln(n); binning keeps the statistic
     * informative and deterministic. */
-  def varianceEntropy(points: DataFrame, entropyBinDp: Int = 2): DataFrame = {
-    val lf = longForm(points)
+  def varianceEntropy(points: DataFrame, entropyBinDp: Int = 2, sampleSize: Int = 0): DataFrame = {
+    val lf = longForm(sampleFirst(points, sampleSize))
     val binned = lf
       .groupBy(col("dim"), round(col("value"), entropyBinDp).as("bin"))
       .agg(count(lit(1)).as("cnt"))
@@ -68,9 +78,10 @@ object Stats {
     * 109-110 — the reference prints scipy.stats.anderson per dim):
     * A² = -n - (1/n) Σ_i [(2i-1) ln Φ(z_(i)) + (2(n-i)+1) ln(1-Φ(z_(i)))]
     * with z standardized by the population mean/std of the dimension. */
-  def andersonDarling(points: DataFrame): DataFrame = {
-    val n = points.count()
-    val lf = longForm(points)
+  def andersonDarling(points: DataFrame, sampleSize: Int = 0): DataFrame = {
+    val s = sampleFirst(points, sampleSize)
+    val n = s.count()
+    val lf = longForm(s)
     val stats = lf.groupBy(col("dim"))
       .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sd"))
     val ranked = lf
@@ -97,13 +108,14 @@ object Stats {
     * (komolgorovsmirnov.py:89-115): D = max_x |ECDF_i(x) - ECDF_j(x)|,
     * evaluated at every observed value via a RANGE-frame running count
     * (peers included, so ties are handled exactly). */
-  def ksAllPairs(points: DataFrame): DataFrame = {
+  def ksAllPairs(points: DataFrame, sampleSize: Int = 0): DataFrame = {
     // Both samples of every pair have exactly |points| values (each dim is a
     // full column), so the ECDF denominators are a driver scalar — avoids
     // two whole-partition count windows. Both running sums share one window
     // spec => ONE Window operator (one sort pass), not four.
-    val n = points.count()
-    val lf = longForm(points)
+    val s = sampleFirst(points, sampleSize)
+    val n = s.count()
+    val lf = longForm(s)
     val pairs = dimPairs(lf)
     val sideI = pairs.join(lf, col("dim_i") === col("dim"))
       .select(col("dim_i"), col("dim_j"), col("value"), lit(0).as("side"))
@@ -123,18 +135,25 @@ object Stats {
   /** Variance-of-concatenation "covariance proxy" for every pair — the
     * reference deliberately uses np.var(concat(dim_i, dim_j))
     * (variance.py:112-135), not true covariance. */
-  def covarianceProxy(points: DataFrame): DataFrame = {
-    val lf = longForm(points)
+  def covarianceProxy(points: DataFrame, sampleSize: Int = 0): DataFrame = {
+    val lf = longForm(sampleFirst(points, sampleSize))
     val pairs = dimPairs(lf)
-    val u = pairs.join(lf, col("dim_i") === col("dim") || col("dim_j") === col("dim"))
-    u.groupBy(col("dim_i"), col("dim_j"))
+    // Union of two equi-joins (sideI/sideJ, same shape as ksAllPairs):
+    // an OR-predicate join cannot hash-join and degenerates to a
+    // BroadcastNestedLoopJoin evaluating every (pair, row) combination.
+    val sideI = pairs.join(lf, col("dim_i") === col("dim"))
+      .select(col("dim_i"), col("dim_j"), col("value"))
+    val sideJ = pairs.join(lf, col("dim_j") === col("dim"))
+      .select(col("dim_i"), col("dim_j"), col("value"))
+    sideI.unionByName(sideJ)
+      .groupBy(col("dim_i"), col("dim_j"))
       .agg(round(var_pop(col("value")), 6).as("var_concat"))
   }
 
   /** Pearson correlation for every dimension pair (multicollinearity.py:92-95).
     * Wide join of the long form with itself on id. */
-  def corrPairs(points: DataFrame): DataFrame = {
-    val lf = longForm(points)
+  def corrPairs(points: DataFrame, sampleSize: Int = 0): DataFrame = {
+    val lf = longForm(sampleFirst(points, sampleSize))
     val a = lf.select(col("id"), col("dim").as("dim_i"), col("value").as("vi"))
     val b = lf.select(col("id"), col("dim").as("dim_j"), col("value").as("vj"))
     a.join(b, Seq("id"))
@@ -154,9 +173,9 @@ object Stats {
     * a driver-side Breeze inverse by design (SURVEY §2 A11); only the
     * matrix assembly is distributed. Returns long form (dim_i, dim_j, vif)
     * for ALL ordered pairs including the diagonal. */
-  def vifMatrix(spark: SparkSession, points: DataFrame): DataFrame = {
+  def vifMatrix(spark: SparkSession, points: DataFrame, sampleSize: Int = 0): DataFrame = {
     import spark.implicits._
-    val pairs = corrPairs(points).collect()
+    val pairs = corrPairs(points, sampleSize).collect()
     val d = pairs.iterator.map(r => r.getInt(1)).foldLeft(0)(math.max) + 1
     val m = DenseMatrix.eye[Double](d)
     pairs.foreach { r =>

@@ -230,11 +230,13 @@ object SparkEntry {
     "q35_sessions" -> ((s, dir) =>
       Streaming.sessionize(Tables.events(s, dir))),
 
-    // ---- M8: multimodal binary-column decode plumbing (stub kernel; rows-only)
+    // ---- M8: multimodal binary columns — byte-histogram features over the
+    // opaque payloads (REAL distributed byte math, hash-checked; the stub
+    // codec `Multimodal.decode` stays plumbing-only, exercised in specs)
     "q36_multimodal_decode" -> ((s, dir) => {
       val assets = Multimodal.syntheticAssets(
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))
-      Multimodal.decode(s, assets).toDF()
+      Multimodal.byteHistogramLong(s, assets)
     }),
 
     // ---- log-scale shard-size histogram (SURVEY §2 A14/S12)
@@ -480,6 +482,52 @@ object SparkEntry {
 
     "q10_kanndi_assign" -> Oracles.kanndi(m = 4, sampleSize = 200),
 
+    "q11_kanndi_adaptive" -> Oracles.kanndiAdaptive(m = 4, sampleSize = 200, distScale = 0.25),
+
+    "q16_vif" ->
+      s"""WITH ${Oracles.longFormCte},
+         |${Oracles.gaussJordanCtes(Oracles.dim)}
+         |SELECT dim_i, dim_j, vif FROM vif""".stripMargin,
+
+    // greedy buddy walk: edges by descending weight, appending unseen
+    // endpoints — replayed as a DuckDB RECURSIVE CTE threading the `seen`
+    // list (mirrors Stats.buddyOrder's LinkedHashSet walk exactly).
+    "q18_buddy_order" ->
+      s"""WITH RECURSIVE ${Oracles.longFormCte},
+         |${Oracles.gaussJordanCtes(Oracles.dim)},
+         |edges AS (SELECT dim_i AS src, dim_j AS dst, vif AS weight
+         |  FROM vif WHERE dim_i < dim_j
+         |    AND abs(vif) > (SELECT quantile_cont(abs(vif), 0.75)
+         |                    FROM vif WHERE dim_i < dim_j)),
+         |eo AS (SELECT src, dst,
+         |  row_number() OVER (ORDER BY weight DESC, src, dst) AS rn FROM edges),
+         |walk AS (
+         |  SELECT 0 AS rn, CAST([] AS INT[]) AS seen
+         |  UNION ALL
+         |  SELECT e.rn,
+         |    CASE WHEN list_contains(w.seen, e.src) THEN
+         |        CASE WHEN list_contains(w.seen, e.dst) THEN w.seen
+         |             ELSE list_append(w.seen, e.dst) END
+         |      ELSE
+         |        CASE WHEN list_contains(w.seen, e.dst) THEN list_append(w.seen, e.src)
+         |             ELSE list_append(list_append(w.seen, e.src), e.dst) END
+         |    END AS seen
+         |  FROM walk w JOIN eo e ON e.rn = w.rn + 1),
+         |wfin AS (SELECT seen FROM walk ORDER BY rn DESC LIMIT 1),
+         |ordr AS (SELECT list_concat(seen,
+         |    list_filter(range(0, ${Oracles.dim}),
+         |      x -> NOT list_contains(seen, CAST(x AS INT)))) AS o
+         |  FROM wfin)
+         |SELECT CAST(gs.i - 1 AS INT) AS order_idx, CAST(o[gs.i] AS INT) AS dim
+         |FROM ordr CROSS JOIN (SELECT unnest(generate_series(1, ${Oracles.dim})) AS i) gs""".stripMargin,
+
+    "q20_blended" ->
+      s"""WITH ${Oracles.ksCtes},
+         |${Oracles.gaussJordanCtes(Oracles.dim)}
+         |SELECT v.dim_i, v.dim_j, round(v.vif + (1 - k.ks), 6) AS blended
+         |FROM vif v JOIN ks k ON k.dim_i = v.dim_i AND k.dim_j = v.dim_j
+         |WHERE v.dim_i < v.dim_j""".stripMargin,
+
     "q41_kanndi_search" ->
       Oracles.kanndiSearch(m = 4, sampleSize = 200, stride = 25, topK = 10, t = Params.t),
 
@@ -722,6 +770,17 @@ object SparkEntry {
          |  max(ms) AS end_ms, round(sum(value), 2) AS sum_value
          |FROM s GROUP BY user_id, session_id""".stripMargin,
 
+    "q36_multimodal_decode" ->
+      s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
+         |h AS (SELECT id, (ord(substr(text, i, 1)) * 16) // 256 AS bin, count(*) AS cnt
+         |  FROM (SELECT id, text, unnest(generate_series(1, length(text))) AS i FROM d)
+         |  GROUP BY 1, 2),
+         |n AS (SELECT id, greatest(length(text), 1) AS n FROM d)
+         |SELECT n.id, bins.bin,
+         |  ${Oracles.rHU("coalesce(h.cnt, 0) / CAST(n.n AS DOUBLE)", 4)} AS freq
+         |FROM n CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) bins
+         |LEFT JOIN h ON h.id = n.id AND h.bin = bins.bin""".stripMargin,
+
     "q37_shard_size_hist" ->
       s"""WITH ${Oracles.assignCtes(Params.k, Params.iters)},
          |sz AS (SELECT shard_id, count(*) AS n FROM asg GROUP BY shard_id)
@@ -952,6 +1011,104 @@ object Oracles {
        |ks AS (SELECT dim_i, dim_j,
        |  round(max(abs(CAST(cum_i AS DOUBLE) / n_i - CAST(cum_j AS DOUBLE) / n_j)), 6) AS ks
        |  FROM c GROUP BY dim_i, dim_j)""".stripMargin
+
+  /** Unrolled Gauss–Jordan inverse of the (sampled) correlation matrix as a
+    * CTE chain ending in relation `vif` (dim_i, dim_j, vif) — mirrors
+    * Stats.vifMatrix op-for-op (same divide/multiply/subtract order, natural
+    * pivot order, round(corr,6) inputs), so the doubles are bit-identical.
+    * Requires `lf` (longFormCte) in scope. Steps are MATERIALIZED: each
+    * references its predecessor 4 times and naive inlining would explode
+    * exponentially across d levels. */
+  def gaussJordanCtes(d: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""corrsym AS (
+         |  SELECT dim_i AS ci, dim_j AS cj, round(corr(vi, vj), 6) AS c
+         |  FROM (SELECT id, dim AS dim_i, value AS vi FROM lf) a
+         |  JOIN (SELECT id, dim AS dim_j, value AS vj FROM lf) b USING (id)
+         |  WHERE dim_i < dim_j GROUP BY dim_i, dim_j
+         |),
+         |g0 AS MATERIALIZED (
+         |  SELECT ii.i, jj.j,
+         |    CASE WHEN jj.j < $d THEN
+         |        coalesce(cm.c, CASE WHEN ii.i = jj.j THEN 1.0 ELSE 0.0 END)
+         |      WHEN jj.j - $d = ii.i THEN 1.0 ELSE 0.0 END AS v
+         |  FROM (SELECT unnest(generate_series(0, ${d - 1})) AS i) ii
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${2 * d - 1})) AS j) jj
+         |  LEFT JOIN (SELECT ci AS i, cj AS j, c FROM corrsym
+         |             UNION ALL SELECT cj AS i, ci AS j, c FROM corrsym) cm
+         |    ON cm.i = ii.i AND cm.j = jj.j
+         |),
+         |""".stripMargin)
+    for (k <- 0 until d) {
+      sb.append(
+        s"""g${k + 1} AS MATERIALIZED (
+           |  SELECT m.i, m.j,
+           |    CASE WHEN m.i = $k THEN r.v / p.pv
+           |         ELSE m.v - c.v * (r.v / p.pv) END AS v
+           |  FROM g$k m
+           |  CROSS JOIN (SELECT v AS pv FROM g$k WHERE i = $k AND j = $k) p
+           |  JOIN (SELECT j, v FROM g$k WHERE i = $k) r ON r.j = m.j
+           |  JOIN (SELECT i, v FROM g$k WHERE j = $k) c ON c.i = m.i
+           |),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""vif AS (SELECT i AS dim_i, j - $d AS dim_j,
+         |  floor(v * 1000000.0 + 0.5) / 1000000.0 AS vif
+         |  FROM g$d WHERE j >= $d)""".stripMargin)
+    sb.toString
+  }
+
+  /** Unrolled ADAPTIVE KANNDI (mirrors Kanndi.shardAuto with adaptive=true):
+    * per round the admission distance escalates d*=2 up to maxDoublings
+    * times until the CAPPED candidate count reaches the saturation floor
+    * (shard_by_distance.py:23,161-182); the escalated d persists into later
+    * rounds, exactly like the Scala loop's mutable d. */
+  def kanndiAdaptive(m: Int, sampleSize: Int, distScale: Double,
+      maxDoublings: Int = 3, satPct: Int = 75): String = {
+    val sb = new StringBuilder
+    sb.append(s"pts AS ($ptsD),\n")
+    sb.append(
+      s"""dp0 AS (SELECT round(median(dist), 4) * CAST($distScale AS DOUBLE) AS d FROM (
+         |  SELECT ${l2("a.vec", "b.vec")} AS dist
+         |  FROM (SELECT * FROM pts WHERE id < $sampleSize) a
+         |  JOIN (SELECT * FROM pts WHERE id < $sampleSize) b ON a.id < b.id)),
+         |cap AS (SELECT count(*) // $m AS c FROM pts),
+         |u1 AS (SELECT id, vec FROM pts),
+         |""".stripMargin)
+    for (r <- 1 to m) {
+      val conds = (0 until maxDoublings).map { i =>
+        val f = 1L << i
+        s"WHEN least(sum(CASE WHEN dist <= (SELECT d FROM dp${r - 1}) * $f " +
+          s"THEN 1 ELSE 0 END), (SELECT c FROM cap)) * 100 >= " +
+          s"(SELECT c FROM cap) * $satPct THEN $f.0"
+      }.mkString("\n    ")
+      sb.append(
+        s"""sd$r AS (SELECT id, vec FROM u$r ORDER BY id LIMIT 1),
+           |cd$r AS MATERIALIZED (SELECT u.id, ${l2("u.vec", "s.vec")} AS dist
+           |  FROM u$r u CROSS JOIN sd$r s),
+           |esc$r AS (SELECT CASE
+           |    $conds
+           |    ELSE ${1L << maxDoublings}.0 END AS f
+           |  FROM cd$r),
+           |dp$r AS (SELECT (SELECT d FROM dp${r - 1}) * (SELECT f FROM esc$r) AS d),
+           |ad$r AS (SELECT id, dist FROM (
+           |  SELECT id, dist, row_number() OVER (ORDER BY dist, id) AS rn
+           |  FROM cd$r WHERE dist <= (SELECT d FROM dp$r))
+           |  WHERE rn <= (SELECT c FROM cap)),
+           |u${r + 1} AS (SELECT * FROM u$r WHERE id NOT IN (SELECT id FROM ad$r)),
+           |""".stripMargin)
+    }
+    val unions = (1 to m)
+      .map(r => s"SELECT id, ${r - 1} AS shard_id, dist FROM ad$r")
+      .mkString("", "\nUNION ALL ", "")
+    sb.append(
+      s"""fin AS (
+         |$unions
+         |UNION ALL SELECT id, -2 AS shard_id, CAST(NULL AS DOUBLE) AS dist FROM u${m + 1})""".stripMargin)
+    s"WITH ${sb.toString}\nSELECT id, shard_id, dist FROM fin"
+  }
 
   /** floor-based half-up rounding — mirrors VectorFunctions.roundHU. */
   def rHU(e: String, d: Int): String = {

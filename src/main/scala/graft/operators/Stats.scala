@@ -1,7 +1,5 @@
 package graft.operators
 
-import breeze.linalg.{inv, DenseMatrix}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -170,21 +168,46 @@ object Stats {
 
   /** VIF / multicollinearity matrix: inverse of the full correlation matrix
     * (multicollinearity.py:96-97). The corr matrix is dim x dim (64x64) —
-    * a driver-side Breeze inverse by design (SURVEY §2 A11); only the
-    * matrix assembly is distributed. Returns long form (dim_i, dim_j, vif)
-    * for ALL ordered pairs including the diagonal. */
+    * a driver-side inverse by design (SURVEY §2 A11); only the matrix
+    * assembly is distributed. Returns long form (dim_i, dim_j, vif) for ALL
+    * ordered pairs including the diagonal.
+    *
+    * The inverse is an UNPIVOTED Gauss–Jordan elimination in natural pivot
+    * order (a correlation matrix has unit diagonal and is positive definite,
+    * so pivots stay well away from zero) — chosen over a library LU/inv
+    * because every double op is elementary and ordered, which lets the
+    * DuckDB oracle replay the elimination as an unrolled CTE chain
+    * (Oracles.gaussJordanCtes) and hash-match bit-for-bit. */
   def vifMatrix(spark: SparkSession, points: DataFrame, sampleSize: Int = 0): DataFrame = {
     import spark.implicits._
     val pairs = corrPairs(points, sampleSize).collect()
     val d = pairs.iterator.map(r => r.getInt(1)).foldLeft(0)(math.max) + 1
-    val m = DenseMatrix.eye[Double](d)
+    // augmented [A | I], long-lived as a 2d-wide array
+    val a = Array.tabulate(d, 2 * d) { (i, j) =>
+      if (j == i || j == d + i) 1.0 else 0.0
+    }
     pairs.foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-      m(i, j) = c; m(j, i) = c
+      a(i)(j) = c; a(j)(i) = c
     }
-    val v = inv(m)
+    for (k <- 0 until d) {
+      val old = a.map(_.clone) // CTE-snapshot semantics: step k reads step k-1
+      val p = old(k)(k)
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < 2 * d) {
+          a(i)(j) =
+            if (i == k) old(k)(j) / p
+            else old(i)(j) - old(i)(k) * (old(k)(j) / p)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    // roundHU convention (ratio-valued output; see VectorFunctions.roundHU)
     val rows = for (i <- 0 until d; j <- 0 until d)
-      yield (i, j, BigDecimal(v(i, j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      yield (i, j, math.floor(a(i)(d + j) * 1e6 + 0.5) / 1e6)
     spark.createDataset(rows).toDF("dim_i", "dim_j", "vif")
   }
 

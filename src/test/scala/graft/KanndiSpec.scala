@@ -37,6 +37,17 @@ class KanndiSpec extends SparkSpec {
     assert(joined.where(col("sd") =!= col("dist")).count() === 0)
   }
 
+  test("m=8 run preserves invariants (round-trip cost batching)") {
+    val r = Kanndi.shardAuto(spark, pts, m = 8, sampleSize = 200)
+    val a = r.assigned.cache()
+    assert(a.count() === pts.count())
+    assert(a.select("id").distinct().count() === pts.count())
+    val maxN = a.where(col("shard_id") >= 0).groupBy("shard_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxN <= pts.count() / 8)
+    assert(r.seeds.count() <= 8)
+  }
+
   test("adaptive escalation fills shards when d starts too small") {
     val tight = Kanndi.shardAuto(spark, pts, m = 4, sampleSize = 200,
       distScale = 0.05, adaptive = false)

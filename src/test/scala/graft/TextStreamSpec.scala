@@ -60,6 +60,11 @@ class TextStreamSpec extends SparkSpec {
     // frame sampling plumbing
     val frames = Multimodal.frameSample(spark, assets, stride = 32)
     assert(frames.where(col("id") === 0).count() > 0)
+    // long-form histogram (the oracle-checked face): 16 bins/asset, sums ~1
+    val hl = Multimodal.byteHistogramLong(spark, assets)
+    assert(hl.where(col("id") === 0).count() === 16)
+    val s0 = hl.where(col("id") === 0).agg(sum(col("freq"))).head().getDouble(0)
+    assert(math.abs(s0 - 1.0) < 0.01)
   }
 
   test("streaming windowedCounts equals the batch result") {

@@ -172,8 +172,11 @@ object SparkEntry {
         .where(col("n_dups") > 1)),
 
     // ---- M8: MinHash + LSH near-duplicate pairs, Jaccard-verified
+    // (hot-band cap active: mega-bands are exact-dedup's job, see
+    // Dedup.candidatesFromBands)
     "q25_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashNearDups(docsWithDups(s, dir), threshold = 0.8)),
+      Dedup.minhashNearDups(docsWithDups(s, dir), threshold = 0.8,
+        maxBandSize = Params.maxBandSize)),
 
     // ---- M8: 32-bit SimHash fingerprints
     "q26_simhash" -> ((s, dir) =>
@@ -185,7 +188,7 @@ object SparkEntry {
       val d = Tables.documents(s, dir).select(
         col("doc_id").as("id"), col("text"),
         concat(col("lang"), lit("|"), col("source")).as("block"))
-      Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.05)
+      Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.05, maxDf = Params.maxGramDf)
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(100)
     }),
@@ -403,6 +406,10 @@ object SparkEntry {
     /** First-N stats sample (reference SAMPLE_SIZE, config_*.py: 100k-5M of
       * up to 1B points; scaled to testdata). Mirrored in Oracles.longFormCte. */
     val statSample = 2000
+    /** Hot-key caps for the dedup candidate generators (see
+      * Dedup.candidatesFromBands / ngramJaccardPairs docs). */
+    val maxBandSize = 100
+    val maxGramDf = 200
     /** Demo permutation for q19: even dims then odd dims (0-based). */
     val evensOddsPerm: Seq[Int] = (0 until 64 by 2) ++ (1 until 64 by 2)
   }
@@ -642,8 +649,10 @@ object SparkEntry {
          |bnd AS (SELECT id, unnest(list_transform(generate_series(0, 3),
          |    b -> b::VARCHAR || '_' || md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band
          |  FROM sig),
+         |bndk AS (SELECT * FROM bnd WHERE band IN (
+         |  SELECT band FROM bnd GROUP BY band HAVING count(*) <= ${Params.maxBandSize})),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.id < b.id)
+         |  FROM bndk a JOIN bndk b ON a.band = b.band AND a.id < b.id)
          |SELECT id_a, id_b, jaccard FROM (
          |  SELECT c.id_a, c.id_b,
          |    ${Oracles.rHU("CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / " +
@@ -670,10 +679,18 @@ object SparkEntry {
          |      THEN list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3))
          |      ELSE CAST([] AS VARCHAR[]) END) AS g
          |  FROM docs0),
-         |pj AS (SELECT a.id AS id_a, b.id AS id_b,
+         |ge AS (SELECT id, block, unnest(g) AS gram FROM g),
+         |cold AS (SELECT ge.* FROM ge JOIN (
+         |    SELECT block, gram FROM ge GROUP BY block, gram
+         |    HAVING count(*) <= ${Params.maxGramDf}) dfk
+         |  USING (block, gram)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM cold a JOIN cold b
+         |  ON a.block = b.block AND a.gram = b.gram AND a.id < b.id),
+         |pj AS (SELECT c.id_a, c.id_b,
          |    ${Oracles.rHU("CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / " +
       "len(list_distinct(list_concat(a.g, b.g)))", 4)} AS jaccard
-         |  FROM g a JOIN g b ON a.block = b.block AND a.id < b.id)
+         |  FROM cand c JOIN g a ON a.id = c.id_a JOIN g b ON b.id = c.id_b)
          |SELECT id_a, id_b, jaccard FROM (
          |  SELECT *, row_number() OVER (ORDER BY jaccard DESC, id_a, id_b) AS rn FROM pj
          |  WHERE jaccard >= 0.05)

@@ -63,21 +63,41 @@ object Dedup {
   }
 
   /** Candidate pairs (id_a < id_b) sharing at least one LSH band, from a
-    * (materialized) band table. */
-  def candidatesFromBands(banded: DataFrame): DataFrame =
-    banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+    * (materialized) band table.
+    *
+    * Hot-band cap (`maxBandSize` > 0): a band shared by s docs emits
+    * O(s²) pairs, and a duplicate-HEAVY corpus — exactly dedup's target —
+    * produces mega-bands that blow the self-join up quadratically. Bands
+    * over the cap are dropped from candidate generation: identical-text
+    * clusters are the ones that produce mega-bands and they belong to EXACT
+    * dedup (the cheap hash-groupBy pass runs first in a real pipeline),
+    * while genuine near-dup pairs share several independent small bands.
+    * This is the aggregation-side analogue of [[Skew]]'s salted join — a
+    * salt can spread a hot band across reducers but cannot shrink its s²
+    * output, so the cap is the correct 100 TB control. 0 disables. */
+  def candidatesFromBands(banded: DataFrame, maxBandSize: Int = 0): DataFrame = {
+    val b =
+      if (maxBandSize > 0) {
+        val keep = banded.groupBy(col("band")).agg(count(lit(1)).as("__bn"))
+          .where(col("__bn") <= maxBandSize).select("band")
+        banded.join(keep, "band")
+      } else banded
+    b.as("a")
+      .join(b.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
 
   /** Candidate pairs (id_a < id_b) sharing at least one LSH band. */
   def lshCandidates(
       docs: DataFrame, // (id, text)
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame =
+      bands: Int = 4,
+      maxBandSize: Int = 0): DataFrame =
     // eager materialization: the self-join would otherwise race both sides
     // into recomputing the (same) upstream pipeline under the cache lock
-    candidatesFromBands(minhashBandsLong(docs, numHashes, bands).localCheckpoint())
+    candidatesFromBands(minhashBandsLong(docs, numHashes, bands).localCheckpoint(),
+      maxBandSize)
 
   /** Exact Jaccard for candidate pairs against a shingle table (id, sh). */
   def jaccardFromShingles(sh: DataFrame, pairs: DataFrame): DataFrame =
@@ -105,7 +125,8 @@ object Dedup {
       docs: DataFrame,
       threshold: Double,
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBandSize: Int = 0): DataFrame = {
     val rpb = numHashes / bands
     val sh = docs.select(col("id"), shingles(col("text")).as("sh")).localCheckpoint()
     val banded = sh
@@ -113,7 +134,7 @@ object Dedup {
         graft.functions.TextExpressions.minhashSig(col("sh"), numHashes).as("sig"))
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rpb)).as("band"))
       .localCheckpoint()
-    jaccardFromShingles(sh, candidatesFromBands(banded))
+    jaccardFromShingles(sh, candidatesFromBands(banded, maxBandSize))
       .where(col("jaccard") >= threshold)
   }
 
@@ -154,10 +175,19 @@ object Dedup {
     * set sizes — all codegen'd joins + partial aggs, no per-pair array ops.
     * NOTE pairs sharing zero grams are omitted (their jaccard is 0, below
     * any positive threshold). */
+  /** @param maxDf document-frequency cap: grams appearing in more than
+    *   maxDf docs of a block (ubiquitous grams like " th") are hot shuffle
+    *   keys — a gram in s docs emits O(s²) join rows. With the cap, only
+    *   COLD grams generate candidates; the intersection count is then
+    *   patched with each candidate pair's shared HOT grams (an equi-join on
+    *   (id, gram) — linear, no pair blowup), so the reported jaccard stays
+    *   EXACT. Only pairs overlapping exclusively in ubiquitous grams are
+    *   missed — by construction low-signal pairs. 0 disables. */
   def ngramJaccardPairs(
       docs: DataFrame, // (id, text, block)
       n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxDf: Int = 0): DataFrame = {
     val grams = docs.select(col("id"), col("block"),
       explode(array_distinct(
         when(length(col("text")) >= n,
@@ -166,12 +196,32 @@ object Dedup {
           .otherwise(array().cast("array<string>")))).as("g"))
       .localCheckpoint()
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
-    val inter = grams.as("a")
-      .join(grams.as("b"),
+    val (cold, hotOpt) =
+      if (maxDf > 0) {
+        val freq = grams.groupBy(col("block"), col("g")).agg(count(lit(1)).as("__df"))
+        val coldKeys = freq.where(col("__df") <= maxDf).select("block", "g")
+        val hotKeys = freq.where(col("__df") > maxDf).select("block", "g")
+        (grams.join(coldKeys, Seq("block", "g")),
+          Some(grams.join(hotKeys, Seq("block", "g")).select(col("id"), col("g"))))
+      } else (grams, None)
+    val interCold = cold.as("a")
+      .join(cold.as("b"),
         col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter_cold"))
+    val inter = hotOpt match {
+      case None => interCold.withColumnRenamed("inter_cold", "inter")
+      case Some(hot) =>
+        val interHot = interCold.select(col("id_a"), col("id_b"))
+          .join(hot.select(col("id").as("id_a"), col("g")), "id_a")
+          .join(hot.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter_hot"))
+        interCold.join(interHot, Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"),
+            (col("inter_cold") + coalesce(col("inter_hot"), lit(0L))).as("inter"))
+    }
     inter
       .join(sizes.select(col("id").as("id_a"), col("ng").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("ng").as("nb")), "id_b")

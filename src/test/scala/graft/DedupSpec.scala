@@ -48,6 +48,40 @@ class DedupSpec extends SparkSpec {
     assert(res((0L, 3L)) === 1.0)
   }
 
+  test("hot-band cap drops a planted mega-band but still finds true near-dups") {
+    // 300 identical docs => every one of their bands has 300 members =>
+    // 4 * 300^2/2 ≈ 180k candidate pairs without the cap. With the cap the
+    // mega-band is dropped (exact dedup's job) and the candidate count
+    // collapses, while the distinct near-dup pair is still found.
+    val mega = (100L until 400L).map(i =>
+      (i, "all these documents share exactly the same repeated text body here"))
+    val all = docs.unionByName(mega.toDF("id", "text"))
+    val banded = Dedup.minhashBandsLong(all).localCheckpoint()
+    val uncapped = Dedup.candidatesFromBands(banded)
+    val capped = Dedup.candidatesFromBands(banded, maxBandSize = 50)
+    assert(uncapped.count() > 40000L) // quadratic blowup is real
+    assert(capped.count() < 100L) // cap collapses it
+    val pairs = Dedup.jaccardVerify(all, capped)
+      .where(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 3L))) // true dups survive
+  }
+
+  test("gram df-cap keeps jaccard exact while capping hot grams") {
+    val blocked = docs.withColumn("block", lit("b"))
+    // maxDf=2: grams in 3+ docs (the shared "the quick brown..." grams of
+    // docs 0/1/3) become hot; candidates must come from cold grams, but the
+    // reported jaccard still counts hot grams (exactness patch).
+    val capped = Dedup.ngramJaccardPairs(blocked, threshold = 0.9, maxDf = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val uncapped = Dedup.ngramJaccardPairs(blocked, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the exact-dup pair (0,3) shares ONLY grams with df=2 (docs 0,3) or
+    // df=3 (shared with 1); its cold grams (df<=2) make it a candidate and
+    // its jaccard must be EXACTLY the uncapped 1.0
+    assert(capped.get((0L, 3L)) === uncapped.get((0L, 3L)))
+  }
+
   test("embedding near-dups: planted copy found with cosine 1.0") {
     val pts = Tables.points(spark, sf0)
     val planted = pts.unionByName(

@@ -74,7 +74,7 @@ object SparkEntry {
       val pts = Tables.points(s, dir)
       val cents = fitCentroidsMemo(s, dir)
       val sharded = pts.join(Sharding.assign(pts, cents).select("id", "shard_id"), "id")
-      ShardedSearch.search(sharded, Tables.queryPoints(s, dir), cents, k = 10, t = Params.t)
+      searchImpl(s, sharded, Tables.queryPoints(s, dir), cents, k = 10, t = Params.t)
     }),
 
     // ---- M4: recall of routed search vs exact kNN (SURVEY §2 A13/J7)
@@ -308,9 +308,19 @@ object SparkEntry {
       val r = kanndiMemoRes(s, dir, m = 4, sampleSize = 200)
       val sharded = pts.join(
         r.assigned.where(col("shard_id") >= 0).select("id", "shard_id"), "id")
-      ShardedSearch.search(sharded, Tables.queryPoints(s, dir), r.seeds, k = 10, t = Params.t)
+      searchImpl(s, sharded, Tables.queryPoints(s, dir), r.seeds, k = 10, t = Params.t)
     })
   )
+
+  /** Routed-search top-k operator selection: the window/WindowGroupLimit
+    * form by default; GRAFT_TOPK_AGG=1 switches to the typed heap
+    * aggregator (row-identical — ShardingSpec asserts it; see
+    * ShardedSearch.searchAgg for when each wins). */
+  private def searchImpl(s: SparkSession, sharded: DataFrame, qs: DataFrame,
+      cents: DataFrame, k: Int, t: Int): DataFrame =
+    if (sys.env.get("GRAFT_TOPK_AGG").contains("1"))
+      ShardedSearch.searchAgg(s, sharded, qs, cents, k, t)
+    else ShardedSearch.search(sharded, qs, cents, k, t)
 
   /** Memoized K-Means fit: q05-q09 all need the same centroid set; the fit
     * is a driver-orchestrated loop, so cache the collected rows per

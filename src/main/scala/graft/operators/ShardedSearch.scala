@@ -57,6 +57,40 @@ object ShardedSearch {
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("dist"), col("shard_id"))
   }
 
+  /** Routed search with the typed heap aggregator as the top-k operator —
+    * row-identical to [[search]] (asserted in ShardingSpec). The heap
+    * combines map-side, so the shuffle carries |queries|·k·numPartitions
+    * rows with NO candidate sort (the window form pays a per-partition sort
+    * under WindowGroupLimit) — the better 100 TB shape when candidate sets
+    * per partition are huge. At small SF the window form's codegen'd sort
+    * beats the aggregator's kryo heap serialization; selectable per
+    * deployment (Bench compares them, see BENCH notes). */
+  def searchAgg(
+      spark: org.apache.spark.sql.SparkSession,
+      shardedPoints: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      t: Int,
+      distance: (Column, Column) => Column = l2Dist): DataFrame = {
+    import spark.implicits._
+    val routes = route(queries, centroids, t)
+    val cands = shardedPoints
+      .join(broadcast(routes), "shard_id")
+      .select(col("qid"), col("id"),
+        round(distance(col("qvec"), col("vec")), 4).as("dist"),
+        col("shard_id").cast("int").as("shard_id"))
+      .as[TopK.CandS]
+    cands
+      .groupByKey(_.qid)
+      .agg(new TopK.TopKSAggregator(k).toColumn.name("nn"))
+      .toDF("qid", "nn")
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"), col("n.dist").as("dist"),
+        col("n.shard_id").as("shard_id"))
+  }
+
   /** Recall@k of a routed result vs the exact result (recall.py:34-83
     * industrialized): per-query |routed ∩ exact| / k, then the mean. */
   def recallAtK(exact: DataFrame, routed: DataFrame, k: Int): DataFrame = {

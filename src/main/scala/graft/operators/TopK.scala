@@ -57,6 +57,43 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Neighbor]]()
   }
 
+  final case class CandS(qid: Long, id: Long, dist: Double, shard_id: Int)
+  final case class NeighborS(id: Long, dist: Double, shard_id: Int)
+
+  private def heapOrderingS: Ordering[NeighborS] =
+    Ordering.by((n: NeighborS) => (n.dist, n.id))
+
+  /** Shard-aware twin of [[TopKAggregator]] — carries the source shard of
+    * each hit through the heap (the routed-search result schema). */
+  class TopKSAggregator(k: Int)
+      extends Aggregator[CandS, mutable.PriorityQueue[NeighborS], Seq[NeighborS]] {
+    override def zero: mutable.PriorityQueue[NeighborS] =
+      mutable.PriorityQueue.empty(heapOrderingS)
+
+    override def reduce(
+        b: mutable.PriorityQueue[NeighborS],
+        a: CandS): mutable.PriorityQueue[NeighborS] = {
+      b.enqueue(NeighborS(a.id, a.dist, a.shard_id))
+      if (b.size > k) b.dequeue()
+      b
+    }
+
+    override def merge(
+        a: mutable.PriorityQueue[NeighborS],
+        b: mutable.PriorityQueue[NeighborS]): mutable.PriorityQueue[NeighborS] = {
+      b.foreach { n => a.enqueue(n); if (a.size > k) a.dequeue() }
+      a
+    }
+
+    override def finish(b: mutable.PriorityQueue[NeighborS]): Seq[NeighborS] =
+      b.toSeq.sortBy(n => (n.dist, n.id))
+
+    override def bufferEncoder: Encoder[mutable.PriorityQueue[NeighborS]] =
+      Encoders.kryo[mutable.PriorityQueue[NeighborS]]
+    override def outputEncoder: Encoder[Seq[NeighborS]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[NeighborS]]()
+  }
+
   /** Exact kNN via the aggregator: same output as Knn.knnExact. */
   def knnExactAgg(
       spark: SparkSession,

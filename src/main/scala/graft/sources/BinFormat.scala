@@ -102,6 +102,29 @@ object BinFormat {
     df.select(col("id"), transform(col("vec"), _.cast("int")).as("ids"))
   }
 
+  /** TSV projection of (id, vec): one line per vector, elements
+    * tab-separated — `fbin_to_tsv` (utils.py:179-182, np.savetxt with
+    * delimiter="\t"). Kept as a DataFrame of lines so it composes with any
+    * Spark text sink; [[writeTsv]] is the single-file export twin of
+    * [[write]]. */
+  def tsvLines(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.orderBy(col("id"))
+      .select(array_join(
+        transform(col("vec"), v => format_string("%.6f", v.cast("double"))),
+        "\t").as("line"))
+  }
+
+  /** Export (id, vec) ordered by id as a single local TSV file (S6). */
+  def writeTsv(df: DataFrame, path: String): Unit = {
+    val os = new java.io.PrintWriter(
+      new BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      val it = tsvLines(df).toLocalIterator()
+      while (it.hasNext) os.println(it.next().getString(0))
+    } finally os.close()
+  }
+
   /** Write (id, vec) ordered by id to a single reference-format file. */
   def write(df: DataFrame, path: String, elem: ElemType): Unit = {
     import org.apache.spark.sql.functions._

@@ -40,6 +40,23 @@ class BinFormatSpec extends SparkSpec {
     }
   }
 
+  test("S6 fbin -> TSV export round-trip (fbin_to_tsv)") {
+    val pts = Tables.points(spark, sf0).where(col("id") < 20)
+    val fbin = s"$tmp/s6.fbin"
+    val tsv = s"$tmp/s6.tsv"
+    // the full reference pipeline: DataFrame -> write_fbin -> read_fbin -> TSV
+    BinFormat.write(pts, fbin, F32)
+    val back = BinFormat.read(spark, fbin, F32)
+    BinFormat.writeTsv(back, tsv)
+    val lines = scala.io.Source.fromFile(tsv).getLines().toVector
+    assert(lines.size === 20)
+    assert(lines.forall(_.split("\t").length === 64))
+    // re-parse line 0 and compare to the original vector at 6dp
+    val v0 = lines.head.split("\t").map(_.toDouble)
+    val orig = pts.where(col("id") === 0).head().getSeq[Float](1)
+    assert(v0.zip(orig).forall { case (a, b) => math.abs(a - b.toDouble) < 1e-6 })
+  }
+
   test("ranged read honors the chunk offset contract (no read_ibin bug)") {
     val pts = Tables.points(spark, sf0).where(col("id") < 30)
     val path = s"$tmp/r.fbin"

@@ -64,6 +64,14 @@ class ShardingSpec extends SparkSpec {
     assert(rec.getDouble(rec.fieldIndex("recall")) === 1.0)
   }
 
+  test("searchAgg (heap aggregator) is row-identical to the window search") {
+    val qs = Tables.queryPoints(spark, sf0)
+    val sharded = pts.join(Sharding.assign(pts, cents).select("id", "shard_id"), "id")
+    val win = ShardedSearch.search(sharded, qs, cents, k = 10, t = 2)
+    val agg = ShardedSearch.searchAgg(spark, sharded, qs, cents, k = 10, t = 2)
+    assert(win.exceptAll(agg).isEmpty && agg.exceptAll(win).isEmpty)
+  }
+
   test("medianPairwiseDist matches a hand-computed tiny case") {
     import spark.implicits._
     // 3 points on a line: distances 1, 2, 3 -> median 2

@@ -164,6 +164,30 @@ object SparkEntry {
       Intervals.mergeNeighbors(iv("F").unionByName(iv("O")))
     }),
 
+    // ---- M7: full intervaltree algebra chain (SURVEY §2 O5):
+    // half-open islands -> set union -> slice(500) -> chop[600,900) ->
+    // split_overlaps (intervaltree.py:401-844)
+    "q46_interval_algebra" -> ((s, dir) => {
+      val u = Intervals.union(hoIslands(s, dir, "F"), hoIslands(s, dir, "O"))
+      Intervals.splitOverlaps(
+        Intervals.chop(Intervals.slice(u, 500L), 600L, 900L))
+    }),
+
+    // ---- M7: intervaltree set ops — difference/intersection (exact-set
+    // semantics) + remove_envelop/remove via filters + merge_overlaps
+    "q47_interval_setops" -> ((s, dir) => {
+      val a = hoIslands(s, dir, "F")
+      val b = Intervals.removeEnvelop(a, 100L, 5000L)
+      val merged = Intervals.mergeOverlapsHO(
+        Intervals.union(a, Intervals.slice(a, 500L)), strict = false)
+      Intervals.difference(a, b)
+        .select(lit("diff").as("op"), col("begin"), col("end"))
+        .unionByName(Intervals.intersection(a, b)
+          .select(lit("inter").as("op"), col("begin"), col("end")))
+        .unionByName(merged
+          .select(lit("merged").as("op"), col("begin"), col("end")))
+    }),
+
     // ---- M8: exact dedup on planted duplicates (hash-groupBy)
     "q24_dedup_exact" -> ((s, dir) =>
       docsWithDups(s, dir)
@@ -397,6 +421,14 @@ object SparkEntry {
         StructField("code", IntegerType, false),
         StructField("centroid", ArrayType(DoubleType, false), false))))
   }
+
+  /** Half-open islands of an order-status id set (the intervaltree
+    * convention: closed islands' end+1). */
+  private def hoIslands(s: SparkSession, dir: String, status: String): DataFrame =
+    Intervals.islands(
+      Tables.orders(s, dir).where(col("o_orderstatus") === status)
+        .select(col("o_orderkey").as("x")).distinct())
+      .select(col("begin"), (col("end") + 1).as("end"))
 
   /** Documents with planted duplicates (every 10th doc repeated at
     * id+100000) — the testdata has no natural dups, so dedup queries plant
@@ -644,6 +676,46 @@ object SparkEntry {
          |n AS (SELECT *, CASE WHEN pme IS NULL OR "begin" > pme + 1 THEN 1 ELSE 0 END AS ng FROM m),
          |o AS (SELECT *, sum(ng) OVER (ORDER BY "begin", "end" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM n)
          |SELECT min("begin") AS "begin", max("end") AS "end" FROM o GROUP BY grp""".stripMargin,
+
+    "q46_interval_algebra" ->
+      s"""WITH ${Oracles.hoIslandsCte("ivf", "o_orderstatus = 'F'")},
+         |${Oracles.hoIslandsCte("ivo", "o_orderstatus = 'O'")},
+         |u AS (SELECT "begin", "end" FROM ivf UNION SELECT "begin", "end" FROM ivo),
+         |sl AS (
+         |  SELECT "begin", "end" FROM u WHERE NOT ("begin" < 500 AND "end" > 500)
+         |  UNION SELECT "begin", 500 AS "end" FROM u WHERE "begin" < 500 AND "end" > 500
+         |  UNION SELECT 500 AS "begin", "end" FROM u WHERE "begin" < 500 AND "end" > 500),
+         |ch AS (
+         |  SELECT "begin", "end" FROM sl WHERE "end" <= 600 OR "begin" >= 900
+         |  UNION SELECT "begin", 600 AS "end" FROM sl WHERE "begin" < 600 AND "end" > 600
+         |  UNION SELECT 900 AS "begin", "end" FROM sl WHERE "end" > 900 AND "begin" <= 900),
+         |bounds AS (SELECT DISTINCT b FROM (
+         |  SELECT "begin" AS b FROM ch UNION ALL SELECT "end" AS b FROM ch)),
+         |bp AS (SELECT b AS lb, lead(b) OVER (ORDER BY b) AS ub FROM bounds)
+         |SELECT DISTINCT bp.lb AS "begin", bp.ub AS "end"
+         |FROM ch JOIN bp ON ch."begin" <= bp.lb AND bp.lb < ch."end"
+         |WHERE bp.ub IS NOT NULL""".stripMargin,
+
+    "q47_interval_setops" ->
+      s"""WITH ${Oracles.hoIslandsCte("a", "o_orderstatus = 'F'")},
+         |b AS (SELECT * FROM a WHERE NOT ("begin" >= 100 AND "end" <= 5000)),
+         |sl AS (
+         |  SELECT "begin", "end" FROM a WHERE NOT ("begin" < 500 AND "end" > 500)
+         |  UNION SELECT "begin", 500 AS "end" FROM a WHERE "begin" < 500 AND "end" > 500
+         |  UNION SELECT 500 AS "begin", "end" FROM a WHERE "begin" < 500 AND "end" > 500),
+         |us AS (SELECT "begin", "end" FROM a UNION SELECT "begin", "end" FROM sl),
+         |mm AS (SELECT "begin", "end",
+         |  max("end") OVER (ORDER BY "begin", "end"
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM us),
+         |mn AS (SELECT *, CASE WHEN pme IS NULL OR "begin" > pme THEN 1 ELSE 0 END AS ng FROM mm),
+         |mo AS (SELECT *, sum(ng) OVER (ORDER BY "begin", "end"
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM mn),
+         |m AS (SELECT min("begin") AS "begin", max("end") AS "end" FROM mo GROUP BY grp)
+         |SELECT 'diff' AS op, "begin", "end" FROM
+         |  (SELECT "begin", "end" FROM a EXCEPT SELECT "begin", "end" FROM b)
+         |UNION ALL SELECT 'inter' AS op, "begin", "end" FROM
+         |  (SELECT "begin", "end" FROM a INTERSECT SELECT "begin", "end" FROM b)
+         |UNION ALL SELECT 'merged' AS op, "begin", "end" FROM m""".stripMargin,
 
     "q24_dedup_exact" ->
       s"""WITH ${Oracles.dupDocsCte}
@@ -1171,6 +1243,14 @@ object Oracles {
     * predicate — mirrors Intervals.islands. */
   def islandsCte(where: String): String =
     s"""iv AS (SELECT min(x) AS "begin", max(x) AS "end" FROM (
+       |  SELECT x, x - row_number() OVER (ORDER BY x) AS grp
+       |  FROM (SELECT DISTINCT o_orderkey AS x FROM orders WHERE $where)) g
+       |GROUP BY grp)""".stripMargin
+
+  /** Half-open islands CTE (end = closed end + 1) under a chosen name —
+    * mirrors SparkEntry.hoIslands / the intervaltree convention. */
+  def hoIslandsCte(name: String, where: String): String =
+    s"""$name AS (SELECT min(x) AS "begin", max(x) + 1 AS "end" FROM (
        |  SELECT x, x - row_number() OVER (ORDER BY x) AS grp
        |  FROM (SELECT DISTINCT o_orderkey AS x FROM orders WHERE $where)) g
        |GROUP BY grp)""".stripMargin

@@ -61,6 +61,104 @@ object Intervals {
       .groupBy(col("x"))
       .agg(max(col("begin").isNotNull).as("in_intervals"))
 
+  // --------------------------------------------------------------------
+  // intervaltree algebra — the full surface of the reference's vendored
+  // intervaltree (/root/reference/src/intervaltree/intervaltree.py:
+  // 401-844), over HALF-OPEN [begin, end) intervals (that library's
+  // convention; the closed-interval islands above convert via end+1).
+  // Every op except splitOverlaps is a map-only projection/filter — they
+  // scale trivially; splitOverlaps joins the boundary table (≤2n rows).
+  // Interval DataFrames are SETS: ops normalize with distinct(), matching
+  // the library's set semantics.
+  // --------------------------------------------------------------------
+
+  /** chop (intervaltree.py:496-519): remove all coverage of [lo, hi),
+    * trimming intervals that hang into the chopped range. */
+  def chop(ivs: DataFrame, lo: Long, hi: Long): DataFrame = {
+    val untouched = ivs.where(col("end") <= lo || col("begin") >= hi)
+    val leftPieces = ivs.where(col("begin") < lo && col("end") > lo)
+      .select(col("begin"), lit(lo).cast("long").as("end"))
+    val rightPieces = ivs.where(col("end") > hi && col("begin") <= hi)
+      .select(lit(hi).cast("long").as("begin"), col("end"))
+    untouched.unionByName(leftPieces).unionByName(rightPieces).distinct()
+  }
+
+  /** slice (intervaltree.py:521-543): split intervals containing `p`
+    * strictly inside into a lower and an upper piece. */
+  def slice(ivs: DataFrame, p: Long): DataFrame = {
+    val hit = col("begin") < p && col("end") > p
+    ivs.where(!hit)
+      .unionByName(ivs.where(hit).select(col("begin"), lit(p).cast("long").as("end")))
+      .unionByName(ivs.where(hit).select(lit(p).cast("long").as("begin"), col("end")))
+      .distinct()
+  }
+
+  /** split_overlaps (intervaltree.py:622-644): split every interval along
+    * ALL boundary points, so the result's intervals either match exactly or
+    * are disjoint. Relational form: adjacent boundary pairs (lead window
+    * over the distinct boundary set) joined back to the intervals covering
+    * their lower bound. */
+  def splitOverlaps(ivs: DataFrame): DataFrame = {
+    val bounds = ivs.select(col("begin").as("b"))
+      .unionByName(ivs.select(col("end").as("b"))).distinct()
+    val pairs = bounds
+      .withColumn("u", lead(col("b"), 1).over(Window.orderBy(col("b"))))
+      .where(col("u").isNotNull)
+      .select(col("b").as("lb"), col("u").as("ub"))
+    ivs.join(pairs, col("begin") <= col("lb") && col("lb") < col("end"))
+      .select(col("lb").as("begin"), col("ub").as("end"))
+      .distinct()
+  }
+
+  /** Exact-interval set difference (intervaltree.py:401-410 — identity
+    * difference, NOT coverage subtraction; use [[chop]] for coverage). */
+  def difference(a: DataFrame, b: DataFrame): DataFrame =
+    a.distinct().join(b, Seq("begin", "end"), "left_anti")
+
+  /** Exact-interval set union (intervaltree.py:419-424). */
+  def union(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Exact-interval set intersection (intervaltree.py:426-434). */
+  def intersection(a: DataFrame, b: DataFrame): DataFrame =
+    a.distinct().join(b, Seq("begin", "end"), "left_semi")
+
+  /** remove_overlap (intervaltree.py:470-481): drop intervals overlapping
+    * the range [lo, hi). */
+  def removeOverlap(ivs: DataFrame, lo: Long, hi: Long): DataFrame =
+    ivs.where(!(col("begin") < hi && col("end") > lo))
+
+  /** remove_envelop (intervaltree.py:483-494): drop intervals completely
+    * inside [lo, hi). */
+  def removeEnvelop(ivs: DataFrame, lo: Long, hi: Long): DataFrame =
+    ivs.where(!(col("begin") >= lo && col("end") <= hi))
+
+  /** merge_overlaps (intervaltree.py:645-708) over half-open intervals:
+    * strict=true merges only strictly-overlapping intervals (touching ones
+    * stay separate); strict=false also merges touching. Same
+    * compressed-input caveat as [[mergeNeighbors]]. */
+  def mergeOverlapsHO(ivs: DataFrame, strict: Boolean = true): DataFrame = {
+    val wPrev = Window
+      .orderBy(col("begin"), col("end"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val newGrp =
+      if (strict)
+        when(col("prev_max_end").isNull || col("begin") >= col("prev_max_end"), 1).otherwise(0)
+      else
+        when(col("prev_max_end").isNull || col("begin") > col("prev_max_end"), 1).otherwise(0)
+    ivs
+      .withColumn("prev_max_end", max(col("end")).over(wPrev))
+      .withColumn("new_grp", newGrp)
+      .withColumn(
+        "grp",
+        sum(col("new_grp")).over(
+          Window.orderBy(col("begin"), col("end"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("grp"))
+      .agg(min(col("begin")).as("begin"), max(col("end")).as("end"))
+      .select(col("begin"), col("end"))
+  }
+
   /** Merge overlapping/adjacent closed intervals (union + merge_neighbors,
     * utils.py:378-384): an interval starts a new island when its begin
     * exceeds 1 + max(end) of everything before it. */

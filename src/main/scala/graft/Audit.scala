@@ -26,6 +26,17 @@ object Audit {
       ("band equi-join (no cross product)", p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")))
     audit("q34_events_window")(
       ("partial agg before shuffle", _.contains("HashAggregate")))
+    audit("q14_covar_proxy")(
+      // the OR-predicate form degenerated to a nested loop over every
+      // (pair, row) combination; the union-of-equi-joins must hash-join
+      ("no nested-loop join", p => !p.contains("BroadcastNestedLoopJoin")),
+      ("pair equi-join", p => p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")))
+    audit("q13_ks_pairs")(
+      ("sample pushed to scan", _.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id")))
+    audit("q46_interval_algebra")(
+      // split_overlaps is a coverage sweep; a pieces-x-intervals range join
+      // would be a nested loop (measured 58s vs 2s at sf0.1)
+      ("no range-join nested loop", p => !p.contains("BroadcastNestedLoopJoin")))
     spark.stop()
   }
 }

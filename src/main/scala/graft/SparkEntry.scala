@@ -429,6 +429,9 @@ object SparkEntry {
       Tables.orders(s, dir).where(col("o_orderstatus") === status)
         .select(col("o_orderkey").as("x")).distinct())
       .select(col("begin"), (col("end") + 1).as("end"))
+      // several set-algebra consumers reference the islands result — pin it
+      // (compressed, tiny) instead of re-running the islands computation
+      .localCheckpoint()
 
   /** Documents with planted duplicates (every 10th doc repeated at
     * id+100000) — the testdata has no natural dups, so dedup queries plant

@@ -73,41 +73,65 @@ object Intervals {
   // --------------------------------------------------------------------
 
   /** chop (intervaltree.py:496-519): remove all coverage of [lo, hi),
-    * trimming intervals that hang into the chopped range. */
+    * trimming intervals that hang into the chopped range. Single-pass
+    * explode (a 3-branch union would re-evaluate the whole upstream plan
+    * 3×): each interval emits its surviving pieces — itself when outside
+    * the chop range, else its left/right hangers (a piece is valid iff
+    * begin < end). */
   def chop(ivs: DataFrame, lo: Long, hi: Long): DataFrame = {
-    val untouched = ivs.where(col("end") <= lo || col("begin") >= hi)
-    val leftPieces = ivs.where(col("begin") < lo && col("end") > lo)
-      .select(col("begin"), lit(lo).cast("long").as("end"))
-    val rightPieces = ivs.where(col("end") > hi && col("begin") <= hi)
-      .select(lit(hi).cast("long").as("begin"), col("end"))
-    untouched.unionByName(leftPieces).unionByName(rightPieces).distinct()
+    val b = col("begin")
+    val e = col("end")
+    val pieces = when(e <= lo || b >= hi,
+        array(struct(b.as("begin"), e.as("end"))))
+      .otherwise(filter(
+        array(
+          struct(b.as("begin"), lit(lo).cast("long").as("end")),
+          struct(lit(hi).cast("long").as("begin"), e.as("end"))),
+        p => p.getField("begin") < p.getField("end")))
+    ivs.select(explode(pieces).as("p"))
+      .select(col("p.begin").as("begin"), col("p.end").as("end"))
+      .distinct()
   }
 
   /** slice (intervaltree.py:521-543): split intervals containing `p`
-    * strictly inside into a lower and an upper piece. */
+    * strictly inside into a lower and an upper piece. Single-pass explode,
+    * as in [[chop]]. */
   def slice(ivs: DataFrame, p: Long): DataFrame = {
-    val hit = col("begin") < p && col("end") > p
-    ivs.where(!hit)
-      .unionByName(ivs.where(hit).select(col("begin"), lit(p).cast("long").as("end")))
-      .unionByName(ivs.where(hit).select(lit(p).cast("long").as("begin"), col("end")))
+    val b = col("begin")
+    val e = col("end")
+    val pieces = when(b < p && e > p,
+        array(
+          struct(b.as("begin"), lit(p).cast("long").as("end")),
+          struct(lit(p).cast("long").as("begin"), e.as("end"))))
+      .otherwise(array(struct(b.as("begin"), e.as("end"))))
+    ivs.select(explode(pieces).as("q"))
+      .select(col("q.begin").as("begin"), col("q.end").as("end"))
       .distinct()
   }
 
   /** split_overlaps (intervaltree.py:622-644): split every interval along
     * ALL boundary points, so the result's intervals either match exactly or
-    * are disjoint. Relational form: adjacent boundary pairs (lead window
-    * over the distinct boundary set) joined back to the intervals covering
-    * their lower bound. */
+    * are disjoint.
+    *
+    * Implemented as a COVERAGE SWEEP, not a range join: the output set is
+    * exactly the adjacent-boundary pieces (lb, ub) whose lower bound is
+    * covered by ≥1 interval, and coverage at lb is the running sum of
+    * (+1 at begin, -1 at end) events — one partial-agg + one sort/window,
+    * no join. (A literal pieces⋈intervals range join is a nested-loop:
+    * measured 58s vs 0.3s at sf0.1.) The window runs over the boundary
+    * set — same compressed-input caveat as [[mergeNeighbors]]. */
   def splitOverlaps(ivs: DataFrame): DataFrame = {
-    val bounds = ivs.select(col("begin").as("b"))
-      .unionByName(ivs.select(col("end").as("b"))).distinct()
-    val pairs = bounds
-      .withColumn("u", lead(col("b"), 1).over(Window.orderBy(col("b"))))
-      .where(col("u").isNotNull)
-      .select(col("b").as("lb"), col("u").as("ub"))
-    ivs.join(pairs, col("begin") <= col("lb") && col("lb") < col("end"))
-      .select(col("lb").as("begin"), col("ub").as("end"))
-      .distinct()
+    val d = ivs.select(col("begin"), col("end")).distinct()
+    val events = d.select(col("begin").as("b"), lit(1).as("delta"))
+      .unionByName(d.select(col("end").as("b"), lit(-1).as("delta")))
+      .groupBy(col("b")).agg(sum(col("delta")).as("net"))
+    val wOrd = Window.orderBy(col("b"))
+    events
+      .withColumn("cov",
+        sum(col("net")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("ub", lead(col("b"), 1).over(wOrd))
+      .where(col("ub").isNotNull && col("cov") > 0)
+      .select(col("b").as("begin"), col("ub").as("end"))
   }
 
   /** Exact-interval set difference (intervaltree.py:401-410 — identity

@@ -95,11 +95,16 @@ object Stats {
       .agg(round(-lit(n.toDouble) - sum(contrib) / lit(n.toDouble), 4).as("ad_stat"))
   }
 
-  /** Unordered dimension pairs (dim_i < dim_j) of a long form. */
-  private def dimPairs(lf: DataFrame): DataFrame = {
-    val dims = lf.select(col("dim")).distinct()
-    dims.select(col("dim").as("dim_i"))
-      .join(dims.select(col("dim").as("dim_j")), col("dim_i") < col("dim_j"))
+  /** Unordered dimension pairs (dim_i < dim_j). The dimension count is a
+    * schema property (fixed-width vectors), so the ≤dim² pair table is
+    * built driver-side as a literal — a `dim_i < dim_j` theta-join would
+    * plan as a nested loop and pollute the big pipeline's plan. */
+  private def dimPairs(points: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val d = points.select(size(col("vec"))).head().getInt(0)
+    val rows = for { i <- 0 until d; j <- i + 1 until d } yield (i, j)
+    spark.createDataset(rows).toDF("dim_i", "dim_j")
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic for every dimension pair
@@ -114,7 +119,7 @@ object Stats {
     val s = sampleFirst(points, sampleSize)
     val n = s.count()
     val lf = longForm(s)
-    val pairs = dimPairs(lf)
+    val pairs = dimPairs(s)
     val sideI = pairs.join(lf, col("dim_i") === col("dim"))
       .select(col("dim_i"), col("dim_j"), col("value"), lit(0).as("side"))
     val sideJ = pairs.join(lf, col("dim_j") === col("dim"))
@@ -134,8 +139,9 @@ object Stats {
     * reference deliberately uses np.var(concat(dim_i, dim_j))
     * (variance.py:112-135), not true covariance. */
   def covarianceProxy(points: DataFrame, sampleSize: Int = 0): DataFrame = {
-    val lf = longForm(sampleFirst(points, sampleSize))
-    val pairs = dimPairs(lf)
+    val s = sampleFirst(points, sampleSize)
+    val lf = longForm(s)
+    val pairs = dimPairs(s)
     // Union of two equi-joins (sideI/sideJ, same shape as ksAllPairs):
     // an OR-predicate join cannot hash-join and degenerates to a
     // BroadcastNestedLoopJoin evaluating every (pair, row) combination.

@@ -325,6 +325,21 @@ object SparkEntry {
       Pq.adcSearchRouted(qs, candidates, codes, cb, m = 8, dsub = 8, k = 10)
     }),
 
+    // ---- fbin DataSourceV2 end-to-end (SURVEY §2 S1-S5 + §7.3's deferred
+    // DSv2): export -> format("fbin") read with id-range pushdown + norm
+    "q48_fbin_source" -> ((s, dir) => {
+      import graft.functions.VectorFunctions._
+      val tmp = s"/tmp/graft_fbin_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.fbin"
+      synchronized {
+        if (!new java.io.File(tmp).exists())
+          graft.sources.BinFormat.write(
+            Tables.points(s, dir).where(col("id") < 500), tmp, graft.sources.BinFormat.F32)
+      }
+      s.read.format("fbin").load(tmp)
+        .where(col("id") >= 100 && col("id") < 200)
+        .select(col("id"), round(norm2(col("vec")), 4).as("norm"))
+    }),
+
     // ---- M5: KANNDI routed search — the reference's E3 with the seed
     // router over the distance-built shards (kanndi_search.py:28-66)
     "q41_kanndi_search" -> ((s, dir) => {
@@ -590,6 +605,11 @@ object SparkEntry {
       stride = 25, topK = 10, t = Params.t),
 
     "q44_pq_adc_search" -> Oracles.pqAdc(m = 8, dsub = 8, k = 16, stride = 25, topK = 10),
+
+    "q48_fbin_source" ->
+      s"""SELECT vec_id AS id,
+         |  round(sqrt(${Oracles.dotp("embedding", "embedding")}), 4) AS norm
+         |FROM embeddings WHERE vec_id >= 100 AND vec_id < 200""".stripMargin,
 
     "q42_anderson_darling" ->
       s"""WITH ${Oracles.longFormCte},

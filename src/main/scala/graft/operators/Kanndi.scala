@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -131,6 +132,90 @@ object Kanndi {
       spark.sparkContext.parallelize(seedRows.toSeq.map { case (s, v) => Row(s, v) }, 1),
       schema)
     KanndiResult(assigned, seeds)
+  }
+
+  /** Batched multi-seed KANNDI — the 100 TB path for the build loop.
+    *
+    * The reference's loop is seed-sequential, which costs M driver rounds
+    * (its own 100M-point build ran 5h24m). This variant admits to
+    * `batchSeeds` seeds per round: the batch's seeds are the lowest
+    * unprocessed ids, every unassigned point within `d` of ANY batch seed
+    * goes to its NEAREST one (engine ranking convention), and per-shard
+    * capacity is enforced nearest-first via a per-shard rank
+    * (`row_number <= cap` → WindowGroupLimit partial limits before the
+    * shuffle). Rounds drop from M to ceil(M/batchSeeds).
+    *
+    * With batchSeeds=1 this is EXACTLY [[shardByDistance]] (KanndiSpec
+    * asserts result equality); with larger batches it deviates from the
+    * sequential reference the same way mini-batch K-Means deviates from
+    * Lloyd's — same capacity/distance invariants, near-identical shards,
+    * documented as the scale path. Adaptive escalation is intentionally
+    * not supported here (escalation is a per-seed sequential decision). */
+  def shardByDistanceBatched(
+      spark: SparkSession,
+      points: DataFrame,
+      m: Int,
+      d0: Double,
+      capacity: Long,
+      batchSeeds: Int = 8,
+      knownRows: Long = -1L): KanndiResult = {
+    require(capacity > 0 && capacity <= Int.MaxValue,
+      s"shard capacity $capacity out of supported range (1, 2^31-1]")
+    val nRows = if (knownRows >= 0) knownRows else points.count()
+    val nParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nRows / 50000L).toInt + 1))
+    var unassigned = points.select(col("id"), col("vec"))
+      .repartition(nParts).localCheckpoint()
+    val parts = ArrayBuffer.empty[DataFrame]
+    val seedRows = ArrayBuffer.empty[(Int, Seq[Float])]
+    val d = d0
+    var sid = 0
+    var exhausted = false
+    while (sid < m && !exhausted) {
+      val s = math.min(batchSeeds, m - sid)
+      val batch = unassigned.orderBy(col("id")).limit(s).collect()
+      if (batch.isEmpty) { exhausted = true }
+      else {
+        val seeds = batch.zipWithIndex.map { case (r, i) =>
+          (sid + i, r.getSeq[Float](r.fieldIndex("vec")))
+        }
+        seeds.foreach(seedRows += _)
+        val seedsDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            seeds.toIndexedSeq.map { case (id0, v) => Row(id0, v) }, 1),
+          StructType(Seq(
+            StructField("shard_id", IntegerType, false),
+            StructField("centroid", ArrayType(FloatType, true), true))))
+        val admitted = unassigned
+          .join(broadcast(seedsDf))
+          .withColumn("dist", round(l2Dist(col("vec"), col("centroid")), 4))
+          .where(col("dist") <= d)
+          .groupBy(col("id"))
+          .agg(min(struct(col("dist"), col("shard_id"))).as("best"))
+          .select(col("id"), col("best.shard_id").as("shard_id"), col("best.dist").as("dist"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("shard_id")).orderBy(col("dist"), col("id"))))
+          .where(col("rk") <= capacity.toInt)
+          .select(col("id"), col("shard_id"), col("dist"))
+          .localCheckpoint()
+        parts += admitted
+        unassigned = unassigned.join(admitted.select("id"), Seq("id"), "left_anti")
+          .localCheckpoint()
+        sid += seeds.length
+      }
+    }
+    val leftover = unassigned.select(
+      col("id"),
+      lit(SpecialShard).as("shard_id"),
+      lit(null).cast(DoubleType).as("dist"))
+    val assigned = (parts :+ leftover).reduce(_.unionByName(_))
+    val schema = StructType(Seq(
+      StructField("shard_id", IntegerType, false),
+      StructField("centroid", ArrayType(FloatType, true), true)))
+    val seedsOut = spark.createDataFrame(
+      spark.sparkContext.parallelize(seedRows.toSeq.map { case (s0, v) => Row(s0, v) }, 1),
+      schema)
+    KanndiResult(assigned, seedsOut)
   }
 
   /** Convenience: full reference pipeline — estimate d from a sample median,

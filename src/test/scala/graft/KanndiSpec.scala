@@ -48,6 +48,37 @@ class KanndiSpec extends SparkSpec {
     assert(r.seeds.count() <= 8)
   }
 
+  test("batched variant with batchSeeds=1 equals the sequential build exactly") {
+    val med = graft.operators.Sharding
+      .medianPairwiseDist(pts, 200).collect()(0).getDouble(1)
+    val seq = Kanndi.shardByDistance(spark, pts, m = 4, d0 = med,
+      capacity = pts.count() / 4)
+    val bat = Kanndi.shardByDistanceBatched(spark, pts, m = 4, d0 = med,
+      capacity = pts.count() / 4, batchSeeds = 1)
+    assert(seq.assigned.exceptAll(bat.assigned).isEmpty &&
+      bat.assigned.exceptAll(seq.assigned).isEmpty)
+    assert(seq.seeds.exceptAll(bat.seeds).isEmpty)
+  }
+
+  test("batched multi-seed build preserves invariants in ceil(m/batch) rounds") {
+    val med = graft.operators.Sharding
+      .medianPairwiseDist(pts, 200).collect()(0).getDouble(1)
+    val r = Kanndi.shardByDistanceBatched(spark, pts, m = 8, d0 = med,
+      capacity = pts.count() / 8, batchSeeds = 4)
+    val a = r.assigned.cache()
+    assert(a.count() === pts.count())
+    assert(a.select("id").distinct().count() === pts.count())
+    val maxN = a.where(col("shard_id") >= 0).groupBy("shard_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxN <= pts.count() / 8)
+    // every admitted point is within d of its OWN seed
+    import graft.functions.VectorFunctions._
+    val joined = a.where(col("shard_id") >= 0)
+      .join(pts, "id").join(r.seeds, "shard_id")
+      .withColumn("sd", round(l2Dist(col("vec"), col("centroid")), 4))
+    assert(joined.where(col("sd") > med).count() === 0)
+  }
+
   test("adaptive escalation fills shards when d starts too small") {
     val tight = Kanndi.shardAuto(spark, pts, m = 4, sampleSize = 200,
       distScale = 0.05, adaptive = false)

@@ -104,8 +104,7 @@ object SparkEntry {
       Stats.varianceEntropy(Tables.points(s, dir), sampleSize = Params.statSample)),
 
     // ---- M6: two-sample Kolmogorov–Smirnov, all dim pairs (SURVEY §2 A8)
-    "q13_ks_pairs" -> ((s, dir) =>
-      Stats.ksAllPairs(Tables.points(s, dir), sampleSize = Params.statSample)),
+    "q13_ks_pairs" -> ((s, dir) => ksMemoDf(s, dir)),
 
     // ---- M6: variance-of-concatenation covariance proxy (SURVEY §2 A7)
     "q14_covar_proxy" -> ((s, dir) =>
@@ -120,8 +119,7 @@ object SparkEntry {
 
     // ---- M6: percentile-thresholded KS similarity graph (SURVEY §2 A12)
     "q17_ks_graph" -> ((s, dir) =>
-      Stats.buddyGraph(
-        Stats.ksAllPairs(Tables.points(s, dir), sampleSize = Params.statSample), "ks", 0.75)),
+      Stats.buddyGraph(ksMemoDf(s, dir), "ks", 0.75)),
 
     // ---- M6: greedy buddy ordering over the VIF graph (SURVEY §2 W4; driver-side)
     "q18_buddy_order" -> ((s, dir) => {
@@ -137,7 +135,7 @@ object SparkEntry {
     "q20_blended" -> ((s, dir) =>
       Stats.blend(
         vifMemoDf(s, dir).where(col("dim_i") < col("dim_j")),
-        Stats.ksAllPairs(Tables.points(s, dir), sampleSize = Params.statSample))),
+        ksMemoDf(s, dir))),
 
     // ---- M7: gaps-and-islands interval extraction (SURVEY §2 W5)
     "q21_islands" -> ((s, dir) =>
@@ -377,6 +375,22 @@ object SparkEntry {
       StructType(Seq(
         StructField("shard_id", IntegerType, false),
         StructField("centroid", ArrayType(DoubleType, false), false))))
+  }
+
+  /** Memoized KS pair table (q13/q17/q20 all consume it; ≤dim²/2 rows). */
+  private val ksMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+
+  private def ksMemoDf(s: SparkSession, dir: String): DataFrame = {
+    val rows = ksMemo.computeIfAbsent(dir, _ =>
+      Stats.ksAllPairs(Tables.points(s, dir), sampleSize = Params.statSample).collect())
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("dim_i", IntegerType, false),
+        StructField("dim_j", IntegerType, false),
+        StructField("ks", DoubleType, false))))
   }
 
   /** Memoized VIF matrix (shared by q16/q18/q20 — the corr assembly is the

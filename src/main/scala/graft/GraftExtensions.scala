@@ -38,6 +38,16 @@ object GraftExtensions {
     ("dot_product",
       info("dot_product", "dot_product(a, b) - dot product of two numeric arrays"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("cosine_sim",
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        Divide(
+          DotProduct(es(0), es(1)),
+          Multiply(
+            Sqrt(DotProduct(es(0), es(0))),
+            Sqrt(DotProduct(es(1), es(1)))))
+      }),
     ("minhash_signature",
       info("minhash_signature", "minhash_signature(shingles, k) - array of k md5 minhash hex strings"),
       (es: Seq[Expression]) => {

@@ -15,5 +15,10 @@ class ExtensionsSpec extends SparkSpec {
     val sig = spark.sql(
       "SELECT minhash_signature(array('a b c', 'b c d'), 4) AS s").head().getSeq[String](0)
     assert(sig.length === 4 && sig.forall(_.length == 32))
+
+    val cs = spark.sql(
+      "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c," +
+        " cosine_sim(array(1.0F, 0.0F), array(0.0F, 1.0F)) AS o").head()
+    assert(cs.getDouble(0) === 1.0 && cs.getDouble(1) === 0.0)
   }
 }

@@ -90,6 +90,56 @@ object Streaming {
       }
   }
 
+  final case class BandDoc(band: String, id: Long)
+  final case class BandState(ids: List[Long])
+  final case class CandPair(id_a: Long, id_b: Long, band: String)
+
+  /** Streaming LSH near-duplicate candidates: documents arrive as a stream,
+    * band keys are computed map-side by the same codegen'd MinHash
+    * expression as the batch path, and per-band GroupState holds the ids
+    * seen so far — each new member emits a candidate pair against every
+    * earlier member of its band, ACROSS micro-batches.
+    *
+    * The hot-band cap bounds the state: a band at `maxBandSize` stops
+    * admitting (mega-bands are exact-dedup's job, see
+    * Dedup.candidatesFromBands), so state is O(bands × cap) and per-band
+    * emission is ≤ cap·(cap-1)/2 — no quadratic blowup, by construction.
+    * Unlike the batch cap (which drops an over-cap band retroactively),
+    * the streaming cap keeps the band's FIRST cap members: a stream
+    * cannot retract already-emitted pairs. Pairs may repeat across bands;
+    * downstream dedups (streaming `dropDuplicates` or batch distinct).
+    * Works identically on a batch Dataset (one micro-batch). */
+  def streamingLshCandidates(
+      docs: DataFrame, // streaming or batch (id, text)
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBandSize: Int = 100): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    val rpb = numHashes / bands
+    docs
+      .select(col("id"),
+        graft.functions.TextExpressions.minhashSig(
+          Dedup.shingles(col("text")), numHashes).as("sig"))
+      .select(col("id"), explode(Dedup.lshBandKeys(col("sig"), bands, rpb)).as("band"))
+      .as[BandDoc]
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (band: String, it: Iterator[BandDoc], state: GroupState[BandState]) =>
+          var seen = state.getOption.map(_.ids).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          it.foreach { d =>
+            if (seen.length < maxBandSize && !seen.contains(d.id)) {
+              seen.foreach { p =>
+                out += CandPair(math.min(p, d.id), math.max(p, d.id), band)
+              }
+              seen = d.id :: seen
+            }
+          }
+          state.update(BandState(seen))
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization (batch form): a new session starts when the
     * gap to the previous event of the same user reaches `gapMs` (split on
     * gap >= gapMs — the same boundary rule as Spark's `session_window`, so

@@ -137,4 +137,33 @@ class TextStreamSpec extends SparkSpec {
     assert(total === Tables.events(spark, sf0).count())
     assert(e.where(col("end_ms") < col("start_ms")).count() === 0)
   }
+
+  test("streaming LSH near-dup: cross-batch pairs, state capped per band") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingLshCandidates(in.toDF().toDF("id", "text"), maxBandSize = 10)
+      .writeStream.outputMode("append").format("memory").queryName("lshcands").start()
+    try {
+      in.addData((0L, a), (2L, "completely different content about engines"))
+      q.processAllAvailable()
+      // batch 1: no same-band pairs yet
+      val after1 = spark.table("lshcands").count()
+      // batch 2: the exact dup of doc 0 arrives — must pair ACROSS batches
+      in.addData((3L, a))
+      q.processAllAvailable()
+      val pairs = spark.table("lshcands")
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((0L, 3L)))
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+      assert(after1 === 0L)
+    } finally q.stop()
+    // batch mode: cap bounds emission for a planted mega-cluster
+    val mega = (0L until 50L).map(i => (i, a)).toDF("id", "text")
+    val capped = Streaming.streamingLshCandidates(mega, maxBandSize = 5)
+    // each of the 4 bands admits at most 5 members -> <= 4 * C(5,2) rows
+    assert(capped.count() <= 40L)
+  }
 }

@@ -243,6 +243,11 @@ object SparkEntry {
       TextStats.fingerprint(
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
 
+    // ---- M8: winnowing (MOSS) fingerprint over rolling char-k-gram hashes
+    "q49_winnowing" -> ((s, dir) =>
+      TextStats.winnowingFingerprint(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
+
     // ---- M8: cosine brute-force top-k over embeddings
     "q33_cosine_knn" -> ((s, dir) =>
       Knn.knnCosine(Tables.points(s, dir), Tables.queryPoints(s, dir), k = 10)),
@@ -876,6 +881,25 @@ object SparkEntry {
          |${Oracles.shinglesCte("docs0")}
          |SELECT id, array_to_string(list_sort(list_transform(sh, s -> md5(s)))[1:5], '|') AS fingerprint
          |FROM sh""".stripMargin,
+
+    "q49_winnowing" -> {
+      val k = 8; val w = 4
+      val pows = Array.iterate(1L, k)(p => p * 257L % 1000000007L).reverse
+      s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
+         |pos AS (SELECT id, i,
+         |    list_sum(list_transform(generate_series(0, ${k - 1}),
+         |      j -> CAST(ord(substr(text, i + j, 1)) AS BIGINT) *
+         |        (list_value(${pows.mkString(",")}))[j + 1])) % 1000000007 AS h
+         |  FROM (SELECT id, text, unnest(generate_series(1, length(text) - ${k - 1})) AS i
+         |        FROM d WHERE length(text) >= $k)),
+         |wm AS (SELECT id, i, min(h) OVER (PARTITION BY id ORDER BY i
+         |    ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS wmin FROM pos),
+         |dm AS (SELECT DISTINCT id, wmin FROM wm WHERE i >= $w),
+         |fp AS (SELECT id, string_agg(CAST(wmin AS VARCHAR), '|' ORDER BY wmin) AS fp
+         |  FROM dm GROUP BY id)
+         |SELECT d.id, coalesce(fp.fp, '') AS fingerprint
+         |FROM d LEFT JOIN fp USING (id)""".stripMargin
+    },
 
     "q33_cosine_knn" ->
       s"""WITH pairs AS (

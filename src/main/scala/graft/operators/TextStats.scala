@@ -1,5 +1,6 @@
 package graft.operators
 
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -91,4 +92,41 @@ object TextStats {
       array_join(
         slice(array_sort(transform(Dedup.shingles(col("text")), s => md5(s))), 1, k),
         "|").as("fingerprint"))
+
+  /** Winnowing fingerprint (the MOSS algorithm) over ROLLING char-k-gram
+    * hashes: Karp–Rabin polynomial hash h(i) = Σ_j ord(text[i+j])·B^(k-1-j)
+    * mod M in pure 64-bit integer arithmetic (engine-portable, no floats),
+    * then the minimum hash of every w-length hash window; the distinct
+    * window minima, sorted, are the fingerprint. Short docs (< k+w-1
+    * chars) fingerprint to the empty string.
+    *
+    * Scale shape: positions explode linearly (n per doc); the sliding
+    * minimum is a per-doc ROWS window — partitioned by id, never global. */
+  def winnowingFingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val B = 257L
+    val M = 1000000007L
+    val pows = Array.iterate(1L, k)(p => p * B % M).reverse // B^(k-1-j) mod M
+    val powCol = array(pows.map(lit): _*)
+    val positions = docs.select(col("id"),
+      posexplode(
+        when(length(col("text")) >= k,
+          transform(sequence(lit(1), length(col("text")) - (k - 1)), i =>
+            aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
+              (acc, j) => acc + ascii(col("text").substr(i + j, lit(1))) *
+                element_at(powCol, j + 1)) % M))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos")).rowsBetween(-(w - 1), 0)
+    val minima = positions
+      .withColumn("wmin", min(col("h")).over(win))
+      .where(col("pos") >= w - 1) // full windows only (pos is 0-based)
+      .select(col("id"), col("wmin")).distinct()
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("wmin"))), _.cast("string")),
+        "|").as("fp"))
+    docs.select(col("id"))
+      .join(minima, Seq("id"), "left")
+      .select(col("id"), coalesce(col("fp"), lit("")).as("fingerprint"))
+  }
 }

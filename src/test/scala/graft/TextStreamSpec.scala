@@ -130,6 +130,23 @@ class TextStreamSpec extends SparkSpec {
     assert(got.except(expect).count() === 0)
   }
 
+  test("winnowing fingerprint: rolling-hash minima, dup-stable, short-doc empty") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (0L, a), (1L, a), // identical docs -> identical fingerprints
+      (2L, "tiny"), // shorter than k -> empty fingerprint
+      (3L, a + " by the river")).toDF("id", "text")
+    val fp = TextStats.winnowingFingerprint(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) === fp(1L) && fp(0L).nonEmpty)
+    assert(fp(2L) === "")
+    // a suffix edit preserves most winnowed minima (containment property)
+    val s0 = fp(0L).split('|').toSet
+    val s3 = fp(3L).split('|').toSet
+    assert((s0 intersect s3).size.toDouble / s0.size > 0.6)
+  }
+
   test("sessionize: gap splits sessions per user") {
     val e = Streaming.sessionize(Tables.events(spark, sf0))
     // every user has at least one session; session event counts sum to total

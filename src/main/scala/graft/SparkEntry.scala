@@ -315,6 +315,12 @@ object SparkEntry {
       Pq.adcSearch(Tables.queryPoints(s, dir), pqCodesMemoDf(s, dir),
         pqFitMemo(s, dir), m = 8, dsub = 8, k = 10)),
 
+    // ---- PQ + exact re-rank (refine): compact-code recall with exact
+    // final distances — the production PQ accuracy knob
+    "q50_pq_refine" -> ((s, dir) =>
+      Pq.adcRefine(Tables.queryPoints(s, dir), pqCodesMemoDf(s, dir),
+        pqFitMemo(s, dir), Tables.points(s, dir), m = 8, dsub = 8, k = 10)),
+
     // ---- the full modern ANN stack: IVF routing + PQ codes (ADC)
     "q45_ivfpq_search" -> ((s, dir) => {
       val pts = Tables.points(s, dir)
@@ -624,6 +630,9 @@ object SparkEntry {
       stride = 25, topK = 10, t = Params.t),
 
     "q44_pq_adc_search" -> Oracles.pqAdc(m = 8, dsub = 8, k = 16, stride = 25, topK = 10),
+
+    "q50_pq_refine" ->
+      Oracles.pqRefine(m = 8, dsub = 8, k = 16, stride = 25, topK = 10, refine = 4),
 
     "q48_fbin_source" ->
       s"""SELECT vec_id AS id,
@@ -1353,6 +1362,31 @@ object Oracles {
     val encU = (0 until m).map(s0 => s"SELECT * FROM enc$s0").mkString("\nUNION ALL ")
     sb.append(s",\ncb AS ($cbU),\nencall AS ($encU)")
     sb.toString
+  }
+
+  /** ADC + exact re-rank (mirrors Pq.adcRefine). */
+  def pqRefine(m: Int, dsub: Int, k: Int, stride: Int, topK: Int, refine: Int): String = {
+    val qsubU = (0 until m).map { s0 =>
+      val lo = s0 * dsub + 1
+      val hi = s0 * dsub + dsub
+      s"SELECT id AS qid, $s0 AS sub, vec[$lo:$hi] AS qsv FROM pts WHERE id % $stride = 0"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${pqCtes(m, dsub, k)},
+       |qs AS (SELECT id AS qid, vec AS qvec FROM pts WHERE id % $stride = 0),
+       |qsub AS ($qsubU),
+       |lut AS (SELECT q.qid, q.sub, c.code, ${l2sqFrag("q.qsv", "c.centroid", dsub)} AS pd
+       |  FROM qsub q JOIN cb c ON c.sub = q.sub),
+       |adists AS (SELECT l.qid, e.id, round(sqrt(sum(l.pd)), 4) AS approx_dist
+       |  FROM encall e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+       |  GROUP BY l.qid, e.id),
+       |ark AS (SELECT qid, id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY approx_dist, id) AS rnk FROM adists),
+       |cand AS (SELECT qid, id FROM ark WHERE rnk <= ${topK * refine}),
+       |ex AS (SELECT c.qid, c.id, ${l2("q.qvec", "p.vec")} AS dist
+       |  FROM cand c JOIN qs q ON q.qid = c.qid JOIN pts p ON p.id = c.id),
+       |rk AS (SELECT qid, id, dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk FROM ex)
+       |SELECT qid, rnk AS "rank", id AS neighbor_id, dist FROM rk WHERE rnk <= $topK""".stripMargin
   }
 
   def pqEncode(m: Int, dsub: Int, k: Int): String =

@@ -95,6 +95,35 @@ object Pq {
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("approx_dist"))
   }
 
+  /** ADC search with EXACT RE-RANK (the "refine" stage every production PQ
+    * engine ships): ADC proposes top-(k·refine) candidates from the compact
+    * codes, then the raw vectors of ONLY those candidates are fetched for
+    * exact distances and the top-k re-ranked. At 100 TB the raw-vector
+    * access is a broadcast-semi-join-shaped point lookup of |Q|·k·refine
+    * ids against the (sorted/bucketed) points table — never a scan of the
+    * full corpus with per-pair math. Returns exact (qid, rank, neighbor_id,
+    * dist). */
+  def adcRefine(
+      queries: DataFrame, // (qid, qvec)
+      codes: DataFrame,
+      codebooks: DataFrame,
+      points: DataFrame, // (id, vec) raw vectors for the refine fetch
+      m: Int,
+      dsub: Int,
+      k: Int,
+      refine: Int = 4): DataFrame = {
+    val approx = adcSearch(queries, codes, codebooks, m, dsub, k * refine)
+    val cand = approx.select(col("qid"), col("neighbor_id").as("id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    points
+      .join(broadcast(cand), "id")
+      .join(broadcast(queries), "qid")
+      .withColumn("dist", round(l2Dist(col("qvec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("dist"))
+  }
+
   /** ADC top-k search over encoded points: (qid, rank, neighbor_id,
     * approx_dist). `codes` is the long-form encode output. */
   def adcSearch(

@@ -36,6 +36,23 @@ class PqSpec extends SparkSpec {
     assert(self.count() >= qs.count() / 2)
   }
 
+  test("refine stage: exact re-rank beats raw ADC recall") {
+    val qs = Tables.queryPoints(spark, sf0)
+    val exact = Knn.knnExact(pts, qs, 10)
+    val adc = Pq.adcSearch(qs, codes, cb, m = 8, dsub = 8, k = 10)
+    val refined = Pq.adcRefine(qs, codes, cb, pts, m = 8, dsub = 8, k = 10, refine = 4)
+    val rAdc = ShardedSearch.recallAtK(exact, adc, 10).head().getDouble(1)
+    val rRef = ShardedSearch.recallAtK(exact, refined, 10).head().getDouble(1)
+    assert(rRef >= rAdc, s"refine $rRef < adc $rAdc")
+    assert(rRef > 0.35, s"refined recall $rRef") // wider pool + exact dist (k=8 codebooks)
+    // refined distances are EXACT l2 of the returned ids
+    import graft.functions.VectorFunctions._
+    val check = refined.join(pts.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+      .join(qs, "qid")
+      .where(round(l2Dist(col("qvec"), col("vec")), 4) =!= col("dist"))
+    assert(check.count() === 0)
+  }
+
   test("ivf-pq: routed ADC search returns ranked results per query") {
     val qs = Tables.queryPoints(spark, sf0)
     val cents = graft.operators.Sharding.fitCentroids(spark, pts, k = 4, iters = 2)

@@ -172,6 +172,22 @@ object Sharding {
         col("n"),
         round(col("n") * 100.0 / expectedShardSize, 2).as("saturation_pct"))
 
+  /** Bucketed-by-id layout: co-locates rows by hash(id) so REPEATED
+    * id-equi-joins against the corpus — refine fetches (Pq.adcRefine),
+    * recall joins, ground-truth joins, incremental upserts — are
+    * EXCHANGE-FREE: both sides read pre-bucketed files and sort-merge join
+    * without any shuffle (asserted in ShardingSpec). The complement of
+    * [[writeSharded]]: partitionBy(shard_id) prunes the SEARCH path,
+    * bucketBy(id) de-shuffles the LOOKUP path; a production index uses
+    * both (partition columns and bucket spec compose in one write). */
+  def writeBucketedById(points: DataFrame, table: String, buckets: Int): Unit =
+    points.write
+      .mode("overwrite")
+      .bucketBy(buckets, "id")
+      .sortBy("id")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Persist points partitioned by shard — the engine's "index build" sink.
     * Sorting within partitions by id keeps parquet row-groups clusterable;
     * at 100 TB each shard_id directory is independently scannable and the

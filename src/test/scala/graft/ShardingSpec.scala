@@ -72,6 +72,19 @@ class ShardingSpec extends SparkSpec {
     assert(win.exceptAll(agg).isEmpty && agg.exceptAll(win).isEmpty)
   }
 
+  test("bucketed-by-id layout joins exchange-free") {
+    Sharding.writeBucketedById(pts, "pts_bkt_a", 4)
+    Sharding.writeBucketedById(pts.select(col("id"), col("vec").as("vec2")), "pts_bkt_b", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("pts_bkt_a").join(spark.table("pts_bkt_b"), "id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      assert(j.count() === pts.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("medianPairwiseDist matches a hand-computed tiny case") {
     import spark.implicits._
     // 3 points on a line: distances 1, 2, 3 -> median 2

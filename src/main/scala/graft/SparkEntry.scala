@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Intervals, Kanndi, Knn, Multimodal, Pq, Sharding, ShardedSearch, Stats, Streaming, TextStats}
+import graft.operators.{Dedup, Intervals, Kanndi, Knn, Multimodal, Pq, Sharding, ShardedSearch, Sq, Stats, Streaming, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -315,6 +315,14 @@ object SparkEntry {
       Pq.adcSearch(Tables.queryPoints(s, dir), pqCodesMemoDf(s, dir),
         pqFitMemo(s, dir), m = 8, dsub = 8, k = 10)),
 
+    // ---- SQ8 scalar quantization: range fit -> uint8 encode ->
+    // asymmetric dequantized search (the second standard compression)
+    "q51_sq_search" -> ((s, dir) => {
+      val ranges = sqRangesMemo(s, dir)
+      Sq.searchAsym(Sq.encode(Tables.points(s, dir), ranges), ranges,
+        Tables.queryPoints(s, dir), k = 10)
+    }),
+
     // ---- PQ + exact re-rank (refine): compact-code recall with exact
     // final distances — the production PQ accuracy knob
     "q50_pq_refine" -> ((s, dir) =>
@@ -387,6 +395,13 @@ object SparkEntry {
         StructField("shard_id", IntegerType, false),
         StructField("centroid", ArrayType(DoubleType, false), false))))
   }
+
+  /** Memoized SQ8 ranges (2·dim doubles — a driver artifact). */
+  private val sqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Double, Double)]]()
+
+  private def sqRangesMemo(s: SparkSession, dir: String): Array[(Double, Double)] =
+    sqMemo.computeIfAbsent(dir, _ => Sq.fitRanges(Tables.points(s, dir)))
 
   /** Memoized KS pair table (q13/q17/q20 all consume it; ≤dim²/2 rows). */
   private val ksMemo =
@@ -633,6 +648,24 @@ object SparkEntry {
 
     "q50_pq_refine" ->
       Oracles.pqRefine(m = 8, dsub = 8, k = 16, stride = 25, topK = 10, refine = 4),
+
+    "q51_sq_search" ->
+      s"""WITH pts AS (${Oracles.ptsD}),
+         |rng AS (SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his FROM (
+         |  SELECT dims.i AS dim, min(p.vec[dims.i]) AS lo, max(p.vec[dims.i]) AS hi
+         |  FROM pts p CROSS JOIN (SELECT unnest(generate_series(1, ${Oracles.dim})) AS i) dims
+         |  GROUP BY dims.i)),
+         |dq AS (SELECT p.id, list_transform(generate_series(1, ${Oracles.dim}), i ->
+         |    r.los[i] + (CASE WHEN r.his[i] = r.los[i] THEN 0.0
+         |      ELSE floor((p.vec[i] - r.los[i]) / (r.his[i] - r.los[i]) * 255) END + 0.5)
+         |      * (r.his[i] - r.los[i]) / 256.0) AS vec
+         |  FROM pts p CROSS JOIN rng r),
+         |qs AS (SELECT id AS qid, vec AS qvec FROM pts WHERE id % 25 = 0),
+         |pairs AS (SELECT qs.qid, dq.id AS neighbor_id, ${Oracles.l2("qs.qvec", "dq.vec")} AS dist
+         |  FROM qs CROSS JOIN dq),
+         |ranked AS (SELECT qid, neighbor_id, dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS "rank" FROM pairs)
+         |SELECT qid, "rank", neighbor_id, dist FROM ranked WHERE "rank" <= 10""".stripMargin,
 
     "q48_fbin_source" ->
       s"""SELECT vec_id AS id,

@@ -205,6 +205,11 @@ object SparkEntry {
       Dedup.simhash32(
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
 
+    // ---- M8: SimHash near-dup pairs via multi-index hamming banding
+    "q52_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDups(docsWithDups(s, dir), maxHamming = 3,
+        maxBandSize = Params.maxBandSize)),
+
     // ---- M8: char-3-gram Jaccard top pairs, blocked on (lang, source)
     "q27_ngram_jaccard" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(
@@ -837,6 +842,30 @@ object SparkEntry {
          |s AS (SELECT id, b, sum(2 * bit - 1) AS s FROM w GROUP BY id, b)
          |SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
          |FROM s GROUP BY id""".stripMargin,
+
+    "q52_simhash_neardup" ->
+      s"""WITH ${Oracles.dupDocsCte},
+         |th AS (SELECT id, md5(tok) AS h FROM
+         |  (SELECT id, unnest(string_split(text, ' ')) AS tok FROM ddocs)),
+         |v AS (SELECT id, b,
+         |    instr('0123456789abcdef', substr(h, 1 + b // 4, 1)) - 1 AS hv
+         |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)),
+         |w AS (SELECT id, b, (hv // CAST(power(2, 3 - b % 4) AS INT)) % 2 AS bit FROM v),
+         |sm AS (SELECT id, b, sum(2 * bit - 1) AS s FROM w GROUP BY id, b),
+         |sim AS (SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+         |  FROM sm GROUP BY id),
+         |bnd AS (SELECT id, b2::VARCHAR || '_' || substr(simhash, b2 * 8 + 1, 8) AS band
+         |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b2)),
+         |bndk AS (SELECT * FROM bnd WHERE band IN (
+         |  SELECT band FROM bnd GROUP BY band HAVING count(*) <= ${Params.maxBandSize})),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bndk a JOIN bndk b ON a.band = b.band AND a.id < b.id),
+         |ham AS (SELECT c.id_a, c.id_b,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      i -> CASE WHEN substr(sa.simhash, i, 1) != substr(sb.simhash, i, 1)
+         |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+         |  FROM cand c JOIN sim sa ON sa.id = c.id_a JOIN sim sb ON sb.id = c.id_b)
+         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
 
     "q27_ngram_jaccard" ->
       s"""WITH docs0 AS (SELECT doc_id AS id, text, lang || '|' || source AS block FROM documents),

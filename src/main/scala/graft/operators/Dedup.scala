@@ -167,6 +167,44 @@ object Dedup {
       zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
 
+  /** SimHash near-duplicate pairs via MULTI-INDEX HAMMING banding
+    * (pigeonhole): split the 32-bit fingerprint into maxHamming+1 bands —
+    * any pair within hamming distance maxHamming must agree EXACTLY on at
+    * least one band, so candidate generation is an equi-join on
+    * (band_idx, band_bits) and only candidates pay the exact hamming
+    * verify. The same bucket-first shape as MinHash-LSH, for the hamming
+    * metric; `maxBandSize` caps hot bands exactly like
+    * [[candidatesFromBands]]. Requires (maxHamming+1) | 32. */
+  def simhashNearDups(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      maxBandSize: Int = 0): DataFrame = {
+    val nBands = maxHamming + 1
+    require(32 % nBands == 0, s"maxHamming+1 = $nBands must divide 32")
+    val width = 32 / nBands
+    val sh = simhash32(docs).localCheckpoint()
+    val banded0 = sh.select(col("id"),
+      explode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+        concat(b.cast("string"), lit("_"),
+          col("simhash").substr(b * width + 1, lit(width)))))
+        .as("band"))
+    val banded =
+      if (maxBandSize > 0) {
+        val keep = banded0.groupBy(col("band")).agg(count(lit(1)).as("__bn"))
+          .where(col("__bn") <= maxBandSize).select("band")
+        banded0.join(keep, "band")
+      } else banded0
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("simhash").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("simhash").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), hammingBits(col("sh_a"), col("sh_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Character-n-gram Jaccard near-dup pairs, blocked on grouping columns
     * (e.g. lang) so the pairwise join never crosses blocks.
     *

@@ -48,6 +48,19 @@ class DedupSpec extends SparkSpec {
     assert(res((0L, 3L)) === 1.0)
   }
 
+  test("simhash near-dups via multi-index hamming banding") {
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 3L)) === 0) // exact dup: hamming 0, always found
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated absent
+    // pigeonhole completeness: every pair within hamming 3 is found
+    val sh = Dedup.simhash32(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = sh(a).zip(sh(b)).count { case (x, y) => x != y } if h <= 3
+    } assert(pairs.contains((a, b)), s"missed pair ($a,$b) at hamming $h")
+  }
+
   test("hot-band cap drops a planted mega-band but still finds true near-dups") {
     // 300 identical docs => every one of their bands has 300 members =>
     // 4 * 300^2/2 ≈ 180k candidate pairs without the cap. With the cap the

@@ -248,6 +248,26 @@ object SparkEntry {
       TextStats.fingerprint(
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
 
+    // ---- M8: TF-IDF top terms per doc (keyword extraction)
+    "q54_tfidf" -> ((s, dir) =>
+      TextStats.tfidfTopTerms(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
+
+    // ---- index-on-disk end-to-end: writeSharded partitionBy(shard_id)
+    // layout -> pruned read -> routed search (same result set as q08)
+    "q53_sharded_layout" -> ((s, dir) => {
+      val path = s"/tmp/graft_shards_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val cents = fitCentroidsMemo(s, dir)
+      synchronized {
+        if (!new java.io.File(path).exists()) {
+          val pts = Tables.points(s, dir)
+          Sharding.writeSharded(pts, Sharding.assign(pts, cents), path)
+        }
+      }
+      ShardedSearch.search(
+        s.read.parquet(path), Tables.queryPoints(s, dir), cents, k = 10, t = Params.t)
+    }),
+
     // ---- M8: winnowing (MOSS) fingerprint over rolling char-k-gram hashes
     "q49_winnowing" -> ((s, dir) =>
       TextStats.winnowingFingerprint(
@@ -952,6 +972,23 @@ object SparkEntry {
          |${Oracles.shinglesCte("docs0")}
          |SELECT id, array_to_string(list_sort(list_transform(sh, s -> md5(s)))[1:5], '|') AS fingerprint
          |FROM sh""".stripMargin,
+
+    "q53_sharded_layout" ->
+      s"""WITH ${Oracles.routedCtes(Params.k, Params.iters, 25, 10, Params.t)}
+         |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM routed""".stripMargin,
+
+    "q54_tfidf" ->
+      s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
+         |toks AS (SELECT id, unnest(string_split(text, ' ')) AS word FROM d),
+         |tf AS (SELECT id, word, count(*) AS tf FROM toks GROUP BY id, word),
+         |dfq AS (SELECT word, count(*) AS df FROM
+         |  (SELECT DISTINCT id, word FROM toks) GROUP BY word),
+         |sc AS (SELECT tf.id, tf.word,
+         |    round(tf.tf * ln(CAST((SELECT count(*) FROM d) AS DOUBLE) / dfq.df), 6) AS score
+         |  FROM tf JOIN dfq USING (word)),
+         |rk AS (SELECT id, word, score,
+         |  row_number() OVER (PARTITION BY id ORDER BY score DESC, word) AS "rank" FROM sc)
+         |SELECT id, "rank", word, score FROM rk WHERE "rank" <= 3""".stripMargin,
 
     "q49_winnowing" -> {
       val k = 8; val w = 4

@@ -93,6 +93,27 @@ object TextStats {
         slice(array_sort(transform(Dedup.shingles(col("text")), s => md5(s))), 1, k),
         "|").as("fingerprint"))
 
+  /** TF-IDF top terms per document: tf = term count in doc, idf =
+    * ln(N/df) over the corpus, top `topN` terms by (score desc, word asc).
+    * The classic relevance/keyword-extraction scoring of a text pipeline;
+    * both aggregations are partial-agg shuffles on small keys.
+    * Returns (id, rank, word, score). */
+  def tfidfTopTerms(docs: DataFrame, topN: Int = 3): DataFrame = {
+    val n = docs.count()
+    val toks = docs.select(col("id"), explode(split(col("text"), " ")).as("word"))
+    val tf = toks.groupBy(col("id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("word"))
+    tf.join(df, "word")
+      .select(col("id"), col("word"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+      .select(col("id"), col("rank"), col("word"), col("score"))
+  }
+
   /** Winnowing fingerprint (the MOSS algorithm) over ROLLING char-k-gram
     * hashes: Karp–Rabin polynomial hash h(i) = Σ_j ord(text[i+j])·B^(k-1-j)
     * mod M in pure 64-bit integer arithmetic (engine-portable, no floats),

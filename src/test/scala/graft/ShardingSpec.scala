@@ -73,6 +73,18 @@ class ShardingSpec extends SparkSpec {
   }
 
   test("bucketed-by-id layout joins exchange-free") {
+    // clean both catalog entries AND orphan warehouse dirs from prior JVMs
+    for (t <- Seq("pts_bkt_a", "pts_bkt_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
     Sharding.writeBucketedById(pts, "pts_bkt_a", 4)
     Sharding.writeBucketedById(pts.select(col("id"), col("vec").as("vec2")), "pts_bkt_b", 4)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -31,8 +31,14 @@ object Audit {
       // (pair, row) combination; the union-of-equi-joins must hash-join
       ("no nested-loop join", p => !p.contains("BroadcastNestedLoopJoin")),
       ("pair equi-join", p => p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")))
-    audit("q13_ks_pairs")(
-      ("sample pushed to scan", _.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id")))
+    // q13 itself serves memoized rows; audit the underlying operator's scan
+    locally {
+      val plan = graft.operators.Stats
+        .ksAllPairs(Tables.points(spark, dir), sampleSize = 2000)
+        .queryExecution.executedPlan.toString
+      val ok = plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id")
+      println(f"ksAllPairs(sampled)     ${if (ok) "OK " else "MISS"} sample pushed to scan")
+    }
     audit("q46_interval_algebra")(
       // split_overlaps is a coverage sweep; a pieces-x-intervals range join
       // would be a nested loop (measured 58s vs 2s at sf0.1)

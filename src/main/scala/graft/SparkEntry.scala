@@ -248,6 +248,11 @@ object SparkEntry {
       TextStats.fingerprint(
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
 
+    // ---- M8: repetition quality metrics (duplicate n-gram fractions)
+    "q55_repetition" -> ((s, dir) =>
+      TextStats.repetitionScores(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
+
     // ---- M8: TF-IDF top terms per doc (keyword extraction)
     "q54_tfidf" -> ((s, dir) =>
       TextStats.tfidfTopTerms(
@@ -976,6 +981,27 @@ object SparkEntry {
     "q53_sharded_layout" ->
       s"""WITH ${Oracles.routedCtes(Params.k, Params.iters, 25, 10, Params.t)}
          |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM routed""".stripMargin,
+
+    "q55_repetition" ->
+      s"""WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+         |base AS (SELECT id,
+         |    ${Oracles.rHU("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)", 4)} AS dup_word_frac,
+         |    CASE WHEN len(w) >= 3 THEN
+         |      ${Oracles.rHU("1.0 - CAST(len(list_distinct(list_transform(" +
+      "generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' ')))) AS DOUBLE) / (len(w) - 2)", 4)}
+         |    ELSE 0.0 END AS dup_3gram_frac,
+         |    CASE WHEN len(w) >= 2
+         |      THEN list_transform(generate_series(1, len(w) - 1), i -> array_to_string(w[i:i+1], ' '))
+         |      ELSE CAST([] AS VARCHAR[]) END AS bigrams
+         |  FROM d),
+         |bgc AS (SELECT id, bg, count(*) AS cnt FROM
+         |  (SELECT id, unnest(bigrams) AS bg FROM base) GROUP BY id, bg),
+         |tb AS (SELECT id,
+         |    ${Oracles.rHU("CAST(max_cnt AS DOUBLE) / nbg", 4)} AS top_bigram_frac
+         |  FROM (SELECT id, max(cnt) AS max_cnt, sum(cnt) AS nbg FROM bgc GROUP BY id))
+         |SELECT b.id, b.dup_word_frac, b.dup_3gram_frac,
+         |  coalesce(tb.top_bigram_frac, 0.0) AS top_bigram_frac
+         |FROM base b LEFT JOIN tb USING (id)""".stripMargin,
 
     "q54_tfidf" ->
       s"""WITH d AS (SELECT doc_id AS id, text FROM documents),

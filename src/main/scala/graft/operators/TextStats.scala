@@ -93,6 +93,45 @@ object TextStats {
         slice(array_sort(transform(Dedup.shingles(col("text")), s => md5(s))), 1, k),
         "|").as("fingerprint"))
 
+  /** Repetition metrics per document — the repetition family of
+    * training-data quality filters (the "duplicate n-gram fraction" rules
+    * popularized by the Gopher/MassiveText filtering literature):
+    *  - dup_word_frac: 1 - distinct(words)/words
+    *  - top_bigram_frac: occurrences of the most frequent word bigram /
+    *    total bigrams (ties: lexicographically first bigram)
+    *  - dup_3gram_frac: 1 - distinct(word-3-grams)/3-grams
+    * All ratios roundHU(4); degenerate short docs score 0. Pure per-doc
+    * column math + one small groupBy for the bigram mode — linear. */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    def grams(n: Int) =
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => array_join(slice(w, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val base = docs.select(col("id"),
+      roundHU(lit(1.0) - size(array_distinct(w)).cast("double") / size(w), 4)
+        .as("dup_word_frac"),
+      when(size(w) >= 3,
+        roundHU(lit(1.0) -
+          size(array_distinct(grams(3))).cast("double") / (size(w) - 2), 4))
+        .otherwise(lit(0.0)).as("dup_3gram_frac"),
+      grams(2).as("bigrams"))
+    // mode bigram with (cnt desc, bg asc) tie-break: min of (-cnt, bg)
+    val topBg = base.select(col("id"), explode(col("bigrams")).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(
+        min(struct((-col("cnt")).as("nc"), col("bg"))).as("m"),
+        sum(col("cnt")).as("nbg"))
+      .select(col("id"),
+        roundHU((-col("m.nc")).cast("double") / col("nbg"), 4).as("top_bigram_frac"))
+    base.select(col("id"), col("dup_word_frac"), col("dup_3gram_frac"))
+      .join(topBg, Seq("id"), "left")
+      .select(col("id"), col("dup_word_frac"), col("dup_3gram_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** TF-IDF top terms per document: tf = term count in doc, idf =
     * ln(N/df) over the corpus, top `topN` terms by (score desc, word asc).
     * The classic relevance/keyword-extraction scoring of a text pipeline;

@@ -263,12 +263,11 @@ object SparkEntry {
     "q53_sharded_layout" -> ((s, dir) => {
       val path = s"/tmp/graft_shards_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       val cents = fitCentroidsMemo(s, dir)
-      synchronized {
-        if (!new java.io.File(path).exists()) {
-          val pts = Tables.points(s, dir)
-          Sharding.writeSharded(pts, Sharding.assign(pts, cents), path)
-        }
-      }
+      fileOnce.computeIfAbsent(path, _ => {
+        val pts = Tables.points(s, dir)
+        Sharding.writeSharded(pts, Sharding.assign(pts, cents), path)
+        true
+      })
       ShardedSearch.search(
         s.read.parquet(path), Tables.queryPoints(s, dir), cents, k = 10, t = Params.t)
     }),
@@ -377,11 +376,13 @@ object SparkEntry {
     "q48_fbin_source" -> ((s, dir) => {
       import graft.functions.VectorFunctions._
       val tmp = s"/tmp/graft_fbin_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.fbin"
-      synchronized {
-        if (!new java.io.File(tmp).exists())
-          graft.sources.BinFormat.write(
-            Tables.points(s, dir).where(col("id") < 500), tmp, graft.sources.BinFormat.F32)
-      }
+      // write-once PER JVM (not per file existence): a leftover file from a
+      // previous round could hold stale data if the testdata regenerated
+      fileOnce.computeIfAbsent(tmp, _ => {
+        graft.sources.BinFormat.write(
+          Tables.points(s, dir).where(col("id") < 500), tmp, graft.sources.BinFormat.F32)
+        true
+      })
       s.read.format("fbin").load(tmp)
         .where(col("id") >= 100 && col("id") < 200)
         .select(col("id"), round(norm2(col("vec")), 4).as("norm"))
@@ -425,6 +426,12 @@ object SparkEntry {
         StructField("shard_id", IntegerType, false),
         StructField("centroid", ArrayType(DoubleType, false), false))))
   }
+
+  /** Write-once-per-JVM guard for /tmp artifacts (q48 fbin, q53 layout):
+    * always rewritten in a fresh process so regenerated testdata can never
+    * leave a stale artifact behind. */
+  private val fileOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Memoized SQ8 ranges (2·dim doubles — a driver artifact). */
   private val sqMemo =

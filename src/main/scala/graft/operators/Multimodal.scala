@@ -83,6 +83,32 @@ object Multimodal {
     }.toDF("id", "bin", "freq")
   }
 
+  /** Resize kernel: block-mean pooling of the payload to a fixed
+    * `targetLen` bytes (the 1-D analogue of image resampling — a real
+    * codec's resize slots in at exactly this kernel boundary). Block b
+    * averages bytes [b·n/target, (b+1)·n/target); payloads shorter than
+    * targetLen zero-pad. Deterministic integer math. */
+  def resizeBytes(spark: SparkSession, assets: DataFrame, targetLen: Int = 32): DataFrame = {
+    import spark.implicits._
+    assets.as[Asset].map { a =>
+      val n = a.content.length
+      val out = new Array[Byte](targetLen)
+      var b = 0
+      while (b < targetLen) {
+        val lo = b.toLong * n / targetLen
+        val hi = (b + 1).toLong * n / targetLen
+        if (hi > lo) {
+          var s = 0L
+          var i = lo
+          while (i < hi) { s += (a.content(i.toInt) & 0xff); i += 1 }
+          out(b) = (s / (hi - lo)).toByte
+        }
+        b += 1
+      }
+      (a.id, a.media_type, out)
+    }.toDF("id", "media_type", "content")
+  }
+
   /** Frame sampling plumbing: every `stride`-th byte as a "frame"
     * (id, media_type, frame_idx, frame_val). A real video pipeline samples
     * frames the same way — per-partition kernel emitting index + payload. */

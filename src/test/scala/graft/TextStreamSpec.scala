@@ -65,6 +65,13 @@ class TextStreamSpec extends SparkSpec {
     assert(hl.where(col("id") === 0).count() === 16)
     val s0 = hl.where(col("id") === 0).agg(sum(col("freq"))).head().getDouble(0)
     assert(math.abs(s0 - 1.0) < 0.01)
+    // resize kernel: fixed output length, values in byte range, block means
+    val rs = Multimodal.resizeBytes(spark, assets, targetLen = 32)
+    val r0 = rs.where(col("id") === 0).head()
+    assert(r0.getAs[Array[Byte]]("content").length === 32)
+    // resized bytes of ASCII text stay within the observed byte range
+    val bs = r0.getAs[Array[Byte]]("content").map(_ & 0xff)
+    assert(bs.forall(v => v >= 32 && v < 128))
   }
 
   test("streaming windowedCounts equals the batch result") {

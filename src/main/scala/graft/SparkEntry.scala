@@ -248,6 +248,12 @@ object SparkEntry {
       TextStats.fingerprint(
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
 
+    // ---- M8: deterministic stratified sample (per-language mixing quota)
+    "q56_stratified_sample" -> ((s, dir) =>
+      TextStats.stratifiedSample(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("lang")),
+        "lang", n = 20)),
+
     // ---- M8: repetition quality metrics (duplicate n-gram fractions)
     "q55_repetition" -> ((s, dir) =>
       TextStats.repetitionScores(
@@ -988,6 +994,14 @@ object SparkEntry {
     "q53_sharded_layout" ->
       s"""WITH ${Oracles.routedCtes(Params.k, Params.iters, 25, 10, Params.t)}
          |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM routed""".stripMargin,
+
+    "q56_stratified_sample" ->
+      s"""SELECT lang AS grp, doc_id AS id, rk FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 20""".stripMargin,
 
     "q55_repetition" ->
       s"""WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),

@@ -93,6 +93,19 @@ object TextStats {
         slice(array_sort(transform(Dedup.shingles(col("text")), s => md5(s))), 1, k),
         "|").as("fingerprint"))
 
+  /** Deterministic stratified sample: keep `n` rows per group, chosen by
+    * ranking on md5(id) — the data-MIXING primitive of a training
+    * pipeline (per-source/per-language quotas). The hash order is a
+    * reproducible shuffle (same rows on every engine and every run,
+    * unlike rand()-based sampleBy); the rank is a per-group
+    * WindowGroupLimit — no global sort. Returns (group, id, rk). */
+  def stratifiedSample(docs: DataFrame, groupCol: String, n: Int): DataFrame =
+    docs.select(col(groupCol).as("grp"), col("id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(md5(col("id").cast("string")), col("id"))))
+      .where(col("rk") <= n)
+
   /** Repetition metrics per document — the repetition family of
     * training-data quality filters (the "duplicate n-gram fraction" rules
     * popularized by the Gopher/MassiveText filtering literature):

@@ -39,6 +39,12 @@ object Audit {
       val ok = plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id")
       println(f"ksAllPairs(sampled)     ${if (ok) "OK " else "MISS"} sample pushed to scan")
     }
+    audit("q26_simhash")(
+      // single-pass SimHash32 expression: no 32-row-per-token explode
+      ("no per-bit explode", p => !p.contains("sequence(0, 31")),
+      ("simhash32 map-stage expression", _.contains("simhash32")))
+    audit("q52_simhash_neardup")(
+      ("no per-bit explode", p => !p.contains("sequence(0, 31")))
     audit("q46_interval_algebra")(
       // split_overlaps is a coverage sweep; a pieces-x-intervals range join
       // would be a nested loop (measured 58s vs 2s at sf0.1)

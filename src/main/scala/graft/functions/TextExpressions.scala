@@ -111,8 +111,88 @@ object MinHashSignature {
   }
 }
 
+/** Single-pass 32-bit SimHash over a token array, as a '0'/'1' bit string.
+  *
+  * Semantics — byte-identical to the relational pipeline
+  * ([[graft.operators.Dedup.simhash32Relational]]) and the DuckDB oracle:
+  * token bit b is bit b of the token's md5 digest in MSB-first hex order
+  * (hex digit floor(b/4), bit 3-b%4 of that digit == digest byte b/8, bit
+  * 7-b%8); document bit b is '1' iff the sum of ±1 contributions over ALL
+  * tokens (duplicates counted) is > 0 (ties -> '0'). Null tokens contribute
+  * nothing (sum ignores nulls).
+  *
+  * Why an Expression: the relational form explodes every token into 32
+  * (id, b) rows and pays two shuffled aggregations — a 32×|tokens| shuffle
+  * for a per-document 32-bit fingerprint. This computes the same 32
+  * accumulators in one tight per-row loop: a pure map stage at 100 TB.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "simhash32"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash32.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = SimHash32.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = ($cls).compute($a);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash32 {
+  /** Shared kernel for interpreted + codegen paths. One reused
+    * MessageDigest; 32 int accumulators; bits read straight from the raw
+    * digest (MSB-first == the hex-digit arithmetic of the relational
+    * form). */
+  def compute(arr: ArrayData): UTF8String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](32)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        val h = md.digest()
+        var b = 0
+        while (b < 32) {
+          val bit = ((h(b >>> 3) & 0xff) >>> (7 - (b & 7))) & 1
+          acc(b) += 2 * bit - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Byte](32)
+    var b = 0
+    while (b < 32) {
+      out(b) = if (acc(b) > 0) '1' else '0'
+      b += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
 object TextExpressions {
   /** MinHash signature column: array of numHashes hex-string minima. */
   def minhashSig(shingles: Column, numHashes: Int = 16): Column =
     column(MinHashSignature(expression(shingles), numHashes))
+
+  /** 32-bit SimHash bit string over a token array — single map-stage pass. */
+  def simhash32(tokens: Column): Column =
+    column(SimHash32(expression(tokens)))
 }

@@ -80,7 +80,9 @@ object Dedup {
       if (maxBandSize > 0) {
         val keep = banded.groupBy(col("band")).agg(count(lit(1)).as("__bn"))
           .where(col("__bn") <= maxBandSize).select("band")
-        banded.join(keep, "band")
+        // materialize: the self-join below would otherwise compute the
+        // band-count aggregation once per side
+        banded.join(keep, "band").localCheckpoint()
       } else banded
     b.as("a")
       .join(b.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -140,8 +142,21 @@ object Dedup {
 
   /** 32-bit SimHash as a bit string. Token bit b comes from the b-th bit of
     * the token's md5 (hex-digit arithmetic, engine-portable); document bit
-    * is the sign of the summed ±1 contributions (ties -> 0). */
-  def simhash32(docs: DataFrame): DataFrame = {
+    * is the sign of the summed ±1 contributions (ties -> 0).
+    *
+    * Single-pass [[graft.functions.SimHash32]] expression — one tight
+    * per-document loop, no explode, no shuffle (a pure map stage at 100 TB).
+    * Byte-identical to [[simhash32Relational]] (parity-tested in DedupSpec);
+    * the isNotNull filter preserves the relational form's explode semantics
+    * (null-text docs are absent from the output). */
+  def simhash32(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(col("id"),
+        graft.functions.TextExpressions.simhash32(words(col("text"))).as("simhash"))
+
+  /** Reference relational form of [[simhash32]] (explode → two shuffled
+    * aggs) — kept as the parity oracle for the codegen expression. */
+  def simhash32Relational(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("id"), explode(words(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
     // hex digit at position 1 + b/4; value via instr on the hex alphabet
@@ -192,7 +207,9 @@ object Dedup {
       if (maxBandSize > 0) {
         val keep = banded0.groupBy(col("band")).agg(count(lit(1)).as("__bn"))
           .where(col("__bn") <= maxBandSize).select("band")
-        banded0.join(keep, "band")
+        // materialize: the self-join below would otherwise compute the
+        // band-count aggregation once per side
+        banded0.join(keep, "band").localCheckpoint()
       } else banded0
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -236,11 +253,21 @@ object Dedup {
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
     val (cold, hotOpt) =
       if (maxDf > 0) {
+        // materialize the df table once: it feeds coldKeys (both sides of
+        // the self-join) and hotKeys, and each would otherwise re-run the
+        // full gram aggregation
         val freq = grams.groupBy(col("block"), col("g")).agg(count(lit(1)).as("__df"))
-        val coldKeys = freq.where(col("__df") <= maxDf).select("block", "g")
+          .localCheckpoint()
         val hotKeys = freq.where(col("__df") > maxDf).select("block", "g")
-        (grams.join(coldKeys, Seq("block", "g")),
-          Some(grams.join(hotKeys, Seq("block", "g")).select(col("id"), col("g"))))
+        if (hotKeys.isEmpty) {
+          // no gram exceeds the cap: cold == grams exactly; skip the
+          // cold-filter join AND the hot-patch joins entirely
+          (grams, None)
+        } else {
+          val coldKeys = freq.where(col("__df") <= maxDf).select("block", "g")
+          (grams.join(coldKeys, Seq("block", "g")).localCheckpoint(),
+            Some(grams.join(hotKeys, Seq("block", "g")).select(col("id"), col("g"))))
+        }
       } else (grams, None)
     val interCold = cold.as("a")
       .join(cold.as("b"),

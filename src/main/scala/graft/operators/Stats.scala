@@ -102,7 +102,10 @@ object Stats {
   private def dimPairs(points: DataFrame): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val d = points.select(size(col("vec"))).head().getInt(0)
+    // headOption: an empty points table yields an empty pair table (head()
+    // would throw NoSuchElementException)
+    val d = points.select(size(col("vec"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val rows = for { i <- 0 until d; j <- i + 1 until d } yield (i, j)
     spark.createDataset(rows).toDF("dim_i", "dim_j")
   }
@@ -187,6 +190,9 @@ object Stats {
   def vifMatrix(spark: SparkSession, points: DataFrame, sampleSize: Int = 0): DataFrame = {
     import spark.implicits._
     val pairs = corrPairs(points, sampleSize).collect()
+    if (pairs.isEmpty) { // empty input: empty result, not a 1×1 identity
+      return spark.emptyDataset[(Int, Int, Double)].toDF("dim_i", "dim_j", "vif")
+    }
     val d = pairs.iterator.map(r => r.getInt(1)).foldLeft(0)(math.max) + 1
     // augmented [A | I], long-lived as a 2d-wide array
     val a = Array.tabulate(d, 2 * d) { (i, j) =>

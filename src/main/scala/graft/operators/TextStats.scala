@@ -31,8 +31,7 @@ object TextStats {
     import spark.implicits._
     val sw = broadcast(stopwords.toDF("sw_lang", "word"))
     val toks = docs
-      .select(col("id"), size(split(col("text"), " ")).as("n_words"),
-        explode(split(col("text"), " ")).as("word"))
+      .select(col("id"), explode(split(col("text"), " ")).as("word"))
     val scores = toks
       .join(sw, Seq("word"), "inner")
       .groupBy(col("id"), col("sw_lang"))

@@ -104,14 +104,17 @@ object BinFormat {
 
   /** TSV projection of (id, vec): one line per vector, elements
     * tab-separated — `fbin_to_tsv` (utils.py:179-182, np.savetxt with
-    * delimiter="\t"). Kept as a DataFrame of lines so it composes with any
-    * Spark text sink; [[writeTsv]] is the single-file export twin of
-    * [[write]]. */
+    * delimiter="\t"). np.savetxt's default fmt is '%.18e', so elements are
+    * emitted in the same full-precision scientific notation: the export is
+    * LOSSLESS for float32 values and textually compatible with
+    * reference-produced TSVs. Kept as a DataFrame of lines so it composes
+    * with any Spark text sink; [[writeTsv]] is the single-file export twin
+    * of [[write]]. */
   def tsvLines(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     df.orderBy(col("id"))
       .select(array_join(
-        transform(col("vec"), v => format_string("%.6f", v.cast("double"))),
+        transform(col("vec"), v => format_string("%.18e", v.cast("double"))),
         "\t").as("line"))
   }
 

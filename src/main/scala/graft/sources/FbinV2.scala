@@ -98,12 +98,16 @@ class FbinScanBuilder(path: String, dtype: String, slices: Int)
       case n: Number => Some(n.longValue())
       case _ => None
     }
+    // saturating increment: x+1 on Long.MaxValue would wrap negative and
+    // plan an EMPTY scan (the residual filter cannot resurrect rows that
+    // were never produced)
+    def inc(x: Long): Long = if (x == Long.MaxValue) x else x + 1
     val accepted = filters.filter {
-      case GreaterThan("id", v) => lv(v).exists { x => lo = math.max(lo, x + 1); true }
+      case GreaterThan("id", v) => lv(v).exists { x => lo = math.max(lo, inc(x)); true }
       case GreaterThanOrEqual("id", v) => lv(v).exists { x => lo = math.max(lo, x); true }
       case LessThan("id", v) => lv(v).exists { x => hi = math.min(hi, x); true }
-      case LessThanOrEqual("id", v) => lv(v).exists { x => hi = math.min(hi, x + 1); true }
-      case EqualTo("id", v) => lv(v).exists { x => lo = math.max(lo, x); hi = math.min(hi, x + 1); true }
+      case LessThanOrEqual("id", v) => lv(v).exists { x => hi = math.min(hi, inc(x)); true }
+      case EqualTo("id", v) => lv(v).exists { x => lo = math.max(lo, x); hi = math.min(hi, inc(x)); true }
       case _ => false
     }
     pushed = accepted
@@ -171,13 +175,14 @@ class FbinPartitionReader(
   file.seek(8L + start * rowBytes)
   private val buf = new Array[Byte](rowBytes)
   private var cur = start - 1
+  private var row: InternalRow = null
 
+  // IO + decode happen in next(); get() returns the SAME cached row until
+  // the next next() call, per the PartitionReader contract (a caller that
+  // invokes get() twice must not desync id↔payload by advancing the file)
   override def next(): Boolean = {
     cur += 1
-    cur < end
-  }
-
-  override def get(): InternalRow = {
+    if (cur >= end) return false
     val values = new Array[Any](cols.length)
     if (needVec) {
       file.readFully(buf)
@@ -206,8 +211,11 @@ class FbinPartitionReader(
         c += 1
       }
     }
-    new GenericInternalRow(values)
+    row = new GenericInternalRow(values)
+    true
   }
+
+  override def get(): InternalRow = row
 
   override def close(): Unit = file.close()
 }

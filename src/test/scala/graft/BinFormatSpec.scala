@@ -51,10 +51,12 @@ class BinFormatSpec extends SparkSpec {
     val lines = scala.io.Source.fromFile(tsv).getLines().toVector
     assert(lines.size === 20)
     assert(lines.forall(_.split("\t").length === 64))
-    // re-parse line 0 and compare to the original vector at 6dp
+    // %.18e (np.savetxt default) is lossless for float32: the re-parsed
+    // line must reproduce the original vector EXACTLY
     val v0 = lines.head.split("\t").map(_.toDouble)
     val orig = pts.where(col("id") === 0).head().getSeq[Float](1)
-    assert(v0.zip(orig).forall { case (a, b) => math.abs(a - b.toDouble) < 1e-6 })
+    assert(v0.zip(orig).forall { case (a, b) => a == b.toDouble })
+    assert(lines.head.split("\t").head.matches("""-?\d\.\d{18}e[+-]\d+"""))
   }
 
   test("ranged read honors the chunk offset contract (no read_ibin bug)") {

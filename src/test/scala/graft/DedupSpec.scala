@@ -41,6 +41,25 @@ class DedupSpec extends SparkSpec {
     assert(h >= 0 && h <= 8) // near-dup stays close in hamming space
   }
 
+  test("simhash32 expression is byte-identical to the relational form") {
+    // edge cases the kernel must match: duplicate tokens (counted per
+    // occurrence), single token, empty text (split -> [""]), and ties
+    val tricky = Seq(
+      (10L, "a a a b"), (11L, "x"), (12L, ""), (13L, "a b"),
+      (14L, "the the quick quick brown brown fox fox over over")
+    ).toDF("id", "text")
+    val all = docs.unionByName(tricky)
+    val expr = Dedup.simhash32(all).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rel = Dedup.simhash32Relational(all).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(expr.keySet === rel.keySet)
+    expr.keySet.foreach(k => assert(expr(k) === rel(k), s"mismatch at id=$k"))
+    // null text: relational explode drops the doc; expression must too
+    val withNull = Seq((20L, null.asInstanceOf[String])).toDF("id", "text")
+    assert(Dedup.simhash32(withNull).count() === 0L)
+  }
+
   test("ngram jaccard: dup pair scores 1.0 within block") {
     val blocked = docs.withColumn("block", lit("b"))
     val res = Dedup.ngramJaccardPairs(blocked, threshold = 0.9)

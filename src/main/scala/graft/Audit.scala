@@ -39,6 +39,13 @@ object Audit {
       val ok = plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id")
       println(f"ksAllPairs(sampled)     ${if (ok) "OK " else "MISS"} sample pushed to scan")
     }
+    audit("q48_fbin_source")(
+      // the DSv2's two selling points: the id range narrows the PLANNED
+      // scan (FbinScan rows=[lo,hi)), and the scan feeds codegen directly
+      ("id range pushed into fbin scan", _.contains("rows=[100,200)")),
+      ("whole-stage codegen over scan", _.contains("*(1) Filter")))
+    audit("q57_u8bin_source")(
+      ("u8 dtype + id range pushed", p => p.contains("dtype=u8") && p.contains("rows=[100,200)")))
     audit("q26_simhash")(
       // single-pass SimHash32 expression: no 32-row-per-token explode
       ("no per-bit explode", p => !p.contains("sequence(0, 31")),

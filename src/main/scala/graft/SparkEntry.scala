@@ -394,6 +394,30 @@ object SparkEntry {
         .select(col("id"), round(norm2(col("vec")), 4).as("norm"))
     }),
 
+    // ---- u8bin end-to-end: the reference's PRIMARY dtype (BIGANN/SSNPP
+    // are uint8; utils.py:119-122 decodes with & 0xFF). Quantize floats to
+    // the full byte range with clamp(floor((v+1)*127.5)) — pure double ops
+    // both engines replay identically — write via BinFormat U8
+    // (v.toInt & 0xff, exact on integer-valued floats), read back through
+    // the DSv2 u8 decode, and checksum what came off disk.
+    "q57_u8bin_source" -> ((s, dir) => {
+      import graft.functions.VectorFunctions._
+      val tmp = s"/tmp/graft_u8bin_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.u8bin"
+      fileOnce.computeIfAbsent(tmp, _ => {
+        val q = Tables.points(s, dir).where(col("id") < 500)
+          .select(col("id"), transform(col("vec"), v =>
+            least(greatest(floor((v.cast("double") + lit(1.0d)) * lit(127.5d)), lit(0.0d)),
+              lit(255.0d)).cast("float")).as("vec"))
+        graft.sources.BinFormat.write(q, tmp, graft.sources.BinFormat.U8)
+        true
+      })
+      s.read.format("fbin").option("dtype", "u8").load(tmp)
+        .where(col("id") >= 100 && col("id") < 200)
+        .select(col("id"),
+          round(norm2(col("vec")), 4).as("norm"),
+          aggregate(col("vec"), lit(0L), (acc, v) => acc + v.cast("long")).as("checksum"))
+    }),
+
     // ---- M5: KANNDI routed search — the reference's E3 with the seed
     // router over the distance-built shards (kanndi_search.py:28-66)
     "q41_kanndi_search" -> ((s, dir) => {
@@ -714,6 +738,19 @@ object SparkEntry {
       s"""SELECT vec_id AS id,
          |  round(sqrt(${Oracles.dotp("embedding", "embedding")}), 4) AS norm
          |FROM embeddings WHERE vec_id >= 100 AND vec_id < 200""".stripMargin,
+
+    // replays the exact q57 quantize -> u8 round-trip: clamp/floor are pure
+    // double ops, the stored byte is the same integer, so norms/checksums
+    // over the DECODED vectors must hash-match
+    "q57_u8bin_source" ->
+      s"""WITH u8 AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x ->
+         |      least(greatest(floor((CAST(x AS DOUBLE) + 1) * 127.5), 0), 255)) AS v
+         |  FROM embeddings WHERE vec_id < 500)
+         |SELECT id,
+         |  round(sqrt(list_sum(list_transform(v, e -> e * e))), 4) AS norm,
+         |  CAST(list_sum(v) AS BIGINT) AS checksum
+         |FROM u8 WHERE id >= 100 AND id < 200""".stripMargin,
 
     "q42_anderson_darling" ->
       s"""WITH ${Oracles.longFormCte},

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Integer-set-as-intervals utilities — the reference's gaps-and-islands
@@ -45,8 +44,9 @@ object Intervals {
         out.iterator
       }
       .toDF("begin", "end")
-    // range partitions are contiguous, so only boundary-adjacent intervals
-    // remain to merge — over the compressed list, not the raw set
+    // the per-partition compressed lists still need boundary-adjacent
+    // merging; mergeNeighbors is itself a distributed sweep, so even a
+    // fully-fragmented set (nothing compresses) never hits one task
     mergeNeighbors(local)
   }
 
@@ -66,8 +66,9 @@ object Intervals {
   // intervaltree (/root/reference/src/intervaltree/intervaltree.py:
   // 401-844), over HALF-OPEN [begin, end) intervals (that library's
   // convention; the closed-interval islands above convert via end+1).
-  // Every op except splitOverlaps is a map-only projection/filter — they
-  // scale trivially; splitOverlaps joins the boundary table (≤2n rows).
+  // Every op except splitOverlaps and the merges is a map-only
+  // projection/filter — they scale trivially; splitOverlaps and the merges
+  // run the distributed boundary sweep below (no global window anywhere).
   // Interval DataFrames are SETS: ops normalize with distinct(), matching
   // the library's set semantics.
   // --------------------------------------------------------------------
@@ -109,6 +110,130 @@ object Intervals {
       .distinct()
   }
 
+  // --------------------------------------------------------------------
+  // Distributed boundary sweep — shared machinery for [[splitOverlaps]],
+  // [[mergeOverlapsHO]] and [[mergeNeighbors]]. Replaces the former
+  // global single-partition window (the one place a pathological
+  // fragmented input serialized onto one task): boundary events are
+  // RANGE-partitioned and sorted within partitions; a first pass collects
+  // per-partition net sums and first boundaries (≤ #partitions driver
+  // rows); exclusive prefix offsets then make a second partition-LOCAL
+  // pass compute exact global coverage. No step ever funnels the full
+  // boundary set through one task.
+  // --------------------------------------------------------------------
+
+  /** Aggregated events (b, minus, plus), range-partitioned and sorted
+    * within partitions (materialized — both sweep passes reuse it), with
+    * per-partition exclusive prefix coverage and the first boundary of the
+    * next non-empty partition. */
+  private def prepEvents(events: DataFrame)
+      : (DataFrame, Array[Long], Array[Option[Long]]) = {
+    val ev = events
+      .groupBy(col("b"))
+      .agg(sum(col("minus")).as("minus"), sum(col("plus")).as("plus"))
+      .repartitionByRange(col("b"))
+      .sortWithinPartitions(col("b"))
+      .localCheckpoint()
+    val stats = ev.rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        var net = 0L
+        var first: Option[Long] = None
+        it.foreach { r =>
+          if (first.isEmpty) first = Some(r.getLong(0))
+          net += r.getLong(2) - r.getLong(1)
+        }
+        Iterator.single((idx, net, first))
+      }
+      .collect().sortBy(_._1)
+    val offsets = new Array[Long](stats.length)
+    var acc = 0L
+    stats.foreach { case (i, net, _) => offsets(i) = acc; acc += net }
+    val nextB = new Array[Option[Long]](stats.length)
+    var nxt: Option[Long] = None
+    for (i <- stats.length - 1 to 0 by -1) {
+      nextB(i) = nxt
+      if (stats(i)._3.isDefined) nxt = stats(i)._3
+    }
+    (ev, offsets, nextB)
+  }
+
+  /** Maximal coverage>0 runs (begin, end) over boundary events — the merged
+    * intervals of a transitively-connected chain are exactly one covered
+    * run. strict=false aggregates +/- at a boundary (touching intervals
+    * chain); strict=true applies the minus events first, so coverage dips
+    * to zero at a touch point and the run breaks there.
+    *
+    * Runs wholly inside one partition are emitted distributed; a run
+    * spanning partitions leaves one OPEN TAIL in the partition that starts
+    * it and one CLOSING HEAD in the partition that ends it (≤1 of each per
+    * partition), and those ≤2·#partitions fragments are stitched on the
+    * driver — the same boundary-stitch shape as [[islands]]. */
+  private def coverageRuns(events: DataFrame, strict: Boolean): DataFrame = {
+    val spark = events.sparkSession
+    val (ev, offsets, _) = prepEvents(events)
+    val bc = spark.sparkContext.broadcast(offsets)
+    // marker kinds: 0 = complete run, 1 = head (closes an incoming run at
+    // `end`), 2 = tail (opens a run at `begin` that exits the partition)
+    val marked = ev.rdd.mapPartitionsWithIndex { (idx, it) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+      var cov = bc.value(idx)
+      var openB = 0L
+      var hasOpen = false
+      it.foreach { r =>
+        val b = r.getLong(0)
+        val minus = r.getLong(1)
+        val plus = r.getLong(2)
+        if (strict) {
+          val covMid = cov - minus
+          if (cov > 0 && covMid == 0) {
+            if (hasOpen) { out += ((0, idx, openB, b)); hasOpen = false }
+            else out += ((1, idx, 0L, b))
+          }
+          cov = covMid + plus
+          if (covMid == 0 && cov > 0 && !hasOpen) { openB = b; hasOpen = true }
+        } else {
+          val covAfter = cov - minus + plus
+          if (cov == 0 && covAfter > 0) { openB = b; hasOpen = true }
+          else if (cov > 0 && covAfter == 0) {
+            if (hasOpen) { out += ((0, idx, openB, b)); hasOpen = false }
+            else out += ((1, idx, 0L, b))
+          }
+          cov = covAfter
+        }
+      }
+      // a run open at partition exit: only a LOCALLY-opened one needs a
+      // tail (a carried-through run already has its tail upstream)
+      if (hasOpen) out += ((2, idx, openB, 0L))
+      out.iterator
+    }
+    // spanning runs: tails and heads alternate in partition order (coverage
+    // opens before it closes); pair each tail with the next head
+    val headsTails = marked.filter(_._1 != 0).collect().sortBy(m => (m._2, m._1))
+    val spanning = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var openB = 0L
+    var has = false
+    headsTails.foreach {
+      case (1, _, _, closeB) =>
+        require(has, "sweep invariant violated: head without a preceding tail")
+        spanning += ((openB, closeB)); has = false
+      case (_, _, b, _) =>
+        require(!has, "sweep invariant violated: two tails without a head")
+        openB = b; has = true
+    }
+    require(!has, "sweep invariant violated: unterminated run")
+    val complete = marked.filter(_._1 == 0).map(t => (t._3, t._4))
+    spark.createDataFrame(complete).toDF("begin", "end")
+      .unionByName(spark.createDataFrame(spanning.toSeq).toDF("begin", "end"))
+  }
+
+  /** (begin, end) → half-open +1/-1 boundary events. */
+  private def hoEvents(ivs: DataFrame, endShift: Long = 0L): DataFrame =
+    ivs
+      .select(col("begin").cast("long").as("b"),
+        lit(0L).as("minus"), lit(1L).as("plus"))
+      .unionByName(ivs.select((col("end").cast("long") + endShift).as("b"),
+        lit(1L).as("minus"), lit(0L).as("plus")))
+
   /** split_overlaps (intervaltree.py:622-644): split every interval along
     * ALL boundary points, so the result's intervals either match exactly or
     * are disjoint.
@@ -116,22 +241,33 @@ object Intervals {
     * Implemented as a COVERAGE SWEEP, not a range join: the output set is
     * exactly the adjacent-boundary pieces (lb, ub) whose lower bound is
     * covered by ≥1 interval, and coverage at lb is the running sum of
-    * (+1 at begin, -1 at end) events — one partial-agg + one sort/window,
-    * no join. (A literal pieces⋈intervals range join is a nested-loop:
-    * measured 58s vs 0.3s at sf0.1.) The window runs over the boundary
-    * set — same compressed-input caveat as [[mergeNeighbors]]. */
+    * (+1 at begin, -1 at end) events. (A literal pieces⋈intervals range
+    * join is a nested-loop: measured 58s vs 0.3s at sf0.1.) The running
+    * sum is the distributed sweep above — no global window. */
   def splitOverlaps(ivs: DataFrame): DataFrame = {
+    val spark = ivs.sparkSession
     val d = ivs.select(col("begin"), col("end")).distinct()
-    val events = d.select(col("begin").as("b"), lit(1).as("delta"))
-      .unionByName(d.select(col("end").as("b"), lit(-1).as("delta")))
-      .groupBy(col("b")).agg(sum(col("delta")).as("net"))
-    val wOrd = Window.orderBy(col("b"))
-    events
-      .withColumn("cov",
-        sum(col("net")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("ub", lead(col("b"), 1).over(wOrd))
-      .where(col("ub").isNotNull && col("cov") > 0)
-      .select(col("b").as("begin"), col("ub").as("end"))
+    val (ev, offsets, nextB) = prepEvents(hoEvents(d))
+    val bc = spark.sparkContext.broadcast((offsets, nextB))
+    val pieces = ev.rdd.mapPartitionsWithIndex { (idx, it) =>
+      val (offs, nxts) = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var cov = offs(idx)
+      var prevB = 0L
+      var hasPrev = false
+      it.foreach { r =>
+        val b = r.getLong(0)
+        if (hasPrev && cov > 0) out += ((prevB, b))
+        cov += r.getLong(2) - r.getLong(1)
+        prevB = b
+        hasPrev = true
+      }
+      // the piece from this partition's last boundary reaches into the
+      // next non-empty partition's first boundary
+      if (hasPrev && cov > 0) nxts(idx).foreach(u => out += ((prevB, u)))
+      out.iterator
+    }
+    spark.createDataFrame(pieces).toDF("begin", "end")
   }
 
   /** Exact-interval set difference (intervaltree.py:401-410 — identity
@@ -159,50 +295,23 @@ object Intervals {
 
   /** merge_overlaps (intervaltree.py:645-708) over half-open intervals:
     * strict=true merges only strictly-overlapping intervals (touching ones
-    * stay separate); strict=false also merges touching. Same
-    * compressed-input caveat as [[mergeNeighbors]]. */
-  def mergeOverlapsHO(ivs: DataFrame, strict: Boolean = true): DataFrame = {
-    val wPrev = Window
-      .orderBy(col("begin"), col("end"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val newGrp =
-      if (strict)
-        when(col("prev_max_end").isNull || col("begin") >= col("prev_max_end"), 1).otherwise(0)
-      else
-        when(col("prev_max_end").isNull || col("begin") > col("prev_max_end"), 1).otherwise(0)
-    ivs
-      .withColumn("prev_max_end", max(col("end")).over(wPrev))
-      .withColumn("new_grp", newGrp)
-      .withColumn(
-        "grp",
-        sum(col("new_grp")).over(
-          Window.orderBy(col("begin"), col("end"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("grp"))
-      .agg(min(col("begin")).as("begin"), max(col("end")).as("end"))
-      .select(col("begin"), col("end"))
-  }
+    * stay separate); strict=false also merges touching.
+    *
+    * A maximal set of transitively-overlapping intervals covers one
+    * contiguous range, so the merged output is exactly the maximal
+    * coverage>0 runs of the boundary events ([[coverageRuns]] — the
+    * distributed sweep, no global window). */
+  def mergeOverlapsHO(ivs: DataFrame, strict: Boolean = true): DataFrame =
+    coverageRuns(hoEvents(ivs), strict)
 
   /** Merge overlapping/adjacent closed intervals (union + merge_neighbors,
     * utils.py:378-384): an interval starts a new island when its begin
-    * exceeds 1 + max(end) of everything before it. */
-  def mergeNeighbors(intervals: DataFrame): DataFrame = {
-    val wPrev = Window
-      .orderBy(col("begin"), col("end"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    intervals
-      .withColumn("prev_max_end", max(col("end")).over(wPrev))
-      .withColumn(
-        "new_grp",
-        when(col("prev_max_end").isNull || col("begin") > col("prev_max_end") + 1, 1)
-          .otherwise(0))
-      .withColumn(
-        "grp",
-        sum(col("new_grp")).over(
-          Window.orderBy(col("begin"), col("end"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("grp"))
-      .agg(min(col("begin")).as("begin"), max(col("end")).as("end"))
-      .select(col("begin"), col("end"))
-  }
+    * exceeds 1 + max(end) of everything before it.
+    *
+    * Closed [a,b] becomes half-open [a,b+1); a gap of exactly one (begin ==
+    * prev end + 1) is then a touch point, so the lenient coverage run
+    * bridges it — identical island semantics, distributed sweep. */
+  def mergeNeighbors(intervals: DataFrame): DataFrame =
+    coverageRuns(hoEvents(intervals, endShift = 1L), strict = false)
+      .select(col("begin"), (col("end") - 1L).as("end"))
 }

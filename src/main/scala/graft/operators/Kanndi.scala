@@ -146,11 +146,20 @@ object Kanndi {
     * shuffle). Rounds drop from M to ceil(M/batchSeeds).
     *
     * With batchSeeds=1 this is EXACTLY [[shardByDistance]] (KanndiSpec
-    * asserts result equality); with larger batches it deviates from the
-    * sequential reference the same way mini-batch K-Means deviates from
-    * Lloyd's — same capacity/distance invariants, near-identical shards,
-    * documented as the scale path. Adaptive escalation is intentionally
-    * not supported here (escalation is a per-seed sequential decision). */
+    * asserts result equality, adaptive included); with larger batches it
+    * deviates from the sequential reference the same way mini-batch K-Means
+    * deviates from Lloyd's — same capacity/distance invariants,
+    * near-identical shards, documented as the scale path.
+    *
+    * Adaptive escalation (`adaptive=true`) — the reference's starvation
+    * recovery (d*=2 up to maxDoublings, shard_by_distance.py:161-182) on
+    * the batch: ONE per-seed aggregate pass counts each seed's candidates
+    * at d, 2d, ..., 2^maxDoublings·d (the sequential form's one-pass probe,
+    * grouped by shard), each seed admits at ITS smallest doubling that
+    * clears the saturation floor, and the escalated d persists into later
+    * rounds as the max across the batch (escalation is monotone in the
+    * reference too). At batchSeeds=1 this degenerates to the sequential
+    * semantics bit-for-bit. */
   def shardByDistanceBatched(
       spark: SparkSession,
       points: DataFrame,
@@ -158,6 +167,9 @@ object Kanndi {
       d0: Double,
       capacity: Long,
       batchSeeds: Int = 8,
+      adaptive: Boolean = false,
+      saturationPctMin: Int = 75,
+      maxDoublings: Int = 3,
       knownRows: Long = -1L): KanndiResult = {
     require(capacity > 0 && capacity <= Int.MaxValue,
       s"shard capacity $capacity out of supported range (1, 2^31-1]")
@@ -168,7 +180,7 @@ object Kanndi {
       .repartition(nParts).localCheckpoint()
     val parts = ArrayBuffer.empty[DataFrame]
     val seedRows = ArrayBuffer.empty[(Int, Seq[Float])]
-    val d = d0
+    var d = d0
     var sid = 0
     var exhausted = false
     while (sid < m && !exhausted) {
@@ -180,16 +192,51 @@ object Kanndi {
           (sid + i, r.getSeq[Float](r.fieldIndex("vec")))
         }
         seeds.foreach(seedRows += _)
+        // per-seed effective admission distance for this round
+        val dEff: Map[Int, Double] =
+          if (!adaptive) seeds.map(sd => sd._1 -> d).toMap
+          else {
+            val probeDf = spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                seeds.toIndexedSeq.map { case (id0, v) => Row(id0, v) }, 1),
+              StructType(Seq(
+                StructField("shard_id", IntegerType, false),
+                StructField("centroid", ArrayType(FloatType, true), true))))
+            // one distributed pass: per-seed candidate counts at every
+            // doubling (mirrors the sequential probe, grouped by shard)
+            val cnts = unassigned
+              .join(broadcast(probeDf))
+              .select(col("shard_id"),
+                round(l2Dist(col("vec"), col("centroid")), 4).as("dist"))
+              .groupBy(col("shard_id"))
+              .agg(
+                sum(when(col("dist") <= d, 1L).otherwise(0L)).as("c0"),
+                (1 to maxDoublings).map(i =>
+                  sum(when(col("dist") <= d * (1L << i), 1L).otherwise(0L)).as(s"c$i")): _*)
+              .collect()
+            cnts.map { r =>
+              var dbl = 0
+              while (dbl < maxDoublings &&
+                  math.min(r.getLong(1 + dbl), capacity) * 100 < capacity * saturationPctMin) {
+                dbl += 1
+              }
+              r.getInt(0) -> d * (1L << dbl).toDouble
+            }.toMap
+          }
+        if (adaptive) d = dEff.values.max // escalation persists across rounds
         val seedsDf = spark.createDataFrame(
           spark.sparkContext.parallelize(
-            seeds.toIndexedSeq.map { case (id0, v) => Row(id0, v) }, 1),
+            seeds.toIndexedSeq.map { case (id0, v) =>
+              Row(id0, v, dEff(id0))
+            }, 1),
           StructType(Seq(
             StructField("shard_id", IntegerType, false),
-            StructField("centroid", ArrayType(FloatType, true), true))))
+            StructField("centroid", ArrayType(FloatType, true), true),
+            StructField("d_eff", DoubleType, false))))
         val admitted = unassigned
           .join(broadcast(seedsDf))
           .withColumn("dist", round(l2Dist(col("vec"), col("centroid")), 4))
-          .where(col("dist") <= d)
+          .where(col("dist") <= col("d_eff"))
           .groupBy(col("id"))
           .agg(min(struct(col("dist"), col("shard_id"))).as("best"))
           .select(col("id"), col("best.shard_id").as("shard_id"), col("best.dist").as("dist"))

@@ -54,6 +54,44 @@ class IntervalsSpec extends SparkSpec {
       Set((0L, 5L), (5L, 10L), (10L, 15L), (20L, 25L)))
   }
 
+  test("fully-fragmented set: sweep stays exact with zero merging possible") {
+    // 5000 singleton islands (every even number): nothing compresses and
+    // nothing merges — the degenerate input that used to serialize the old
+    // global-window forms onto one task
+    val xs = spark.range(0L, 10000L, 2L).select(col("id").as("x"))
+    assert(Intervals.islands(xs).count() === 5000L)
+    val frag = spark.range(0L, 15000L, 3L)
+      .select(col("id").as("begin"), (col("id") + 1L).as("end"))
+    assert(Intervals.mergeNeighbors(frag).count() === 5000L)
+    assert(Intervals.mergeOverlapsHO(frag, strict = true).count() === 5000L)
+    assert(Intervals.mergeOverlapsHO(frag, strict = false).count() === 5000L)
+    assert(Intervals.splitOverlaps(frag).count() === 5000L)
+  }
+
+  test("runs spanning many partitions stitch exactly") {
+    // a single overlap chain across the whole range: every partition's
+    // fragments must stitch into ONE run
+    val chain = spark.range(0L, 6000L, 2L)
+      .select(col("id").as("begin"), (col("id") + 3L).as("end"))
+    assert(ivSet(Intervals.mergeOverlapsHO(chain, strict = true)) ===
+      Set((0L, 6001L)))
+    // touching chain: strict keeps all links apart, lenient fuses them
+    val touch = spark.range(0L, 6000L, 2L)
+      .select(col("id").as("begin"), (col("id") + 2L).as("end"))
+    assert(Intervals.mergeOverlapsHO(touch, strict = true).count() === 3000L)
+    assert(ivSet(Intervals.mergeOverlapsHO(touch, strict = false)) ===
+      Set((0L, 6000L)))
+    // closed-interval bridge: begin == prev end + 1 merges
+    val adj = spark.range(0L, 6000L, 2L)
+      .select(col("id").as("begin"), (col("id") + 1L).as("end"))
+    assert(ivSet(Intervals.mergeNeighbors(adj)) === Set((0L, 5999L)))
+    // mixed: a long carried-through interval bridges local gaps
+    val mixed = Seq((0L, 5000L)).toDF("begin", "end").unionByName(
+      spark.range(6000L, 9000L, 10L)
+        .select(col("id").as("begin"), (col("id") + 2L).as("end")))
+    assert(ivSet(Intervals.mergeOverlapsHO(mixed, strict = false)).size === 301)
+  }
+
   test("difference/intersection/union are exact-set ops; merge_overlaps strict flag") {
     val a = Seq((0L, 5L), (10L, 15L), (20L, 25L)).toDF("begin", "end")
     val b = Seq((10L, 15L), (40L, 45L)).toDF("begin", "end")

@@ -60,6 +60,23 @@ class KanndiSpec extends SparkSpec {
     assert(seq.seeds.exceptAll(bat.seeds).isEmpty)
   }
 
+  test("batched-adaptive with batchSeeds=1 equals sequential-adaptive exactly") {
+    val med = graft.operators.Sharding
+      .medianPairwiseDist(pts, 200).collect()(0).getDouble(1)
+    // d0 at a tenth of the median: early rounds starve and MUST escalate
+    val d0 = med * 0.1
+    val seq = Kanndi.shardByDistance(spark, pts, m = 4, d0 = d0,
+      capacity = pts.count() / 4, adaptive = true)
+    val bat = Kanndi.shardByDistanceBatched(spark, pts, m = 4, d0 = d0,
+      capacity = pts.count() / 4, batchSeeds = 1, adaptive = true)
+    assert(seq.assigned.exceptAll(bat.assigned).isEmpty &&
+      bat.assigned.exceptAll(seq.assigned).isEmpty)
+    assert(seq.seeds.exceptAll(bat.seeds).isEmpty)
+    // escalation actually fired: the starved d0 still fills shards
+    val filled = bat.assigned.where(col("shard_id") >= 0).count()
+    assert(filled > 0L)
+  }
+
   test("batched multi-seed build preserves invariants in ceil(m/batch) rounds") {
     val med = graft.operators.Sharding
       .medianPairwiseDist(pts, 200).collect()(0).getDouble(1)

@@ -463,6 +463,24 @@ object SparkEntry {
   private val fileOnce =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** RDD ids backing cross-query memos (KANNDI assignment, PQ codes).
+    * Bench clears persisted state between queries so timings don't pay
+    * accumulated memory pressure — but unpersisting a localCheckpoint's
+    * blocks BREAKS every later consumer (lineage is truncated at the
+    * checkpoint; the block is gone for good), so memo-backing RDDs are
+    * registered here and exempted. */
+  val pinnedRddIds: java.util.Set[Integer] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+
+  /** localCheckpoint + pin the materialized blocks (see [[pinnedRddIds]]). */
+  private def pinLocalCheckpoint(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    (sc.getPersistentRDDs.keySet -- before).foreach(id => pinnedRddIds.add(id))
+    out
+  }
+
   /** Memoized SQ8 ranges (2·dim doubles — a driver artifact). */
   private val sqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Double, Double)]]()
@@ -515,7 +533,7 @@ object SparkEntry {
       distScale: Double = 1.0, adaptive: Boolean = false): Kanndi.KanndiResult =
     kanndiMemo.computeIfAbsent((dir, m, sampleSize, distScale.toString, adaptive), _ => {
       val r = Kanndi.shardAuto(s, Tables.points(s, dir), m, sampleSize, distScale, adaptive)
-      Kanndi.KanndiResult(r.assigned.localCheckpoint(), r.seeds.localCheckpoint())
+      Kanndi.KanndiResult(pinLocalCheckpoint(r.assigned), pinLocalCheckpoint(r.seeds))
     })
 
   /** Memoized PQ codes (q43/q44/q45 share them; codes are m bytes per point
@@ -525,8 +543,8 @@ object SparkEntry {
 
   private def pqCodesMemoDf(s: SparkSession, dir: String): DataFrame =
     pqCodesMemo.computeIfAbsent(dir, _ =>
-      Pq.encode(Tables.points(s, dir), pqFitMemo(s, dir), m = 8, dsub = 8)
-        .localCheckpoint())
+      pinLocalCheckpoint(
+        Pq.encode(Tables.points(s, dir), pqFitMemo(s, dir), m = 8, dsub = 8)))
 
   /** Memoized PQ codebooks shared by q43/q44. */
   private val pqMemo =

@@ -25,29 +25,53 @@ object Intervals {
     * lists then go through the boundary merge. */
   def islands(xs: DataFrame): DataFrame = {
     val spark = xs.sparkSession
-    import spark.implicits._
-    val local = xs.select(col("x").cast("long"))
+    // per-partition local compression over the range-sorted set; each
+    // partition's FIRST and LAST run are the only ones that can merge
+    // across partitions (runs between them end with a gap >= 2 on both
+    // sides, and merging cannot move a first run's begin or last run's
+    // end past them), so they are stitched on the driver (<= 2 rows per
+    // partition) while the middles stay distributed
+    val sorted = xs.select(col("x").cast("long"))
       .repartitionByRange(col("x"))
       .sortWithinPartitions(col("x"))
-      .as[Long]
-      .mapPartitions { it =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var begin = 0L
-        var end = 0L
-        var has = false
-        it.foreach { x =>
-          if (!has) { begin = x; end = x; has = true }
-          else if (x == end + 1) end = x
-          else { out += ((begin, end)); begin = x; end = x }
-        }
-        if (has) out += ((begin, end))
-        out.iterator
+    def compress(it: Iterator[org.apache.spark.sql.Row]): Array[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var begin = 0L
+      var end = 0L
+      var has = false
+      it.foreach { r =>
+        val x = r.getLong(0)
+        if (!has) { begin = x; end = x; has = true }
+        else if (x == end + 1) end = x
+        else { out += ((begin, end)); begin = x; end = x }
       }
-      .toDF("begin", "end")
-    // the per-partition compressed lists still need boundary-adjacent
-    // merging; mergeNeighbors is itself a distributed sweep, so even a
-    // fully-fragmented set (nothing compresses) never hits one task
-    mergeNeighbors(local)
+      if (has) out += ((begin, end))
+      out.toArray
+    }
+    // two jobs over ONE shuffle (map stage + range sampling are reused):
+    // boundary runs to the driver, middle runs stay distributed
+    val boundary = sorted.rdd
+      .mapPartitions { it =>
+        val runs = compress(it)
+        if (runs.isEmpty) Iterator.empty
+        else if (runs.length == 1) Iterator.single(runs.head)
+        else Iterator(runs.head, runs.last)
+      }
+      .collect().sortBy(_._1)
+    val stitched = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    boundary.foreach { case (b, e) =>
+      if (stitched.nonEmpty && b <= stitched.last._2 + 1) {
+        val (pb, pe) = stitched.last
+        stitched(stitched.length - 1) = (pb, math.max(pe, e))
+      } else stitched += ((b, e))
+    }
+    val middles = sorted.rdd.mapPartitions { it =>
+      val runs = compress(it)
+      if (runs.length <= 2) Iterator.empty
+      else runs.iterator.slice(1, runs.length - 1)
+    }
+    spark.createDataFrame(middles).toDF("begin", "end")
+      .unionByName(spark.createDataFrame(stitched.toSeq).toDF("begin", "end"))
   }
 
   /** Membership of each x in ANY interval — `is_number_in_intervals`
@@ -122,18 +146,18 @@ object Intervals {
   // boundary set through one task.
   // --------------------------------------------------------------------
 
-  /** Aggregated events (b, minus, plus), range-partitioned and sorted
-    * within partitions (materialized — both sweep passes reuse it), with
-    * per-partition exclusive prefix coverage and the first boundary of the
-    * next non-empty partition. */
+  /** Events (b, minus, plus) range-partitioned and sorted within
+    * partitions (equal boundaries land in one partition adjacently, so
+    * per-boundary aggregation happens inline during each pass — no
+    * separate groupBy shuffle), with per-partition exclusive prefix
+    * coverage and the first boundary of the next non-empty partition.
+    * Both sweep passes consume the SAME DataFrame instance: the shuffle
+    * map stage and the range sampling run once and are reused. */
   private def prepEvents(events: DataFrame)
       : (DataFrame, Array[Long], Array[Option[Long]]) = {
     val ev = events
-      .groupBy(col("b"))
-      .agg(sum(col("minus")).as("minus"), sum(col("plus")).as("plus"))
       .repartitionByRange(col("b"))
       .sortWithinPartitions(col("b"))
-      .localCheckpoint()
     val stats = ev.rdd
       .mapPartitionsWithIndex { (idx, it) =>
         var net = 0L
@@ -155,6 +179,25 @@ object Intervals {
       if (stats(i)._3.isDefined) nxt = stats(i)._3
     }
     (ev, offsets, nextB)
+  }
+
+  /** Iterate sorted raw events, merging adjacent equal boundaries into one
+    * (b, minus, plus) triple — the inline replacement for a groupBy. */
+  private def groupedBoundaries(it: Iterator[org.apache.spark.sql.Row])
+      : Iterator[(Long, Long, Long)] = new Iterator[(Long, Long, Long)] {
+    private val buf = it.buffered
+    override def hasNext: Boolean = buf.hasNext
+    override def next(): (Long, Long, Long) = {
+      val b = buf.head.getLong(0)
+      var minus = 0L
+      var plus = 0L
+      while (buf.hasNext && buf.head.getLong(0) == b) {
+        val r = buf.next()
+        minus += r.getLong(1)
+        plus += r.getLong(2)
+      }
+      (b, minus, plus)
+    }
   }
 
   /** Maximal coverage>0 runs (begin, end) over boundary events — the merged
@@ -179,10 +222,7 @@ object Intervals {
       var cov = bc.value(idx)
       var openB = 0L
       var hasOpen = false
-      it.foreach { r =>
-        val b = r.getLong(0)
-        val minus = r.getLong(1)
-        val plus = r.getLong(2)
+      groupedBoundaries(it).foreach { case (b, minus, plus) =>
         if (strict) {
           val covMid = cov - minus
           if (cov > 0 && covMid == 0) {
@@ -246,8 +286,9 @@ object Intervals {
     * sum is the distributed sweep above — no global window. */
   def splitOverlaps(ivs: DataFrame): DataFrame = {
     val spark = ivs.sparkSession
-    val d = ivs.select(col("begin"), col("end")).distinct()
-    val (ev, offsets, nextB) = prepEvents(hoEvents(d))
+    // no distinct() on the input: coverage POSITIVITY is insensitive to
+    // interval multiplicity, so duplicates cannot change the piece set
+    val (ev, offsets, nextB) = prepEvents(hoEvents(ivs))
     val bc = spark.sparkContext.broadcast((offsets, nextB))
     val pieces = ev.rdd.mapPartitionsWithIndex { (idx, it) =>
       val (offs, nxts) = bc.value
@@ -255,10 +296,9 @@ object Intervals {
       var cov = offs(idx)
       var prevB = 0L
       var hasPrev = false
-      it.foreach { r =>
-        val b = r.getLong(0)
+      groupedBoundaries(it).foreach { case (b, minus, plus) =>
         if (hasPrev && cov > 0) out += ((prevB, b))
-        cov += r.getLong(2) - r.getLong(1)
+        cov += plus - minus
         prevB = b
         hasPrev = true
       }

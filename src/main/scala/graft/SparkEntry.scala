@@ -418,6 +418,50 @@ object SparkEntry {
           aggregate(col("vec"), lit(0L), (acc, v) => acc + v.cast("long")).as("checksum"))
     }),
 
+    // ---- streaming semantics in the hard signal: flatMapGroupsWithState
+    // per-user totals, identical on a batch Dataset (one micro-batch) by
+    // the Structured Streaming contract (TextStreamSpec drives the same
+    // operator through MemoryStream across real micro-batches)
+    "q58_running_totals" -> ((s, dir) => {
+      import s.implicits._
+      Streaming.runningUserTotals(
+        Tables.events(s, dir).select(col("user_id"), col("value"))
+          .as[Streaming.UserEvent]).toDF()
+    }),
+
+    // ---- streaming LSH candidate generation (GroupState per band),
+    // batch-equivalent form: cap high enough that no band saturates, so
+    // the emitted set is exactly all same-band id pairs
+    "q59_streaming_lsh" -> ((s, dir) =>
+      Streaming.streamingLshCandidates(docsWithDups(s, dir),
+        maxBandSize = Int.MaxValue).toDF()),
+
+    // ---- streaming index ingest END TO END: a real Structured Streaming
+    // query (parquet file source -> foreachBatch router -> partitionBy
+    // (shard_id) append) runs to completion once per JVM, then the
+    // ON-DISK index content is hash-checked against the batch-assignment
+    // oracle — the streamed index must be byte-equivalent to the batch one
+    "q60_stream_ingest" -> ((s, dir) => {
+      val base = s"/tmp/graft_incidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      fileOnce.computeIfAbsent(base, _ => {
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(del)
+          f.delete()
+        }
+        val root = new java.io.File(base)
+        if (root.exists) del(root)
+        val pts = Tables.points(s, dir)
+        pts.write.parquet(s"$base/incoming")
+        val stream = s.readStream.schema(pts.schema).parquet(s"$base/incoming")
+        val q = Streaming.incrementalAssign(stream, fitCentroidsMemo(s, dir),
+          s"$base/index", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        true
+      })
+      s.read.parquet(s"$base/index")
+        .select(col("id"), col("shard_id").cast("int").as("shard_id"))
+    }),
+
     // ---- M5: KANNDI routed search — the reference's E3 with the seed
     // router over the distance-built shards (kanndi_search.py:28-66)
     "q41_kanndi_search" -> ((s, dir) => {
@@ -756,6 +800,35 @@ object SparkEntry {
       s"""SELECT vec_id AS id,
          |  round(sqrt(${Oracles.dotp("embedding", "embedding")}), 4) AS norm
          |FROM embeddings WHERE vec_id >= 100 AND vec_id < 200""".stripMargin,
+
+    // events.value is a 2-decimal quantity, so sum*100 sits next to an
+    // integer on both engines: Spark's rint(sum*100)/100 and DuckDB's
+    // round(sum, 2) both recover the exact decimal total
+    "q58_running_totals" ->
+      s"""SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    // uncapped band pairs: the GroupState form with a non-saturating cap
+    // emits exactly all same-band id pairs (q25's banding without the
+    // band-size filter)
+    "q59_streaming_lsh" ->
+      s"""WITH ${Oracles.dupDocsCte},
+         |${Oracles.shinglesCte("ddocs")},
+         |sig AS (SELECT id, list_transform(generate_series(0, 15),
+         |    k -> list_min(list_transform(sh, s -> md5(k::VARCHAR || ':' || s)))) AS sig
+         |  FROM sh),
+         |bnd AS (SELECT id, unnest(list_transform(generate_series(0, 3),
+         |    b -> b::VARCHAR || '_' || md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band
+         |  FROM sig)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.band AS band
+         |FROM bnd a JOIN bnd b ON a.band = b.band AND a.id < b.id""".stripMargin,
+
+    // the streamed on-disk index must equal the batch nearest-centroid
+    // assignment (same Lloyd's centroids CTE as q06, no dist column — the
+    // index stores membership, not distances)
+    "q60_stream_ingest" ->
+      s"""WITH ${Oracles.assignCtes(Params.k, Params.iters)}
+         |SELECT id, shard_id FROM asg""".stripMargin,
 
     // replays the exact q57 quantize -> u8 round-trip: clamp/floor are pure
     // double ops, the stored byte is the same integer, so norms/checksums

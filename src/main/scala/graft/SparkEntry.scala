@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Intervals, Kanndi, Knn, Multimodal, Pq, Sharding, ShardedSearch, Sq, Stats, Streaming, TextStats}
+import graft.operators.{Dedup, Intervals, Kanndi, Knn, Multimodal, Pq, Sharding, ShardedSearch, Skew, Sq, Stats, Streaming, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -418,6 +418,33 @@ object SparkEntry {
           aggregate(col("vec"), lit(0L), (acc, v) => acc + v.cast("long")).as("checksum"))
     }),
 
+    // ---- M8: near-dup CLUSTER formation + keeper selection — connected
+    // components (min-label propagation) over the LSH near-dup pairs; the
+    // keeper is the component minimum, cluster_size the drop-count + 1
+    "q61_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(docsWithDups(s, dir), threshold = 0.8,
+        maxBandSize = Params.maxBandSize).select("id_a", "id_b")
+      Dedup.dedupReport(pairs)
+    }),
+
+    // ---- skew utilities in the hard signal: the two-phase salted
+    // aggregation and the salted replicate-join must be RESULT-identical
+    // to their plain forms (the whole point of a skew mitigation)
+    "q62_skew_agg" -> ((s, dir) =>
+      Skew.saltedCountSum(
+        Tables.events(s, dir).select(col("event_type"), col("event_id"), col("value")),
+        key = "event_type", idCol = "event_id", valueCol = "value", buckets = 8)),
+
+    "q63_skew_join" -> ((s, dir) => {
+      val big = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      val small = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      Skew.saltedJoin(big, small, key = "c_custkey", bigIdCol = "o_orderkey", buckets = 4)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
     // ---- streaming semantics in the hard signal: flatMapGroupsWithState
     // per-user totals, identical on a batch Dataset (one micro-batch) by
     // the Structured Streaming contract (TextStreamSpec drives the same
@@ -800,6 +827,50 @@ object SparkEntry {
       s"""SELECT vec_id AS id,
          |  round(sqrt(${Oracles.dotp("embedding", "embedding")}), 4) AS norm
          |FROM embeddings WHERE vec_id >= 100 AND vec_id < 200""".stripMargin,
+
+    // q25's pair chain, then transitive closure as a recursive CTE: reach
+    // = every node reachable from id; keeper = min reachable (identical to
+    // min-label propagation's fixpoint). Integer-exact on both engines.
+    "q61_dedup_clusters" ->
+      s"""WITH RECURSIVE ${Oracles.dupDocsCte},
+         |${Oracles.shinglesCte("ddocs")},
+         |sig AS (SELECT id, list_transform(generate_series(0, 15),
+         |    k -> list_min(list_transform(sh, s -> md5(k::VARCHAR || ':' || s)))) AS sig
+         |  FROM sh),
+         |bnd AS (SELECT id, unnest(list_transform(generate_series(0, 3),
+         |    b -> b::VARCHAR || '_' || md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band
+         |  FROM sig),
+         |bndk AS (SELECT * FROM bnd WHERE band IN (
+         |  SELECT band FROM bnd GROUP BY band HAVING count(*) <= ${Params.maxBandSize})),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bndk a JOIN bndk b ON a.band = b.band AND a.id < b.id),
+         |pairs AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    ${Oracles.rHU("CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(sa.sh, sb.sh)))", 4)} AS jaccard
+         |  FROM cand c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b)
+         |  WHERE jaccard >= 0.8),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (SELECT src AS id, src AS r FROM e
+         |  UNION
+         |  SELECT e.src AS id, reach.r FROM e JOIN reach ON reach.id = e.dst),
+         |lbl AS (SELECT id, min(r) AS keeper_id FROM reach GROUP BY id),
+         |sz AS (SELECT keeper_id, count(*) AS cluster_size FROM lbl GROUP BY keeper_id)
+         |SELECT l.id, l.keeper_id, s.cluster_size
+         |FROM lbl l JOIN sz s USING (keeper_id)""".stripMargin,
+
+    // the salted two-phase aggregation must equal the plain GROUP BY
+    "q62_skew_agg" ->
+      s"""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the salted replicate-join must equal the plain join
+    "q63_skew_join" ->
+      s"""SELECT c.c_nationkey, count(*) AS n_orders,
+         |  round(sum(o.o_totalprice), 2) AS sum_price
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_nationkey""".stripMargin,
 
     // events.value is a 2-decimal quantity, so sum*100 sits next to an
     // integer on both engines: Spark's rint(sum*100)/100 and DuckDB's

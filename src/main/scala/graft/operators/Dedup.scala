@@ -296,6 +296,61 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate CLUSTERS from candidate pairs — the step a real dedup
+    * pipeline runs after pair generation: connected components over the
+    * near-dup graph, with the component's minimum id as the canonical
+    * KEEPER (every other member is a drop candidate).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes min(own label, neighbors' labels); labels only decrease and the
+    * fixpoint is the component minimum, reached in O(component diameter)
+    * rounds (near-dup clusters are shallow: dup groups are cliques or
+    * short chains). Each round is one equi-join (edges ⋈ labels on id) +
+    * one min-aggregate — both shuffle on id, no cross product; the edge
+    * set is only the CANDIDATE PAIRS (tiny next to the corpus), so at
+    * 100 TB this loops over a table orders of magnitude smaller than the
+    * input. Convergence is an exact fixpoint test per round.
+    *
+    * Output: (id, keeper_id) for every id that appears in a pair. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nb = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src")).agg(min(col("nlabel")).as("nmin"))
+      val updated = labels
+        .join(nb.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .where(col("label") =!= col("old"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels.select(col("id"), col("label").as("keeper_id"))
+  }
+
+  /** [[nearDupClusters]] + per-cluster size — the keeper/drop report. */
+  def dedupReport(pairs: DataFrame): DataFrame = {
+    val cl = nearDupClusters(pairs)
+    cl.join(cl.groupBy(col("keeper_id")).agg(count(lit(1)).as("cluster_size")),
+        "keeper_id")
+      .select(col("id"), col("keeper_id"), col("cluster_size"))
+  }
+
   /** Deterministic sign-random-projection bucket for an embedding: bit k is
     * the sign of dot(vec, r_k) with r_k[i] = ((k*31 + i*7) % 13) - 6 —
     * integer weights so both engines compute identical doubles. */

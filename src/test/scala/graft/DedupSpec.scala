@@ -114,6 +114,19 @@ class DedupSpec extends SparkSpec {
     assert(capped.get((0L, 3L)) === uncapped.get((0L, 3L)))
   }
 
+  test("nearDupClusters: keeper is the component minimum, chains converge") {
+    // chain 1-2-3, clique 10-11-12, pair (20,21), long chain 100..110
+    val chain = (100L until 110L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)) ++ chain).toDF("id_a", "id_b")
+    val r = Dedup.dedupReport(pairs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    Seq(1L, 2L, 3L).foreach(i => assert(r(i) === ((1L, 3L))))
+    Seq(10L, 11L, 12L).foreach(i => assert(r(i) === ((10L, 3L))))
+    Seq(20L, 21L).foreach(i => assert(r(i) === ((20L, 2L))))
+    (100L to 110L).foreach(i => assert(r(i) === ((100L, 11L))))
+  }
+
   test("embedding near-dups: planted copy found with cosine 1.0") {
     val pts = Tables.points(spark, sf0)
     val planted = pts.unionByName(

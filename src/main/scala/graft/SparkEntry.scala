@@ -427,6 +427,29 @@ object SparkEntry {
       Dedup.dedupReport(pairs)
     }),
 
+    // ---- M9: Gopher-style rule-based quality filter (per-rule booleans
+    // + keep flag) — the drop-before-tokenize stage of a data pipeline
+    "q64_gopher_rules" -> ((s, dir) =>
+      TextStats.gopherRules(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
+
+    // ---- M9: deterministic random-projection dimensionality reduction
+    // (64 -> 8 dims), long form for the oracle
+    "q65_random_projection" -> ((s, dir) => {
+      import graft.functions.VectorFunctions._
+      Tables.points(s, dir)
+        .select(col("id"), posexplode(randomProjection(col("vec"), 8, 64)))
+        .select(col("id"), col("pos").as("k"), roundHU(col("col"), 4).as("pval"))
+    }),
+
+    // ---- M9: REAL image codec end-to-end — deterministic RGB pattern ->
+    // spec-compliant 24-bit BMP encode (bottom-up BGR rows, 4-byte
+    // padding) -> decode -> stats over the DECODED pixels; the oracle
+    // recomputes from the pattern formula, so any codec bug breaks hashes
+    "q66_bmp_codec" -> ((s, dir) =>
+      Multimodal.bmpRoundTripStats(s,
+        Tables.documents(s, dir).select(col("doc_id").as("id")))),
+
     // ---- skew utilities in the hard signal: the two-phase salted
     // aggregation and the salted replicate-join must be RESULT-identical
     // to their plain forms (the whole point of a skew mitigation)
@@ -859,6 +882,45 @@ object SparkEntry {
          |sz AS (SELECT keeper_id, count(*) AS cluster_size FROM lbl GROUP BY keeper_id)
          |SELECT l.id, l.keeper_id, s.cluster_size
          |FROM lbl l JOIN sz s USING (keeper_id)""".stripMargin,
+
+    // file size = 54-byte headers + padded rows; pixel sum recomputed from
+    // the pattern formula (integer-exact)
+    "q66_bmp_codec" ->
+      s"""WITH dims AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h
+         |  FROM documents)
+         |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST(54 + ((3*w + 3) // 4) * 4 * h AS INT) AS n_bytes,
+         |  CAST(list_sum(flatten(flatten(
+         |    list_transform(generate_series(0, h - 1), r ->
+         |      list_transform(generate_series(0, w - 1), c ->
+         |        list_transform(generate_series(0, 2), ch ->
+         |          (id*7 + r*31 + c*13 + ch*5) % 256)))))) AS BIGINT) AS pix_sum
+         |FROM dims""".stripMargin,
+
+    // ratios are exact integer/integer doubles -> identical booleans
+    "q64_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id AS id, text, string_split(text, ' ') AS w FROM documents),
+         |m AS (SELECT id, len(w) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS avg_len,
+         |    1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dwf,
+         |    len(list_intersect(list_distinct(w),
+         |      ['the', 'a', 'of', 'and', 'to'])) AS sw
+         |  FROM d)
+         |SELECT id, n_words,
+         |  n_words >= 10 AND n_words <= 100000 AS r_word_count,
+         |  avg_len >= 2.0 AND avg_len <= 12.0 AS r_avg_word_len,
+         |  dwf <= 0.6 AS r_dup_word,
+         |  sw >= 2 AS r_stopword,
+         |  (n_words >= 10 AND n_words <= 100000) AND (avg_len >= 2.0 AND avg_len <= 12.0)
+         |    AND dwf <= 0.6 AND sw >= 2 AS keep
+         |FROM m""".stripMargin,
+
+    // same integer projection weights, same left-to-right double fold
+    "q65_random_projection" ->
+      s"""SELECT vec_id AS id, k,
+         |  ${Oracles.rHU("list_sum(list_transform(generate_series(1, 64), " +
+      "i -> CAST(embedding[i] AS DOUBLE) * (((k*31 + (i-1)*7) % 13) - 6)))", 4)} AS pval
+         |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k)""".stripMargin,
 
     // the salted two-phase aggregation must equal the plain GROUP BY
     "q62_skew_agg" ->

@@ -96,4 +96,16 @@ object VectorFunctions {
 
   /** CSV vector string (utils.py:26-34). */
   def toCsvVector(v: Column): Column = array_join(v, ",")
+
+  /** Deterministic random-projection dimensionality reduction:
+    * out[k] = sum_i vec[i] * R(k,i) with integer weights
+    * R(k,i) = ((k*31 + i*7) % 13) - 6 — the dense-projection twin of the
+    * SRP-LSH bucketer ([[graft.operators.Dedup.srpBucket]]): identical
+    * doubles on every engine, a pure map stage at any scale. */
+  def randomProjection(vec: Column, outDim: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(outDim - 1)), k =>
+      aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (v, i) => v.cast("double") * ((k * 31 + i * 7) % 13 - 6).cast("double")),
+        lit(0.0), (acc, v) => acc + v))
 }

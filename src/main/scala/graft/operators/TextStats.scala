@@ -73,6 +73,40 @@ object TextStats {
             + lit(0.3) * (lit(1.0) - least(lit(1.0), col("punct_ratio") * 10)))), 4))
   }
 
+  /** Gopher-style rule-based quality FILTER (the MassiveText rule family:
+    * word-count bounds, mean-word-length bounds, duplicate-word fraction,
+    * minimum distinct stopwords), emitting per-rule booleans plus the
+    * final `keep` — a pipeline drops failing docs before tokenization.
+    * Thresholds are parameters; ratios are exact integer/integer doubles,
+    * so the booleans are engine-portable without rounding. Pure per-doc
+    * column arithmetic — a map-only stage at any scale. */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Int = 10,
+      maxWords: Int = 100000,
+      minAvgLen: Double = 2.0,
+      maxAvgLen: Double = 12.0,
+      maxDupWordFrac: Double = 0.6,
+      minStopwords: Int = 2): DataFrame = {
+    val w = split(col("text"), " ")
+    val nWords = size(w)
+    val avgLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val dupFrac = lit(1.0) - size(array_distinct(w)).cast("double") / nWords
+    val enSw = Seq("the", "a", "of", "and", "to")
+    val swDistinct = size(array_intersect(array_distinct(w),
+      array(enSw.map(lit): _*)))
+    docs.select(
+      col("id"),
+      nWords.as("n_words"),
+      (nWords >= minWords && nWords <= maxWords).as("r_word_count"),
+      (avgLen >= minAvgLen && avgLen <= maxAvgLen).as("r_avg_word_len"),
+      (dupFrac <= maxDupWordFrac).as("r_dup_word"),
+      (swDistinct >= minStopwords).as("r_stopword"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_avg_word_len") &&
+          col("r_dup_word") && col("r_stopword"))
+  }
+
   /** Token counts: whitespace words plus a BPE-ish regex token count
     * (letter runs, single digits, single punctuation marks). */
   def tokenCounts(docs: DataFrame): DataFrame =

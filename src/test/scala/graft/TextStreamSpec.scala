@@ -45,6 +45,33 @@ class TextStreamSpec extends SparkSpec {
     assert(fp(0L).split('|').length === 5)
   }
 
+  test("BMP codec: exact round-trip, spec-compliant bytes (ImageIO cross-check)") {
+    // round-trip identity on padded (w=10) and unpadded (w=8) widths
+    for (id <- Seq(0L, 2L, 5L, 13L)) {
+      val (w, h, rgb) = Multimodal.syntheticRgb(id)
+      val bmp = Multimodal.encodeBmp(w, h, rgb)
+      val (dw, dh, back) = Multimodal.decodeBmp(bmp)
+      assert(dw === w && dh === h)
+      assert(back.toSeq === rgb.toSeq, s"round-trip mismatch for id=$id")
+      // the JDK's own BMP reader must agree — proves spec compliance, not
+      // just encoder/decoder symmetry
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+      assert(img.getWidth === w && img.getHeight === h)
+      for (r <- 0 until h; c <- 0 until w) {
+        val px = img.getRGB(c, r)
+        val i = (r * w + c) * 3
+        assert(((px >> 16) & 0xff) === (rgb(i) & 0xff), s"R mismatch at ($r,$c)")
+        assert(((px >> 8) & 0xff) === (rgb(i + 1) & 0xff), s"G mismatch at ($r,$c)")
+        assert((px & 0xff) === (rgb(i + 2) & 0xff), s"B mismatch at ($r,$c)")
+      }
+    }
+    // dispatching decoder: BMP metadata comes from the real header
+    val (w0, h0, rgb0) = Multimodal.syntheticRgb(3L)
+    val dec = Multimodal.decodeAsset(
+      Multimodal.Asset(3L, "image/bmp", Multimodal.encodeBmp(w0, h0, rgb0)))
+    assert(dec.width === w0 && dec.height === h0 && dec.channels === 3)
+  }
+
   test("multimodal decode kernel: deterministic metadata from real bytes") {
     val assets = Multimodal.syntheticAssets(
       Tables.documents(spark, sf0).select(col("doc_id").as("id"), col("text")))

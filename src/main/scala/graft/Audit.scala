@@ -52,6 +52,11 @@ object Audit {
       ("simhash32 map-stage expression", _.contains("simhash32")))
     audit("q52_simhash_neardup")(
       ("no per-bit explode", p => !p.contains("sequence(0, 31")))
+    audit("q67_asof_join")(
+      // union-tag + running carry: the ts >= theta must never plan as a
+      // nested loop
+      ("no nested-loop range join", p => !p.contains("BroadcastNestedLoopJoin")),
+      ("single-shuffle window carry", _.contains("Window")))
     audit("q46_interval_algebra")(
       // split_overlaps is a coverage sweep; a pieces-x-intervals range join
       // would be a nested loop (measured 58s vs 2s at sf0.1)

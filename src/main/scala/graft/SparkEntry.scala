@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Intervals, Kanndi, Knn, Multimodal, Pq, Sharding, ShardedSearch, Skew, Sq, Stats, Streaming, TextStats}
+import graft.operators.{AsOfJoin, Dedup, Intervals, Kanndi, Knn, Multimodal, Pq, Sharding, ShardedSearch, Skew, Sq, Stats, Streaming, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -450,6 +450,28 @@ object SparkEntry {
       Multimodal.bmpRoundTripStats(s,
         Tables.documents(s, dir).select(col("doc_id").as("id")))),
 
+    // ---- M9: AS-OF join — each purchase matched to the user's most
+    // recent prior-or-simultaneous click (union-tag + running carry: one
+    // shuffle on the key, never a theta-range nested loop)
+    "q67_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ms"))
+      // right side unique per (user, ms): keep the max event_id's row
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ms"))
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("ms"),
+          col("m.event_id").as("click_id"), col("m.value").as("click_value"))
+      AsOfJoin.asof(purchases, clicks, key = "user_id", ts = "ms")
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("matched.click_id").as("click_id"),
+          col("matched.ms").as("click_ms"),
+          col("matched.click_value").as("click_value"))
+    }),
+
     // ---- skew utilities in the hard signal: the two-phase salted
     // aggregation and the salted replicate-join must be RESULT-identical
     // to their plain forms (the whole point of a skew mitigation)
@@ -882,6 +904,20 @@ object SparkEntry {
          |sz AS (SELECT keeper_id, count(*) AS cluster_size FROM lbl GROUP BY keeper_id)
          |SELECT l.id, l.keeper_id, s.cluster_size
          |FROM lbl l JOIN sz s USING (keeper_id)""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN replays the same greatest-ts<=probe
+    // semantics; right side deduped per (user, ms) on both engines
+    "q67_asof_join" ->
+      s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms, value
+         |  FROM events),
+         |p AS (SELECT event_id, user_id, ms FROM ev WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ms, max(event_id) AS click_id,
+         |    arg_max(value, event_id) AS click_value
+         |  FROM ev WHERE event_type = 'click' GROUP BY user_id, ms)
+         |SELECT p.event_id, p.user_id, p.ms,
+         |  c.click_id, c.ms AS click_ms, c.click_value
+         |FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND p.ms >= c.ms""".stripMargin,
 
     // file size = 54-byte headers + padded rows; pixel sum recomputed from
     // the pattern formula (integer-exact)

@@ -78,11 +78,15 @@ object Dedup {
   def candidatesFromBands(banded: DataFrame, maxBandSize: Int = 0): DataFrame = {
     val b =
       if (maxBandSize > 0) {
-        val keep = banded.groupBy(col("band")).agg(count(lit(1)).as("__bn"))
-          .where(col("__bn") <= maxBandSize).select("band")
-        // materialize: the self-join below would otherwise compute the
-        // band-count aggregation once per side
-        banded.join(keep, "band").localCheckpoint()
+        // band size via a whole-partition window count — ONE shuffle on the
+        // band key, no count-table join; materialized because the self-join
+        // below consumes it twice
+        banded
+          .withColumn("__bn", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+          .where(col("__bn") <= maxBandSize)
+          .select(col("id"), col("band"))
+          .localCheckpoint()
       } else banded
     b.as("a")
       .join(b.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -205,11 +209,13 @@ object Dedup {
         .as("band"))
     val banded =
       if (maxBandSize > 0) {
-        val keep = banded0.groupBy(col("band")).agg(count(lit(1)).as("__bn"))
-          .where(col("__bn") <= maxBandSize).select("band")
-        // materialize: the self-join below would otherwise compute the
-        // band-count aggregation once per side
-        banded0.join(keep, "band").localCheckpoint()
+        // same one-shuffle window cap as candidatesFromBands
+        banded0
+          .withColumn("__bn", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+          .where(col("__bn") <= maxBandSize)
+          .select(col("id"), col("band"))
+          .localCheckpoint()
       } else banded0
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -243,30 +249,29 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       maxDf: Int = 0): DataFrame = {
-    val grams = docs.select(col("id"), col("block"),
+    val grams0 = docs.select(col("id"), col("block"),
       explode(array_distinct(
         when(length(col("text")) >= n,
           transform(sequence(lit(1), length(col("text")) - (n - 1)),
             i => col("text").substr(i, lit(n))))
           .otherwise(array().cast("array<string>")))).as("g"))
-      .localCheckpoint()
+    // document frequency as a whole-partition window count over (block, g)
+    // — ONE shuffle attaches __df to every gram row; cold/hot become free
+    // FILTERS over the materialized table instead of key-table joins
+    val grams =
+      (if (maxDf > 0)
+        grams0.withColumn("__df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("block"), col("g"))))
+      else grams0).localCheckpoint()
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
     val (cold, hotOpt) =
       if (maxDf > 0) {
-        // materialize the df table once: it feeds coldKeys (both sides of
-        // the self-join) and hotKeys, and each would otherwise re-run the
-        // full gram aggregation
-        val freq = grams.groupBy(col("block"), col("g")).agg(count(lit(1)).as("__df"))
-          .localCheckpoint()
-        val hotKeys = freq.where(col("__df") > maxDf).select("block", "g")
-        if (hotKeys.isEmpty) {
-          // no gram exceeds the cap: cold == grams exactly; skip the
-          // cold-filter join AND the hot-patch joins entirely
-          (grams, None)
+        if (grams.where(col("__df") > maxDf).isEmpty) {
+          // no gram exceeds the cap: cold == grams exactly, no hot patch
+          (grams.drop("__df"), None)
         } else {
-          val coldKeys = freq.where(col("__df") <= maxDf).select("block", "g")
-          (grams.join(coldKeys, Seq("block", "g")).localCheckpoint(),
-            Some(grams.join(hotKeys, Seq("block", "g")).select(col("id"), col("g"))))
+          (grams.where(col("__df") <= maxDf).drop("__df"),
+            Some(grams.where(col("__df") > maxDf).select(col("id"), col("g"))))
         }
       } else (grams, None)
     val interCold = cold.as("a")

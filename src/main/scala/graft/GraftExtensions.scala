@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, L2SqDistance, MinHashSignature}
+import graft.functions.{DotProduct, L2SqDistance, MinHashSignature, SimHash32}
 
 /** SQL-surface registration for the engine's native expressions, so
   * `spark.sql("SELECT l2_dist(a, b) ...")` works next to the Column API.
@@ -56,7 +56,10 @@ object GraftExtensions {
           case other => other.eval(null).asInstanceOf[Int]
         }
         MinHashSignature(es(0), k)
-      }))
+      }),
+    ("simhash32",
+      info("simhash32", "simhash32(tokens) - 32-char '0'/'1' simhash bit string of a token array"),
+      (es: Seq[Expression]) => SimHash32(es(0))))
 
   /** Register on a live session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

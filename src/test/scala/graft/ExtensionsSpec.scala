@@ -20,5 +20,9 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c," +
         " cosine_sim(array(1.0F, 0.0F), array(0.0F, 1.0F)) AS o").head()
     assert(cs.getDouble(0) === 1.0 && cs.getDouble(1) === 0.0)
+
+    val sh = spark.sql(
+      "SELECT simhash32(array('the', 'quick', 'fox')) AS h").head().getString(0)
+    assert(sh.length === 32 && sh.forall(c => c == '0' || c == '1'))
   }
 }

@@ -65,6 +65,36 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("boundary sweep matches brute-force on random half-open interval sets") {
+    val ivGen = Gen.listOfN(8,
+      for { b <- Gen.chooseNum(0L, 60L); len <- Gen.chooseNum(1L, 12L) } yield (b, b + len))
+    forAll(ivGen.suchThat(_.nonEmpty), 10) { ivs =>
+      val df = ivs.toDF("begin", "end")
+      def covered(x: Long) = ivs.exists { case (b, e) => x >= b && x < e }
+      def strictlyInside(x: Long) = ivs.exists { case (b, e) => b < x && e > x }
+      val bounds = ivs.flatMap { case (b, e) => Seq(b, e) }.distinct.sorted
+      // splitOverlaps = adjacent-boundary pieces whose lower bound is covered
+      val pieces = bounds.zip(bounds.drop(1)).filter { case (lo, _) => covered(lo) }
+      assert(Intervals.splitOverlaps(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet === pieces.toSet)
+      // lenient merge = maximal runs of contiguous covered pieces
+      def mergeRuns(keepJoin: Long => Boolean): Set[(Long, Long)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        pieces.foreach { case (lo, hi) =>
+          if (out.nonEmpty && out.last._2 == lo && keepJoin(lo))
+            out(out.length - 1) = (out.last._1, hi)
+          else out += ((lo, hi))
+        }
+        out.toSet
+      }
+      assert(Intervals.mergeOverlapsHO(df, strict = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet === mergeRuns(_ => true))
+      // strict merge additionally breaks at boundaries nothing strictly spans
+      assert(Intervals.mergeOverlapsHO(df, strict = true).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet === mergeRuns(strictlyInside))
+    }
+  }
+
   test("mergeNeighbors is idempotent and preserves coverage") {
     val ivGen = Gen.listOfN(6,
       for { b <- Gen.chooseNum(0L, 100L); len <- Gen.chooseNum(0L, 10L) } yield (b, b + len))

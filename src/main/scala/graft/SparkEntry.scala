@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Intervals, Kanndi, Knn, Multimodal, Pq, Sharding, ShardedSearch, Skew, Sq, Stats, Streaming, TextStats}
+import graft.operators.{AsOfJoin, Dedup, Intervals, Kanndi, Knn, Multimodal, Pq, Sharding, ShardedSearch, Sketches, Skew, Sq, Stats, Streaming, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -471,6 +471,26 @@ object SparkEntry {
           col("matched.ms").as("click_ms"),
           col("matched.click_value").as("click_value"))
     }),
+
+    // ---- M9: mergeable sketches — Count-Min frequency estimates over the
+    // corpus token multiset (d·w bounded state, pure-sum counters)
+    "q68_countmin" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val cms = Sketches.countMinSketch(toks, d = 4, w = 64)
+      val probes = s.range(1).select(explode(array(
+        Seq("the", "a", "of", "and", "to", "data", "model", "learning")
+          .map(lit): _*)).as("tok"))
+      Sketches.cmsEstimate(cms, probes, d = 4, w = 64)
+    }),
+
+    // ---- M9: HyperLogLog distinct-token estimate (pure-max registers;
+    // the 2^-M sum is exact in doubles, so the estimate replays verbatim)
+    "q69_hll_distinct" -> ((s, dir) =>
+      Sketches.hllEstimate(
+        Sketches.hllRegisters(
+          Tables.documents(s, dir)
+            .select(explode(split(col("text"), " ")).as("tok")), b = 8), b = 8)),
 
     // ---- skew utilities in the hard signal: the two-phase salted
     // aggregation and the salted replicate-join must be RESULT-identical
@@ -957,6 +977,45 @@ object SparkEntry {
          |  ${Oracles.rHU("list_sum(list_transform(generate_series(1, 64), " +
       "i -> CAST(embedding[i] AS DOUBLE) * (((k*31 + (i-1)*7) % 13) - 6)))", 4)} AS pval
          |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k)""".stripMargin,
+
+    // ('0x'||hex)::BIGINT replays Spark's conv(hex,16,10); counters are
+    // integer-exact
+    "q68_countmin" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |cms AS (SELECT "row", bucket, count(*) AS cnt FROM (
+         |    SELECT r AS "row", tok,
+         |      (('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 8))::BIGINT) % 64 AS bucket
+         |    FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r))
+         |  GROUP BY "row", bucket),
+         |p AS (SELECT unnest(['the', 'a', 'of', 'and', 'to', 'data', 'model', 'learning']) AS tok),
+         |pe AS (SELECT p.tok, r AS "row",
+         |    (('0x' || substr(md5(r::VARCHAR || ':' || p.tok), 1, 8))::BIGINT) % 64 AS bucket
+         |  FROM p CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r))
+         |SELECT pe.tok, CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est
+         |FROM pe LEFT JOIN cms ON cms."row" = pe."row" AND cms.bucket = pe.bucket
+         |GROUP BY pe.tok""".stripMargin,
+
+    // register/rho from the same 32-bit md5 value; alpha formula written
+    // in the same operation order, all arithmetic forced to DOUBLE
+    "q69_hll_distinct" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT ('0x' || substr(md5('hll:' || tok), 1, 8))::BIGINT AS v FROM toks),
+         |r AS (SELECT v // 16777216 AS register, v % 16777216 AS rest FROM h),
+         |rr AS (SELECT register,
+         |    coalesce(list_min(list_filter(generate_series(1, 24),
+         |      j -> (rest // CAST(power(2, 24 - j) AS BIGINT)) % 2 = 1)), 25) AS rho
+         |  FROM r),
+         |regs AS (SELECT register, max(rho) AS m FROM rr GROUP BY register),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
+         |    (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256) /
+         |      (sum(power(CAST(2.0 AS DOUBLE), -m)) + (256 - count(*))) AS raw,
+         |    256 - count(*) AS v
+         |  FROM regs)
+         |SELECT n_used,
+         |  ${Oracles.rHU(
+      "CASE WHEN raw <= 2.5 * 256 AND v > 0 " +
+        "THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / v) ELSE raw END", 2)} AS est
+         |FROM agg""".stripMargin,
 
     // the salted two-phase aggregation must equal the plain GROUP BY
     "q62_skew_agg" ->

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.roundHU
+
+/** Deterministic, MERGEABLE sketches — the bounded-state approximate
+  * aggregations a 100 TB analytics engine runs where exact answers don't
+  * fit: Count-Min frequency estimation and HyperLogLog distinct counting.
+  *
+  * Both are expressed as plain relational aggregations whose state is the
+  * sketch itself (d·w counters / 2^b registers): counters are pure SUMS and
+  * registers pure MAXes, so partial aggregation (map-side combine) and
+  * any merge order give bit-identical sketches — which is also what makes
+  * them oracle-able cross-engine, unlike seeded-random implementations.
+  * Hashes are md5-derived (engine-portable hex arithmetic).
+  */
+object Sketches {
+
+  /** Unsigned 32-bit value of the first 8 hex digits of md5(prefix:tok). */
+  private def h32(tok: Column, prefix: Column): Column =
+    conv(substring(md5(concat(prefix, lit(":"), tok)), 1, 8), 16, 10).cast("long")
+
+  /** Count-min sketch of a token multiset: d hash rows × w buckets,
+    * (row, bucket, cnt) — state bounded by d·w regardless of corpus size. */
+  def countMinSketch(tokens: DataFrame, d: Int = 4, w: Int = 64): DataFrame =
+    tokens
+      .select(explode(sequence(lit(0), lit(d - 1))).as("row"), col("tok"))
+      .withColumn("bucket", pmod(h32(col("tok"), col("row").cast("string")), lit(w)))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-frequency estimates: min over rows of the probe token's bucket
+    * counter (absent bucket = 0). Classic CMS guarantee: est >= truth,
+    * over-estimation bounded by collisions. */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, d: Int = 4, w: Int = 64): DataFrame =
+    probes
+      .select(col("tok")).distinct()
+      .select(col("tok"), explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .withColumn("bucket", pmod(h32(col("tok"), col("row").cast("string")), lit(w)))
+      .join(cms, Seq("row", "bucket"), "left")
+      .groupBy(col("tok"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** HyperLogLog registers over a token column: register index = top b bits
+    * of the 32-bit hash, rho = 1 + leading zeros of the remaining 32-b bits
+    * (32-b+1 when they are all zero). One (register, max rho) row per used
+    * register. */
+  def hllRegisters(tokens: DataFrame, b: Int = 8): DataFrame = {
+    val bits = 32 - b
+    val v = h32(col("tok"), lit("hll"))
+    val register = floor(v / pow(lit(2.0), lit(bits))).cast("long")
+    val rest = pmod(v, pow(lit(2.0), lit(bits)).cast("long"))
+    // smallest set-bit position in `rest` (1-based from the top), else bits+1
+    val rho = coalesce(
+      array_min(filter(sequence(lit(1), lit(bits)),
+        j => pmod(floor(rest / pow(lit(2.0), lit(bits) - j)).cast("long"), lit(2)) === 1)),
+      lit(bits + 1))
+    tokens
+      .select(register.as("register"), rho.as("rho"))
+      .groupBy(col("register"))
+      .agg(max(col("rho")).as("m"))
+  }
+
+  /** HLL estimate with the standard small-range correction:
+    * raw E = alpha_m · m² / sum_j 2^(-M_j) (empty registers contributing
+    * 2^0); when E <= 2.5m and empty registers remain, linear counting
+    * m·ln(m/V) replaces it (the raw estimator is biased high there).
+    * The 2^-M terms are exact powers of two, so the double sum is EXACT in
+    * any order; ln enters only through the 2-dp rounded output. */
+  def hllEstimate(registers: DataFrame, b: Int = 8): DataFrame = {
+    val m = 1 << b
+    registers
+      .agg(
+        count(lit(1)).as("n_used"),
+        sum(pow(lit(2.0), -col("m"))).as("__s"))
+      .select(
+        col("n_used"),
+        (lit(0.7213 / (1 + 1.079 / m) * m * m) /
+          (col("__s") + (lit(m) - col("n_used")).cast("double"))).as("__raw"),
+        (lit(m) - col("n_used")).as("__v"))
+      .select(
+        col("n_used"),
+        roundHU(
+          when(col("__raw") <= lit(2.5 * m) && col("__v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+            .otherwise(col("__raw")), 2).as("est"))
+  }
+}

@@ -472,6 +472,12 @@ object SparkEntry {
           col("matched.click_value").as("click_value"))
     }),
 
+    // ---- M9: PMI bigram collocations (corpus statistics beyond TF-IDF)
+    "q70_pmi_bigrams" -> ((s, dir) =>
+      TextStats.pmiBigrams(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+        minCount = 5, topN = 50)),
+
     // ---- M9: mergeable sketches — Count-Min frequency estimates over the
     // corpus token multiset (d·w bounded state, pure-sum counters)
     "q68_countmin" -> ((s, dir) => {
@@ -977,6 +983,27 @@ object SparkEntry {
          |  ${Oracles.rHU("list_sum(list_transform(generate_series(1, 64), " +
       "i -> CAST(embedding[i] AS DOUBLE) * (((k*31 + (i-1)*7) % 13) - 6)))", 4)} AS pval
          |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k)""".stripMargin,
+
+    // same arithmetic order in the log argument; ranking on the ROUNDED
+    // pmi with (w1, w2) tie-break keeps the top-50 set engine-portable
+    "q70_pmi_bigrams" ->
+      s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |uni AS (SELECT unnest(w) AS tok FROM w),
+         |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+         |nu AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni),
+         |bi AS (SELECT s['w1'] AS w1, s['w2'] AS w2 FROM (
+         |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> {'w1': w[i], 'w2': w[i+1]})) AS s FROM w WHERE len(w) >= 2)),
+         |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bi),
+         |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY w1, w2)
+         |SELECT w1, w2, c_ab,
+         |  round(ln((CAST(c_ab AS DOUBLE) / nb.n) /
+         |    ((CAST(ca.c AS DOUBLE) / nu.n) * (CAST(cb.c AS DOUBLE) / nu.n))), 4) AS pmi
+         |FROM bc, nb, nu
+         |JOIN uc ca ON ca.tok = bc.w1
+         |JOIN uc cb ON cb.tok = bc.w2
+         |WHERE c_ab >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
 
     // ('0x'||hex)::BIGINT replays Spark's conv(hex,16,10); counters are
     // integer-exact

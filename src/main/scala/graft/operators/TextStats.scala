@@ -107,6 +107,40 @@ object TextStats {
           col("r_dup_word") && col("r_stopword"))
   }
 
+  /** PMI bigram collocations — pointwise mutual information of adjacent
+    * word pairs against unigram frequencies:
+    * pmi(a,b) = ln((c_ab/N_bi) / ((c_a/N_uni)·(c_b/N_uni))), bigrams with
+    * c_ab >= minCount, top N by (rounded pmi desc, w1, w2) — ranking on
+    * the ROUNDED value with a lexicographic tie-break keeps the selected
+    * set engine-portable. Two linear explodes + small-key aggregations;
+    * corpus totals are driver scalars (bounded, like the KS denominator). */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5, topN: Int = 50): DataFrame = {
+    val w = split(col("text"), " ")
+    val toks = docs.select(explode(w).as("tok"))
+    val bi = docs.select(explode(
+        when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
+          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      // NOT checkpointed: the count() and groupBy consumers each re-run
+      // the explode, which is a cheap map-only scan — materializing the
+      // full bigram table costs more than recomputing it
+    val nUni = toks.count().toDouble
+    val nBi = bi.count().toDouble
+    val uc = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+      .join(uc.select(col("tok").as("w1"), col("c").as("ca")), "w1")
+      .join(uc.select(col("tok").as("w2"), col("c").as("cb")), "w2")
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(
+          (col("c_ab").cast("double") / lit(nBi)) /
+            ((col("ca").cast("double") / lit(nUni)) *
+              (col("cb").cast("double") / lit(nUni)))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Token counts: whitespace words plus a BPE-ish regex token count
     * (letter runs, single digits, single punctuation marks). */
   def tokenCounts(docs: DataFrame): DataFrame =

@@ -332,16 +332,17 @@ object Dedup {
       val nb = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy(col("src")).agg(min(col("nlabel")).as("nmin"))
+      // the changed flag rides the update itself, so convergence is one
+      // cheap aggregate over the materialized result — no extra join
       val updated = labels
         .join(nb.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("label") > coalesce(col("nmin"), col("label"))).as("__chg"))
         .localCheckpoint()
-      converged = updated
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .where(col("label") =!= col("old"))
-        .isEmpty
-      labels = updated
+      converged = !updated
+        .agg(coalesce(max(col("__chg")), lit(false))).head().getBoolean(0)
+      labels = updated.select(col("id"), col("label"))
       i += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")

@@ -472,6 +472,17 @@ object SparkEntry {
           col("matched.click_value").as("click_value"))
     }),
 
+    // ---- M9: FILTERED ANN (hybrid search) — metadata predicate composed
+    // with exact top-k: the filter prunes the candidate scan BEFORE any
+    // distance math (predicate pushdown does the work; no special index)
+    "q71_filtered_knn" -> ((s, dir) => {
+      val keep = Tables.documents(s, dir)
+        .where(col("lang") === "en" && col("n_chars") >= 300)
+        .select(col("doc_id").as("id"))
+      Knn.knnCosine(Tables.points(s, dir).join(keep, "id"),
+        Tables.queryPoints(s, dir), k = 10)
+    }),
+
     // ---- M9: PMI bigram collocations (corpus statistics beyond TF-IDF)
     "q70_pmi_bigrams" -> ((s, dir) =>
       TextStats.pmiBigrams(
@@ -983,6 +994,24 @@ object SparkEntry {
          |  ${Oracles.rHU("list_sum(list_transform(generate_series(1, 64), " +
       "i -> CAST(embedding[i] AS DOUBLE) * (((k*31 + (i-1)*7) % 13) - 6)))", 4)} AS pval
          |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k)""".stripMargin,
+
+    // q33's cosine ranking over the metadata-filtered candidate set
+    "q71_filtered_knn" ->
+      s"""WITH keep AS (SELECT doc_id AS id FROM documents
+         |  WHERE lang = 'en' AND n_chars >= 300),
+         |ptsf AS (SELECT p.* FROM (${Oracles.points}) p JOIN keep USING (id)),
+         |pairs AS (
+         |  SELECT qs.qid, ptsf.id AS neighbor_id,
+         |    ${Oracles.rHU(s"1 - ${Oracles.dotp("qs.qvec", "ptsf.vec")} / " +
+      s"(sqrt(${Oracles.dotp("qs.qvec", "qs.qvec")}) * sqrt(${Oracles.dotp("ptsf.vec", "ptsf.vec")}))", 4)} AS dist
+         |  FROM (${Oracles.queryPoints(25)}) qs CROSS JOIN ptsf
+         |),
+         |ranked AS (
+         |  SELECT qid, neighbor_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS "rank"
+         |  FROM pairs
+         |)
+         |SELECT qid, "rank", neighbor_id, dist FROM ranked WHERE "rank" <= 10""".stripMargin,
 
     // same arithmetic order in the log argument; ranking on the ROUNDED
     // pmi with (w1, w2) tie-break keeps the top-50 set engine-portable

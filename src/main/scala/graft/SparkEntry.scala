@@ -472,6 +472,23 @@ object SparkEntry {
           col("matched.click_value").as("click_value"))
     }),
 
+    // ---- M9: per-user moving aggregates — the time-series window family
+    // (lag delta + trailing 5-event average), partitioned by user so the
+    // sort is per-key, never global
+    "q72_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+          col("value"))
+        .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+        .withColumn("mov_avg",
+          graft.functions.VectorFunctions.roundHU(
+            avg(col("value")).over(w.rowsBetween(-4, 0)), 4))
+        .select(col("event_id"), col("user_id"), col("ms"), col("gap_ms"),
+          col("mov_avg"))
+    }),
+
     // ---- M9: FILTERED ANN (hybrid search) — metadata predicate composed
     // with exact top-k: the filter prunes the candidate scan BEFORE any
     // distance math (predicate pushdown does the work; no special index)
@@ -994,6 +1011,15 @@ object SparkEntry {
          |  ${Oracles.rHU("list_sum(list_transform(generate_series(1, 64), " +
       "i -> CAST(embedding[i] AS DOUBLE) * (((k*31 + (i-1)*7) % 13) - 6)))", 4)} AS pval
          |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k)""".stripMargin,
+
+    // identical per-key frame order (ms, event_id) -> identical 5-row fold
+    "q72_moving_avg" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, value FROM events)
+         |SELECT event_id, user_id, ms,
+         |  ms - lag(ms, 1) OVER w AS gap_ms,
+         |  ${Oracles.rHU("avg(value) OVER (PARTITION BY user_id ORDER BY ms, event_id " +
+      "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)", 4)} AS mov_avg
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)""".stripMargin,
 
     // q33's cosine ranking over the metadata-filtered candidate set
     "q71_filtered_knn" ->

@@ -1052,8 +1052,8 @@ object SparkEntry {
          |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bi),
          |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY w1, w2)
          |SELECT w1, w2, c_ab,
-         |  round(ln((CAST(c_ab AS DOUBLE) / nb.n) /
-         |    ((CAST(ca.c AS DOUBLE) / nu.n) * (CAST(cb.c AS DOUBLE) / nu.n))), 4) AS pmi
+         |  ${Oracles.rHU("ln((CAST(c_ab AS DOUBLE) / nb.n) / " +
+      "((CAST(ca.c AS DOUBLE) / nu.n) * (CAST(cb.c AS DOUBLE) / nu.n)))", 4)} AS pmi
          |FROM bc, nb, nu
          |JOIN uc ca ON ca.tok = bc.w1
          |JOIN uc cb ON cb.tok = bc.w2

@@ -264,16 +264,14 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.partitionBy(col("block"), col("g"))))
       else grams0).localCheckpoint()
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
+    // no emptiness probe: when nothing is hot the patch joins run against
+    // an empty set and contribute nothing — cheaper than an extra action
+    // that must scan the whole gram table to conclude "no hot grams"
     val (cold, hotOpt) =
-      if (maxDf > 0) {
-        if (grams.where(col("__df") > maxDf).isEmpty) {
-          // no gram exceeds the cap: cold == grams exactly, no hot patch
-          (grams.drop("__df"), None)
-        } else {
-          (grams.where(col("__df") <= maxDf).drop("__df"),
-            Some(grams.where(col("__df") > maxDf).select(col("id"), col("g"))))
-        }
-      } else (grams, None)
+      if (maxDf > 0)
+        (grams.where(col("__df") <= maxDf).drop("__df"),
+          Some(grams.where(col("__df") > maxDf).select(col("id"), col("g"))))
+      else (grams, None)
     val interCold = cold.as("a")
       .join(cold.as("b"),
         col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
@@ -316,8 +314,11 @@ object Dedup {
     * 100 TB this loops over a table orders of magnitude smaller than the
     * input. Convergence is an exact fixpoint test per round.
     *
-    * Output: (id, keeper_id) for every id that appears in a pair. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * Output: (id, keeper_id) for every id that appears in a pair.
+    * maxIters bounds the rounds (propagation needs one round per unit of
+    * component eccentricity; 50 covers any plausible near-dup chain —
+    * a deeper graph fails loudly rather than returning wrong clusters). */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs
@@ -328,20 +329,29 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var i = 0
+    val sc = pairs.sparkSession.sparkContext
+    var prevIds = Set.empty[Int] // superseded round's checkpoint blocks
     while (!converged && i < maxIters) {
       val nb = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy(col("src")).agg(min(col("nlabel")).as("nmin"))
       // the changed flag rides the update itself, so convergence is one
       // cheap aggregate over the materialized result — no extra join
+      val before = sc.getPersistentRDDs.keySet
       val updated = labels
         .join(nb.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (col("label") > coalesce(col("nmin"), col("label"))).as("__chg"))
         .localCheckpoint()
+      val newIds = (sc.getPersistentRDDs.keySet -- before).toSet
       converged = !updated
         .agg(coalesce(max(col("__chg")), lit(false))).head().getBoolean(0)
+      // the old round's blocks are no longer reachable — free them instead
+      // of accumulating one table per round for the session lifetime
+      prevIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = newIds
       labels = updated.select(col("id"), col("label"))
       i += 1
     }
@@ -350,8 +360,8 @@ object Dedup {
   }
 
   /** [[nearDupClusters]] + per-cluster size — the keeper/drop report. */
-  def dedupReport(pairs: DataFrame): DataFrame = {
-    val cl = nearDupClusters(pairs)
+  def dedupReport(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val cl = nearDupClusters(pairs, maxIters)
     cl.join(cl.groupBy(col("keeper_id")).agg(count(lit(1)).as("cluster_size")),
         "keeper_id")
       .select(col("id"), col("keeper_id"), col("cluster_size"))

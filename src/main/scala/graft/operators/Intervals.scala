@@ -42,7 +42,10 @@ object Intervals {
       it.foreach { r =>
         val x = r.getLong(0)
         if (!has) { begin = x; end = x; has = true }
-        else if (x == end + 1) end = x
+        // x == end: duplicate input value — continue the run rather than
+        // emitting an overlapping island (the set contract says distinct,
+        // but a dup must not silently break the disjoint-gap>=2 invariant)
+        else if (x == end + 1 || x == end) end = x
         else { out += ((begin, end)); begin = x; end = x }
       }
       if (has) out += ((begin, end))

@@ -97,7 +97,13 @@ object Multimodal {
     val height = rd32(bmp, 22)
     require(rd16(bmp, 28) == 24, "only 24-bit BMP supported")
     require(rd32(bmp, 30) == 0, "only uncompressed BMP supported")
+    // header fields are untrusted input: bound them BEFORE allocating (a
+    // corrupt width of 2^31-1 would otherwise drive a negative/huge alloc)
+    require(width > 0 && height > 0 && width <= (1 << 16) && height <= (1 << 16),
+      s"implausible BMP dimensions ${width}x$height")
     val rowSize = ((3 * width + 3) / 4) * 4
+    require(offset >= 54 && bmp.length.toLong >= offset.toLong + rowSize.toLong * height,
+      "BMP truncated: pixel array exceeds payload")
     val rgb = new Array[Byte](width * height * 3)
     var r = 0
     while (r < height) {
@@ -117,14 +123,21 @@ object Multimodal {
 
   /** Dispatching decoder: real BMP parse for image/bmp payloads (header
     * width/height, channels=3, checksum over DECODED pixels); the declared
-    * stub for codec-less compressed formats. */
+    * stub for codec-less compressed formats. A payload that CLAIMS to be
+    * BMP but fails validation degrades to the stub path instead of killing
+    * the job — one corrupt asset must not fail a partition. */
   def decodeAsset(a: Asset): Decoded =
     if (a.media_type == "image/bmp") {
-      val (w, h, rgb) = decodeBmp(a.content)
-      var crc = 0L
-      var i = 0
-      while (i < rgb.length) { crc = (crc * 31 + (rgb(i) & 0xff)) & 0xffffffffL; i += 1 }
-      Decoded(a.id, a.media_type, a.content.length, w, h, 3, crc)
+      try {
+        val (w, h, rgb) = decodeBmp(a.content)
+        var crc = 0L
+        var i = 0
+        while (i < rgb.length) { crc = (crc * 31 + (rgb(i) & 0xff)) & 0xffffffffL; i += 1 }
+        Decoded(a.id, a.media_type, a.content.length, w, h, 3, crc)
+      } catch {
+        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+          fakeDecode(a)
+      }
     } else fakeDecode(a)
 
   /** Deterministic RGB test pattern for id: pixel (r,c,ch) =
@@ -160,12 +173,11 @@ object Multimodal {
     ids.select(col("id")).as[Long].map { id =>
       val (w, h, rgb) = syntheticRgb(id)
       val bmp = encodeBmp(w, h, rgb)
-      val dec = decodeAsset(Asset(id, "image/bmp", bmp))
-      require(dec.width == w && dec.height == h, s"dimension mismatch for $id")
-      val (_, _, back) = decodeBmp(bmp)
+      val (dw, dh, back) = decodeBmp(bmp) // one decode serves dims AND sum
+      require(dw == w && dh == h, s"dimension mismatch for $id")
       var sum = 0L
       back.foreach(b => sum += (b & 0xff))
-      (id, dec.width, dec.height, bmp.length, sum)
+      (id, dw, dh, bmp.length, sum)
     }.toDF("id", "width", "height", "n_bytes", "pix_sum")
   }
 

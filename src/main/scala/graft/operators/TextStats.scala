@@ -133,7 +133,9 @@ object TextStats {
       .join(uc.select(col("tok").as("w1"), col("c").as("ca")), "w1")
       .join(uc.select(col("tok").as("w2"), col("c").as("cb")), "w2")
       .select(col("w1"), col("w2"), col("c_ab"),
-        round(log(
+        // roundHU, not round(): the rounded value drives the top-N cutoff,
+        // so the repo's cross-engine rounding convention applies doubly
+        roundHU(log(
           (col("c_ab").cast("double") / lit(nBi)) /
             ((col("ca").cast("double") / lit(nUni)) *
               (col("cb").cast("double") / lit(nUni)))), 4).as("pmi"))

@@ -15,6 +15,15 @@ class IntervalsSpec extends SparkSpec {
     assert(got === Seq((1L, 6L), (45L, 48L), (110L, 112L)))
   }
 
+  test("islands tolerates duplicate inputs without emitting overlaps") {
+    // the contract says distinct, but a stray dup must not break the
+    // disjoint/gap>=2 invariant downstream consumers rely on
+    val xs = Seq(1L, 2L, 2L, 3L, 10L, 10L).toDF("x")
+    val got = Intervals.islands(xs).orderBy("begin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 3L), (10L, 10L)))
+  }
+
   test("membership: closed-interval semantics") {
     val iv = Seq((1L, 6L), (45L, 48L)).toDF("begin", "end")
     val xs = Seq(0L, 1L, 6L, 7L, 46L, 49L).toDF("x")

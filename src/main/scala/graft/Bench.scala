@@ -1,9 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints one JSON line for the driver.
+  *
+  * Noise model on this box: multi-minute background storms inflate a
+  * contiguous STRETCH of wall-clock; back-to-back repeats of one query sit
+  * inside the same storm, so best-of-2-adjacent still reports phantom
+  * regressions. Defense: run the FULL suite as P interleaved passes
+  * (default 3) and take per-query minima ACROSS passes — a storm has to
+  * span the whole run to contaminate a minimum. Per-query max is reported
+  * alongside so a storm is visible in the artifact instead of silently
+  * shaping it.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_BENCH_PASSES (default 3), SPARK_GRAFT_BENCH_ONLY
+  * (comma-separated name substrings — run a subset while profiling).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,46 +33,57 @@ object Bench {
     // absorb one-time session init (parquet datasource, codegen, JIT) so
     // per-query timings measure the queries, not the first-touch setup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    var failed = List.empty[String]
-    // best-of-2 per query: single-shot timings on this box carry ±25%
-    // noise (JIT storms / background load) that lands on random queries;
-    // the minimum reflects the plan's actual cost
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      var ok = true
-      val dts = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            ok = false
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: " +
-              String.valueOf(e.getMessage).linesIterator.take(1).mkString)
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // operators may persist intermediates (stat-table .cache()s AND
-        // localCheckpoint blocks — the latter live in the BlockManager, not
-        // the catalog cache); drop both so later timings aren't paying
-        // accumulated memory pressure. EXCEPT memo-backing checkpoints
-        // (SparkEntry.pinnedRddIds): dropping those blocks breaks every
-        // later consumer — lineage is truncated at a checkpoint. Blocking
-        // unpersist: the async form races the next query's jobs
-        // (SPARK_JOB_CANCELLED noise in earlier rounds).
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!SparkEntry.pinnedRddIds.contains(id)) rdd.unpersist(blocking = true)
-        }
-        dt
-      }
-      if (!ok) failed ::= name
-      name -> dts.min
+    // first touch of the BENCH-SF tables (file listing, footer reads,
+    // nanosAsLong conf) otherwise lands on whichever query runs first
+    for (t <- Seq("lineitem", "orders", "events", "documents", "embeddings"))
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+
+    val queries = SparkEntry.queries.toSeq.filter { case (name, _) =>
+      only.forall(_.exists(name.contains))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val fl = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val timings = // name -> successful wall times (one slot per pass)
+      scala.collection.mutable.LinkedHashMap(
+        queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    val failedSet = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (_ <- 1 to passes; (name, fn) <- queries) {
+      val t0 = System.nanoTime()
+      var ok = true
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          ok = false
+          failedSet += name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // a failed iteration's (fast) wall time must not contribute to the
+      // reported minimum — only successful runs are timings of the query
+      if (ok) timings(name) :+= dt
+      // operators may persist intermediates (stat-table .cache()s AND
+      // localCheckpoint blocks — the latter live in the BlockManager, not
+      // the catalog cache); drop both so later timings aren't paying
+      // accumulated memory pressure. EXCEPT memo-backing checkpoints
+      // (SparkEntry.pinnedRddIds): dropping those blocks breaks every
+      // later consumer — lineage is truncated at a checkpoint. Blocking
+      // unpersist: the async form races the next query's jobs
+      // (SPARK_JOB_CANCELLED noise in earlier rounds).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!SparkEntry.pinnedRddIds.contains(id)) rdd.unpersist(blocking = true)
+      }
+    }
+    def fmt(v: Double) = if (v.isNaN) "null" else v.toString
+    val mins = timings.map { case (n, ts) => n -> (if (ts.isEmpty) Double.NaN else ts.min) }
+    val maxs = timings.map { case (n, ts) => n -> (if (ts.isEmpty) Double.NaN else ts.max) }
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qmax = maxs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val fl = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = mins.values.filterNot(_.isNaN).sum
     // a failed query must be impossible to miss: named in the JSON line AND
     // a nonzero exit code
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qmax,"failed":$fl,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (failedSet.nonEmpty) sys.exit(1)
   }
 }

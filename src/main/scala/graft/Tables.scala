@@ -46,6 +46,14 @@ object Tables {
   def points(s: SparkSession, dir: String): DataFrame =
     spread(s, embeddings(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")))
 
+  /** Points WITHOUT the small-file spread adapter — for point-lookup
+    * probes (e.g. the PQ refine fetch of |Q|·k·refine ids) whose output is
+    * tiny: those plans gain nothing from the repartition and would pay its
+    * shuffle stage per run. Corpus-scan operators should keep using
+    * [[points]]. */
+  def pointsUnspread(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+
   /** Deterministic query workload: a fixed stride of the points themselves
     * (the reference reads queries from a second file with the same layout,
     * kanndi_search.py:35-43; a stride keeps the oracle SQL-reproducible). */

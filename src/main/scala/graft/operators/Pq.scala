@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,53 @@ import graft.functions.VectorFunctions._
   * time; search reads m bytes per point.
   */
 object Pq {
+
+  /** Driver-side codebook value: `cents(sub)(code)` = centroid (dsub
+    * doubles). m·k·dsub doubles total — the artifact a PQ engine pins in
+    * memory on every node; here it rides the serialized plan as literals
+    * (identical distribution cost at this size). */
+  final case class CodebookLit(m: Int, dsub: Int, k: Int,
+      cents: Array[Array[Array[Double]]])
+
+  /** Collect a fitted codebook DataFrame (`fit` output) to a [[CodebookLit]]. */
+  def collectCodebooks(codebooks: DataFrame, m: Int, dsub: Int): CodebookLit = {
+    val rows = codebooks.collect()
+    val k = rows.map(_.getInt(1)).max + 1
+    val cents = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    CodebookLit(m, dsub, k, cents)
+  }
+
+  /** Driver replica of the codegen l2Sq kernel (VectorExpressions.L2SqDistance):
+    * left-to-right double accumulation in array order — bit-identical. */
+  private def l2SqDriver(q: Array[Float], c: Array[Double], off: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) {
+      val d = q(off + i).toDouble - c(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Flat ADC lookup table for one query: `lut(sub*k + code)` = exact
+    * squared subspace distance from the query's sub-vector to that codeword. */
+  def lutFlat(qvec: Array[Float], cb: CodebookLit): Array[Double] = {
+    val out = new Array[Double](cb.m * cb.k)
+    var s = 0
+    while (s < cb.m) {
+      var c = 0
+      while (c < cb.k) {
+        out(s * cb.k + c) = l2SqDriver(qvec, cb.cents(s)(c), s * cb.dsub)
+        c += 1
+      }
+      s += 1
+    }
+    out
+  }
 
   /** Slice subvector `sub` (0-based) of width dsub. */
   private def subvec(vec: org.apache.spark.sql.Column, sub: Int, dsub: Int) =
@@ -151,5 +198,179 @@ object Pq {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("approx_dist"))
+  }
+
+  // --------------------------------------------------------------------
+  // Literal-LUT physical strategy. The relational forms above join the
+  // codes against a Spark-computed LUT — the right plan when the query
+  // batch is itself big data. For interactive batches (the reference caps
+  // queries at MAXIMUM_QUERIES, kanndi_search.py:8) the LUT is a driver
+  // artifact of m·k doubles per query, so the whole search collapses to
+  // ONE map stage over the codes table + ONE top-k shuffle: no LUT
+  // subquery, no broadcast-exchange job, no (sub,code) join fan-out of
+  // |codes|·|Q| intermediate rows, no re-aggregation. Same math, same
+  // rounding, same output — PqSpec asserts row-identity with the
+  // relational forms. Scale note: the per-query LUT literals total
+  // |Q|·m·k doubles in the plan; beyond a few thousand queries switch
+  // back to the relational form (plan size / task-serialization cost
+  // grows linearly with |Q|).
+  // --------------------------------------------------------------------
+
+  /** Map-only wide encode: (id, codes: array<int>) with codes(sub) = argmin
+    * codeword under the engine ranking convention (rounded dist, code
+    * tie-break) — row-identical to `encode` reshaped wide. No shuffle: the
+    * codebooks ride the plan as literals, each code is an array_min over a
+    * k-element literal comparison, and the 100 TB raw-vector scan is
+    * touched exactly once. */
+  def encodeWide(points: DataFrame, cb: CodebookLit, carry: Seq[String] = Nil): DataFrame = {
+    val codes = array((0 until cb.m).map { s =>
+      val cands = array((0 until cb.k).map { c =>
+        struct(
+          round(l2Dist(subvec(col("vec"), s, cb.dsub),
+            typedLit(cb.cents(s)(c).toSeq)), 4).as("d"),
+          lit(c).as("code"))
+      }: _*)
+      array_min(cands).getField("code")
+    }: _*)
+    points.select(col("id") +: carry.map(col) :+ codes.as("codes"): _*)
+  }
+
+  /** Long-form (id, sub, code) view of `encodeWide` output — the format
+    * `encode` emits and the q43 oracle replays. */
+  def codesLong(wide: DataFrame): DataFrame =
+    wide.select(col("id"), posexplode(col("codes")).as(Seq("sub", "code")))
+
+  /** ADC candidate distance from a wide codes row and a flat LUT column:
+    * round(sqrt(Σ_sub lut[sub·k + codes[sub]]), 4), summed in sub order. */
+  private def adcDistCol(codes: Column, lut: Column, m: Int, k: Int): Column =
+    round(sqrt((0 until m).map { s =>
+      element_at(lut, lit(s * k + 1) + element_at(codes, s + 1))
+    }.reduce(_ + _)), 4)
+
+  /** Per-query (qid, lut) literal structs, qid-sorted for determinism. */
+  private def qlutLits(queries: Array[(Long, Array[Float])], cb: CodebookLit) =
+    queries.sortBy(_._1).map { case (qid, qvec) =>
+      struct(lit(qid).as("qid"), typedLit(lutFlat(qvec, cb).toSeq).as("lut"))
+    }
+
+  /** ADC top-k with literal LUTs: one map stage (explode |Q| structs per
+    * codes row, unrolled m-term lookup sum) + one top-k window shuffle
+    * (WindowGroupLimit pushes the rank filter partial). Output matches
+    * `adcSearch`. */
+  def adcSearchLit(
+      queries: Array[(Long, Array[Float])],
+      codesWide: DataFrame,
+      cb: CodebookLit,
+      k: Int): DataFrame = {
+    val exploded = codesWide
+      .select(col("id"), col("codes"), explode(array(qlutLits(queries, cb): _*)).as("q"))
+      .select(col("q.qid").as("qid"), col("id"),
+        adcDistCol(col("codes"), col("q.lut"), cb.m, cb.k).as("approx_dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx_dist"), col("id"))
+    exploded
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("approx_dist"))
+  }
+
+  /** IVF-PQ with literal LUTs: the candidate equi-join keeps only the routed
+    * (qid, id) pairs; the LUT rides the plan as a qid-keyed map literal, so
+    * no per-(sub,code) join or re-aggregation is needed. Output matches
+    * `adcSearchRouted`. */
+  def adcSearchRoutedLit(
+      queries: Array[(Long, Array[Float])],
+      candidates: DataFrame, // (qid, id)
+      codesWide: DataFrame,
+      cb: CodebookLit,
+      k: Int): DataFrame = {
+    val lutMap = typedLit(queries.map { case (qid, qvec) =>
+      qid -> lutFlat(qvec, cb).toSeq
+    }.toMap)
+    val dists = candidates
+      .join(codesWide, "id")
+      .select(col("qid"), col("id"),
+        adcDistCol(col("codes"), element_at(lutMap, col("qid")), cb.m, cb.k)
+          .as("approx_dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx_dist"), col("id"))
+    dists
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("approx_dist"))
+  }
+
+  /** Spark-identical round(x, 4): Round uses BigDecimal HALF_UP on the
+    * double's shortest decimal form — replicated so driver-side routing
+    * ranks exactly like the relational window. */
+  private def round4Driver(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Driver-side top-T centroid routing — the reference's in-memory
+    * centroid index (kanndi_search.py:28-44: the router is RAM-resident and
+    * queries are a bounded batch). Ranking matches ShardedSearch.route:
+    * (round(l2, 4), shard_id) ascending. Returns (qid, shard_id) pairs. */
+  def routeLit(
+      queries: Array[(Long, Array[Float])],
+      cents: Array[(Int, Array[Double])],
+      t: Int): Array[(Long, Int)] =
+    queries.flatMap { case (qid, qvec) =>
+      cents.map { case (sid, c) => (round4Driver(math.sqrt(l2SqDriver(qvec, c, 0))), sid) }
+        .sorted.take(t).map { case (_, sid) => (qid, sid) }
+    }
+
+  /** IVF-PQ search over the materialized index layout: `ivfCodes` is the
+    * codes table CARRYING its shard assignment (id, shard_id, codes) — the
+    * IVF index IS codes-partitioned-by-list, so search is one broadcast
+    * equi-join of the driver-computed routes against the index, a literal
+    * LUT lookup sum, and one top-k shuffle. Row-identical to
+    * `adcSearchRouted` over the same routing (PqSpec). */
+  def ivfSearchLit(
+      queries: Array[(Long, Array[Float])],
+      routes: Array[(Long, Int)],
+      ivfCodes: DataFrame, // (id, shard_id, codes)
+      cb: CodebookLit,
+      k: Int): DataFrame = {
+    // routes as a shard_id -> [qid] plan literal: the routed "join" becomes
+    // a partition-prunable isin filter + a generator over the map lookup —
+    // no broadcast exchange, no join operator, same row multiplicity
+    val byShard: Map[Int, Seq[Long]] =
+      routes.groupBy(_._2).map { case (sid, ps) => sid -> ps.map(_._1).sorted.toSeq }
+    val shardQids = typedLit(byShard)
+    val lutMap = typedLit(queries.map { case (qid, qvec) =>
+      qid -> lutFlat(qvec, cb).toSeq
+    }.toMap)
+    val dists = ivfCodes
+      .where(col("shard_id").isin(byShard.keys.toSeq: _*))
+      .select(col("id"), col("codes"),
+        explode(element_at(shardQids, col("shard_id"))).as("qid"))
+      .select(col("qid"), col("id"),
+        adcDistCol(col("codes"), element_at(lutMap, col("qid")), cb.m, cb.k)
+          .as("approx_dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx_dist"), col("id"))
+    dists
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("approx_dist"))
+  }
+
+  /** ADC + exact re-rank with literal LUTs and a qid-keyed literal query
+    * map for the refine distances — the raw vectors are touched only for
+    * the |Q|·k·refine candidate ids. Output matches `adcRefine`. */
+  def adcRefineLit(
+      queries: Array[(Long, Array[Float])],
+      codesWide: DataFrame,
+      cb: CodebookLit,
+      points: DataFrame,
+      k: Int,
+      refine: Int = 4): DataFrame = {
+    val approx = adcSearchLit(queries, codesWide, cb, k * refine)
+    val cand = approx.select(col("qid"), col("neighbor_id").as("id"))
+    val qvecMap = typedLit(queries.map { case (qid, qvec) => qid -> qvec.toSeq }.toMap)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    points
+      .join(broadcast(cand), "id")
+      .withColumn("dist", round(l2Dist(element_at(qvecMap, col("qid")), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("dist"))
   }
 }

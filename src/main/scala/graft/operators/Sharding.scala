@@ -68,6 +68,29 @@ object Sharding {
         col("m.shard_id").as("shard_id"),
         col("m.dist").as("dist"))
 
+  /** Map-only nearest-centroid assignment against a driver-held centroid
+    * set — the literal twin of [[assign]] with the identical ranking
+    * convention (4-dp-rounded dist, shard_id tie-break). The centroids ride
+    * the plan as literals and the argmin is an array_min over k candidate
+    * structs, so assignment is a pure projection over the scan: NO shuffle,
+    * where the relational form pays a groupBy(id) reduction. At 100 TB this
+    * is the difference between "assignment = one pass over the data" and
+    * "assignment = reshuffling the corpus". ShardingSpec asserts
+    * row-identity with [[assign]]. */
+  def assignLit(
+      points: DataFrame,
+      cents: Array[(Int, Array[Double])],
+      keepVec: Boolean = false): DataFrame = {
+    val cands = array(cents.map { case (sid, c) =>
+      struct(
+        round(l2Dist(col("vec"), typedLit(c.toSeq)), 4).as("dist"),
+        lit(sid).as("shard_id"))
+    }: _*)
+    val cols = Seq(col("id"), col("m.shard_id").as("shard_id"), col("m.dist").as("dist")) ++
+      (if (keepVec) Seq(col("vec")) else Nil)
+    points.withColumn("m", array_min(cands)).select(cols: _*)
+  }
+
   /** Recompute centroids as the per-shard elementwise mean (Lloyd's M-step):
     * explode to (shard_id, dim, value), average, reassemble. */
   private def meanCentroids(points: DataFrame, assigned: DataFrame): DataFrame =

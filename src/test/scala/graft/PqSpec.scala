@@ -66,6 +66,68 @@ class PqSpec extends SparkSpec {
     assert(res.join(cand, Seq("qid"), "left_anti").count() === 0)
   }
 
+  lazy val cbLit = Pq.collectCodebooks(cb, m = 8, dsub = 8)
+  lazy val qarr = Tables.queryPoints(spark, sf0).collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+  test("literal-LUT strategy: encodeWide/codesLong row-identical to encode") {
+    val wide = Pq.encodeWide(pts, cbLit)
+    assert(Pq.codesLong(wide).except(codes).count() === 0)
+    assert(codes.except(Pq.codesLong(wide)).count() === 0)
+  }
+
+  test("literal-LUT strategy: adcSearchLit row-identical to adcSearch") {
+    val wide = Pq.encodeWide(pts, cbLit).cache()
+    val qs = Tables.queryPoints(spark, sf0)
+    val rel = Pq.adcSearch(qs, codes, cb, m = 8, dsub = 8, k = 10)
+    val lit = Pq.adcSearchLit(qarr, wide, cbLit, k = 10)
+    assert(lit.except(rel).count() === 0)
+    assert(rel.except(lit).count() === 0)
+    // refine too: exact re-rank over the literal approx stage
+    val relRef = Pq.adcRefine(qs, codes, cb, pts, m = 8, dsub = 8, k = 10, refine = 4)
+    val litRef = Pq.adcRefineLit(qarr, wide, cbLit, pts, k = 10, refine = 4)
+    assert(litRef.except(relRef).count() === 0)
+    assert(relRef.except(litRef).count() === 0)
+    wide.unpersist()
+  }
+
+  test("literal-LUT strategy: adcSearchRoutedLit row-identical to adcSearchRouted") {
+    val wide = Pq.encodeWide(pts, cbLit)
+    val qs = Tables.queryPoints(spark, sf0)
+    val cents = graft.operators.Sharding.fitCentroids(spark, pts, k = 4, iters = 2)
+    val assigned = graft.operators.Sharding.assign(pts, cents)
+    val routes = ShardedSearch.route(qs, cents, t = 2)
+    val cand = routes.join(assigned, "shard_id").select(col("qid"), col("id"))
+    val rel = Pq.adcSearchRouted(qs, cand, codes, cb, m = 8, dsub = 8, k = 10)
+    val lit = Pq.adcSearchRoutedLit(qarr, cand, wide, cbLit, k = 10)
+    assert(lit.except(rel).count() === 0)
+    assert(rel.except(lit).count() === 0)
+  }
+
+  test("ivfSearchLit + routeLit row-identical to the relational routed search") {
+    val qs = Tables.queryPoints(spark, sf0)
+    val cents = graft.operators.Sharding.fitCentroids(spark, pts, k = 4, iters = 2)
+    val centArr = cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // driver routing matches the relational route window exactly
+    val relRoutes = ShardedSearch.route(qs, cents, t = 2)
+      .select(col("qid"), col("shard_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val litRoutes = Pq.routeLit(qarr, centArr, t = 2).sorted
+    assert(litRoutes.toSeq === relRoutes.toSeq)
+    // and the IVF search over the carried-assignment layout matches the
+    // relational candidates form
+    val assigned = graft.operators.Sharding.assignLit(pts, centArr)
+    val cand = ShardedSearch.route(qs, cents, t = 2)
+      .join(assigned, "shard_id").select(col("qid"), col("id"))
+    val rel = Pq.adcSearchRouted(qs, cand, codes, cb, m = 8, dsub = 8, k = 10)
+    val ivfCodes = Pq.encodeWide(
+      graft.operators.Sharding.assignLit(pts, centArr, keepVec = true),
+      cbLit, carry = Seq("shard_id"))
+    val lit = Pq.ivfSearchLit(qarr, litRoutes, ivfCodes, cbLit, k = 10)
+    assert(lit.except(rel).count() === 0)
+    assert(rel.except(lit).count() === 0)
+  }
+
   test("buddy_up permutation composes with PQ (BuddyPQ shape)") {
     val perm = SparkEntry.Params.evensOddsPerm
     import graft.functions.VectorFunctions.permute

@@ -24,6 +24,18 @@ class ShardingSpec extends SparkSpec {
     assert(sizes.agg(sum("n")).head().getLong(0) === pts.count())
   }
 
+  test("assignLit (map-only literal) is row-identical to assign") {
+    val centArr = cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val rel = Sharding.assign(pts, cents)
+    val lit = Sharding.assignLit(pts, centArr)
+    assert(lit.except(rel).count() === 0)
+    assert(rel.except(lit).count() === 0)
+    // keepVec carries the vector through unchanged
+    val withVec = Sharding.assignLit(pts, centArr, keepVec = true)
+    assert(withVec.columns.toSeq === Seq("id", "shard_id", "dist", "vec"))
+    assert(withVec.select("id", "shard_id", "dist").except(rel).count() === 0)
+  }
+
   test("assignment is to the truly nearest centroid (rounded ranking)") {
     val assigned = Sharding.assign(pts, cents)
     // brute-force check on a few points

@@ -420,6 +420,38 @@ object SparkEntry {
           aggregate(col("vec"), lit(0L), (acc, v) => acc + v.cast("long")).as("checksum"))
     }),
 
+    // ---- ground-truth evaluation loop end-to-end (S4/S5 into the hard
+    // signal): exact-kNN neighbor ids are WRITTEN as a .ibin ground-truth
+    // artifact (write_ibin, utils.py:165-176), READ BACK through readIbin
+    // (utils.py:133-148), and routed-search recall@k is scored against the
+    // FILE contents (recall.py:34-83) — the reference's eval workflow.
+    "q73_groundtruth_recall" -> ((s, dir) => {
+      val tmp = s"/tmp/graft_gt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.ibin"
+      fileOnce.computeIfAbsent(tmp, _ => {
+        val exact = Knn.knnExact(Tables.points(s, dir), queryBatchDf(s, dir), 10)
+        val gt = exact.groupBy(col("qid"))
+          .agg(sort_array(collect_list(struct(col("rank"), col("neighbor_id")))).as("ns"))
+          .select(col("qid").as("id"),
+            transform(col("ns"), n => n.getField("neighbor_id").cast("float")).as("vec"))
+        graft.sources.BinFormat.write(gt, tmp, graft.sources.BinFormat.I32)
+        true
+      })
+      // .ibin rows are ordinal; row i belongs to the i-th query in qid
+      // order (the write sorts by id = qid)
+      val qids = queryBatchMemoArr(s, dir).map(_._1)
+      val gtFile = graft.sources.BinFormat.readIbin(s, tmp)
+        .select(
+          element_at(typedLit(qids.toSeq), (col("id") + 1).cast("int")).as("qid"),
+          explode(col("ids")).as("neighbor_id"))
+      val pts = Tables.points(s, dir)
+      val cents = fitCentroidsMemo(s, dir)
+      val sharded = Sharding.assignLit(pts, centroidArrMemo(s, dir), keepVec = true)
+        .select(col("id"), col("vec"), col("shard_id"))
+      val routed = ShardedSearch.search(sharded, queryBatchDf(s, dir), cents,
+        k = 10, t = Params.t)
+      ShardedSearch.recallAtK(gtFile, routed, 10)
+    }),
+
     // ---- M8: near-dup CLUSTER formation + keeper selection — connected
     // components (min-label propagation) over the LSH near-dup pairs; the
     // keeper is the component minimum, cluster_size the drop-count + 1
@@ -890,6 +922,28 @@ object SparkEntry {
          |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM routed""".stripMargin,
 
     "q09_router_recall" ->
+      s"""WITH ${Oracles.routedCtes(Params.k, Params.iters, 25, 10, Params.t)},
+         |exact_p AS (
+         |  SELECT qs.qid, pts.id AS neighbor_id,
+         |    round(${Oracles.l2("qs.qvec", "pts.vec")}, 4) AS dist
+         |  FROM qs CROSS JOIN pts
+         |),
+         |exact AS (SELECT qid, neighbor_id FROM (
+         |  SELECT qid, neighbor_id, row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rn
+         |  FROM exact_p) WHERE rn <= 10),
+         |hits AS (
+         |  SELECT r.qid, count(*) AS n_hits
+         |  FROM routed r JOIN exact e ON e.qid = r.qid AND e.neighbor_id = r.neighbor_id
+         |  GROUP BY r.qid),
+         |allq AS (SELECT DISTINCT qid FROM exact)
+         |SELECT count(*) AS n_queries,
+         |  round(avg(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10), 6) AS recall
+         |FROM allq LEFT JOIN hits h USING (qid)""".stripMargin,
+
+    // identical computation to q09: the .ibin artifact round-trips the
+    // exact ids losslessly (int32), so the file-mediated recall must equal
+    // the recomputed one — THAT equality is what the oracle checks
+    "q73_groundtruth_recall" ->
       s"""WITH ${Oracles.routedCtes(Params.k, Params.iters, 25, 10, Params.t)},
          |exact_p AS (
          |  SELECT qs.qid, pts.id AS neighbor_id,

@@ -484,6 +484,14 @@ object SparkEntry {
       Multimodal.bmpRoundTripStats(s,
         Tables.documents(s, dir).select(col("doc_id").as("id")))),
 
+    // ---- M9: REAL PNG codec via pure-JDK ImageIO — pattern -> PNG encode
+    // -> ImageIO decode -> stats over DECODED pixels (lossless, so the
+    // oracle recomputes from the formula; encoded size is JDK-defined and
+    // excluded)
+    "q74_png_codec" -> ((s, dir) =>
+      Multimodal.pngRoundTripStats(s,
+        Tables.documents(s, dir).select(col("doc_id").as("id")))),
+
     // ---- M9: AS-OF join — each purchase matched to the user's most
     // recent prior-or-simultaneous click (union-tag + running carry: one
     // shuffle on the key, never a theta-range nested loop)
@@ -1100,6 +1108,19 @@ object SparkEntry {
          |  FROM documents)
          |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
          |  CAST(54 + ((3*w + 3) // 4) * 4 * h AS INT) AS n_bytes,
+         |  CAST(list_sum(flatten(flatten(
+         |    list_transform(generate_series(0, h - 1), r ->
+         |      list_transform(generate_series(0, w - 1), c ->
+         |        list_transform(generate_series(0, 2), ch ->
+         |          (id*7 + r*31 + c*13 + ch*5) % 256)))))) AS BIGINT) AS pix_sum
+         |FROM dims""".stripMargin,
+
+    // PNG is lossless: decoded pixels == the pattern formula (q66's oracle
+    // minus the format-defined n_bytes column)
+    "q74_png_codec" ->
+      s"""WITH dims AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h
+         |  FROM documents)
+         |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
          |  CAST(list_sum(flatten(flatten(
          |    list_transform(generate_series(0, h - 1), r ->
          |      list_transform(generate_series(0, w - 1), c ->

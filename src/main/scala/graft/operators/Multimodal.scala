@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed by per-partition kernels
   * (the Scala analogue of `mapInPandas` batch UDFs).
   *
-  * Uncompressed 24-bit BMP images have a REAL codec here (encodeBmp /
-  * decodeBmp — pure byte math, oracle-checked end-to-end by q66).
-  * Compressed formats (PNG/JPEG/WAV/MP4) would need native libraries this
-  * container doesn't ship, so `fakeDecode` remains a clearly-marked
-  * DETERMINISTIC STUB for those — it derives "metadata" from real bytes of
-  * the payload. Everything around the codec boundary (binary schema, typed
-  * Dataset kernel, partition-wise batching, feature vectors, frame
-  * sampling) is the real Spark plumbing a production decode would use:
-  * `decodeAsset` dispatches by media type and nothing else changes.
+  * Image formats have REAL codecs here: 24-bit uncompressed BMP in pure
+  * byte math (encodeBmp / decodeBmp — oracle-checked end-to-end by q66)
+  * and PNG/JPEG through the pure-JDK ImageIO (encodePng / decodeImage —
+  * javax.imageio ships with the JRE, no native libraries; q74
+  * oracle-checks the PNG round trip). Audio/video formats (WAV/MP4) would
+  * need codec libraries this container doesn't ship, so `fakeDecode`
+  * remains a clearly-marked DETERMINISTIC STUB for those — it derives
+  * "metadata" from real bytes of the payload. Everything around the codec
+  * boundary (binary schema, typed Dataset kernel, partition-wise batching,
+  * feature vectors, frame sampling) is the real Spark plumbing a
+  * production decode would use: `decodeAsset` dispatches by media type and
+  * nothing else changes.
   */
 object Multimodal {
 
@@ -121,23 +124,93 @@ object Multimodal {
     (width, height, rgb)
   }
 
-  /** Dispatching decoder: real BMP parse for image/bmp payloads (header
-    * width/height, channels=3, checksum over DECODED pixels); the declared
-    * stub for codec-less compressed formats. A payload that CLAIMS to be
-    * BMP but fails validation degrades to the stub path instead of killing
+  // --------------------------------------------------------------------
+  // REAL codec #2: PNG (and JPEG on the decode side) via the pure-JDK
+  // ImageIO — javax.imageio is part of the JRE, so the native-library
+  // restriction doesn't apply. PNG is lossless: decoded PIXELS are exact
+  // and oracle-able; the ENCODED byte stream is JDK-implementation-defined,
+  // so oracle-checked outputs must depend only on decoded pixels (unlike
+  // the in-repo BMP codec, where n_bytes is part of the contract).
+  // --------------------------------------------------------------------
+
+  /** Encode top-down RGB pixels (row-major, 3 bytes per pixel) as PNG. */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < height) {
+      var c = 0
+      while (c < width) {
+        val i = (r * width + c) * 3
+        img.setRGB(c, r,
+          ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-supported payload (PNG, JPEG, ...) to
+    * (width, height, top-down RGB). None when the bytes aren't a supported
+    * image — the caller degrades to the stub instead of failing. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val rgb = new Array[Byte](w * h * 3)
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val px = img.getRGB(c, r)
+          val i = (r * w + c) * 3
+          rgb(i) = ((px >> 16) & 0xff).toByte
+          rgb(i + 1) = ((px >> 8) & 0xff).toByte
+          rgb(i + 2) = (px & 0xff).toByte
+          c += 1
+        }
+        r += 1
+      }
+      Some((w, h, rgb))
+    }
+  }
+
+  private def pixelCrc(rgb: Array[Byte]): Long = {
+    var crc = 0L
+    var i = 0
+    while (i < rgb.length) { crc = (crc * 31 + (rgb(i) & 0xff)) & 0xffffffffL; i += 1 }
+    crc
+  }
+
+  /** Dispatching decoder: real BMP parse for image/bmp, real ImageIO
+    * decode for image/png and image/jpeg (header width/height, channels=3,
+    * checksum over DECODED pixels); the declared stub only for audio/video
+    * formats the JDK has no codec for. A payload that CLAIMS to be an
+    * image but fails decoding degrades to the stub path instead of killing
     * the job — one corrupt asset must not fail a partition. */
   def decodeAsset(a: Asset): Decoded =
     if (a.media_type == "image/bmp") {
       try {
         val (w, h, rgb) = decodeBmp(a.content)
-        var crc = 0L
-        var i = 0
-        while (i < rgb.length) { crc = (crc * 31 + (rgb(i) & 0xff)) & 0xffffffffL; i += 1 }
-        Decoded(a.id, a.media_type, a.content.length, w, h, 3, crc)
+        Decoded(a.id, a.media_type, a.content.length, w, h, 3, pixelCrc(rgb))
       } catch {
         case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
           fakeDecode(a)
       }
+    } else if (a.media_type == "image/png" || a.media_type == "image/jpeg") {
+      try {
+        decodeImage(a.content) match {
+          case Some((w, h, rgb)) =>
+            Decoded(a.id, a.media_type, a.content.length, w, h, 3, pixelCrc(rgb))
+          case None => fakeDecode(a)
+        }
+      } catch { case _: java.io.IOException => fakeDecode(a) }
     } else fakeDecode(a)
 
   /** Deterministic RGB test pattern for id: pixel (r,c,ch) =
@@ -179,6 +252,26 @@ object Multimodal {
       back.foreach(b => sum += (b & 0xff))
       (id, dw, dh, bmp.length, sum)
     }.toDF("id", "width", "height", "n_bytes", "pix_sum")
+  }
+
+  /** End-to-end PNG round trip as a distributed kernel: per id, build the
+    * deterministic pattern, ENCODE via ImageIO to real PNG bytes, DECODE
+    * back through the dispatching image decoder, and report stats over the
+    * DECODED pixels. PNG is lossless so the oracle recomputes the stats
+    * straight from the pattern formula; the (JDK-defined) encoded size is
+    * deliberately NOT part of the output. */
+  def pngRoundTripStats(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("id")).as[Long].map { id =>
+      val (w, h, rgb) = syntheticRgb(id)
+      val png = encodePng(w, h, rgb)
+      val (dw, dh, back) = decodeImage(png)
+        .getOrElse(sys.error(s"ImageIO failed to decode its own PNG for $id"))
+      require(dw == w && dh == h, s"dimension mismatch for $id")
+      var sum = 0L
+      back.foreach(b => sum += (b & 0xff))
+      (id, dw, dh, sum)
+    }.toDF("id", "width", "height", "pix_sum")
   }
 
   /** STUB decoder — stands in for an image/audio codec. Reads real bytes,

@@ -72,6 +72,33 @@ class TextStreamSpec extends SparkSpec {
     assert(dec.width === w0 && dec.height === h0 && dec.channels === 3)
   }
 
+  test("PNG codec: lossless round-trip via ImageIO; corrupt input degrades to stub") {
+    for (id <- Seq(0L, 2L, 5L, 13L)) {
+      val (w, h, rgb) = Multimodal.syntheticRgb(id)
+      val png = Multimodal.encodePng(w, h, rgb)
+      // PNG magic
+      assert((png(0) & 0xff) === 0x89 && png(1) === 'P' && png(2) === 'N' && png(3) === 'G')
+      val (dw, dh, back) = Multimodal.decodeImage(png).get
+      assert(dw === w && dh === h)
+      assert(back.toSeq === rgb.toSeq, s"round-trip mismatch for id=$id")
+    }
+    // dispatching decoder: real PNG metadata comes from the real decode
+    val (w0, h0, rgb0) = Multimodal.syntheticRgb(3L)
+    val dec = Multimodal.decodeAsset(
+      Multimodal.Asset(3L, "image/png", Multimodal.encodePng(w0, h0, rgb0)))
+    assert(dec.width === w0 && dec.height === h0 && dec.channels === 3)
+    // non-PNG bytes labeled image/png degrade to the deterministic stub
+    // (the q36 synthetic-assets contract)
+    val junk = "not a png at all".getBytes("UTF-8")
+    val fake = Multimodal.decodeAsset(Multimodal.Asset(7L, "image/png", junk))
+    assert(fake === Multimodal.fakeDecode(Multimodal.Asset(7L, "image/png", junk)))
+    // ImageIO sniffs content, not the label: image/jpeg with PNG bytes
+    // still decodes — metadata reflects the actual pixels
+    val viaJpeg = Multimodal.decodeAsset(
+      Multimodal.Asset(9L, "image/jpeg", Multimodal.encodePng(w0, h0, rgb0)))
+    assert(viaJpeg.width === w0 && viaJpeg.height === h0)
+  }
+
   test("multimodal decode kernel: deterministic metadata from real bytes") {
     val assets = Multimodal.syntheticAssets(
       Tables.documents(spark, sf0).select(col("doc_id").as("id"), col("text")))

@@ -61,6 +61,26 @@ object Audit {
       // split_overlaps is a coverage sweep; a pieces-x-intervals range join
       // would be a nested loop (measured 58s vs 2s at sf0.1)
       ("no range-join nested loop", p => !p.contains("BroadcastNestedLoopJoin")))
+    audit("q61_dedup_clusters")(
+      // label propagation joins only the candidate-pair EDGE SET — any
+      // nested loop would mean a pairs-x-corpus cross product slipped in
+      ("edges-only equi-joins (no BNLJ)", p => !p.contains("BroadcastNestedLoopJoin")))
+    audit("q72_moving_avg")(
+      // per-user ROWS windows: partition-local sort inside the window
+      // exchange — a global Sort node would mean a single-partition plan
+      ("windowed (per-user), not global", _.contains("Window")),
+      ("no global top-level sort", p => !p.linesIterator.exists(l =>
+        l.contains("Sort ") && !l.contains("Sort [user_id"))))
+    audit("q44_pq_adc_search")(
+      // literal-LUT strategy: ONE map stage over the codes + one top-k
+      // shuffle — no LUT join anywhere in the plan
+      ("no join in ADC search", p => !p.contains("Join")),
+      ("top-k partial limit", _.contains("WindowGroupLimit")))
+    audit("q45_ivfpq_search")(
+      // driver routing + shard_id->qids map literal: the routed "join" is
+      // a filter + generator, not a join operator
+      ("no join in IVF-PQ search", p => !p.contains("Join")),
+      ("top-k partial limit", _.contains("WindowGroupLimit")))
     spark.stop()
   }
 }

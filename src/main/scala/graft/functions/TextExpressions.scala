@@ -154,12 +154,19 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 }
 
 object SimHash32 {
-  /** Shared kernel for interpreted + codegen paths. One reused
-    * MessageDigest; 32 int accumulators; bits read straight from the raw
-    * digest (MSB-first == the hex-digit arithmetic of the relational
-    * form). */
+  /** Per-thread MessageDigest — getInstance per ROW would add an
+    * allocation + provider lookup in a hot map stage. */
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Shared kernel for interpreted + codegen paths. One thread-cached
+    * MessageDigest reset per token; 32 int accumulators; bits read
+    * straight from the raw digest (MSB-first == the hex-digit arithmetic
+    * of the relational form). */
   def compute(arr: ArrayData): UTF8String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val acc = new Array[Int](32)
     val n = arr.numElements()
     var i = 0

@@ -28,6 +28,13 @@ object AsOfJoin {
     * @return left rows (all columns) plus a `matched` struct of the as-of
     *         right row (null when no right row precedes the left row) */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    // the implementation owns these names in the unioned frame; a caller
+    // column with the same name would silently collide
+    val reserved = Seq("__k", "__t", "__tag", "__l", "__r")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains) ++
+      left.columns.filter(_ == "matched")
+    require(clash.isEmpty,
+      s"asof: input columns collide with reserved names: ${clash.distinct.mkString(", ")}")
     val lStruct = struct(left.columns.map(col): _*)
     val rStruct = struct(right.columns.map(col): _*)
     val lType = left.select(lStruct).schema.head.dataType

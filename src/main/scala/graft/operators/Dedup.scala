@@ -304,57 +304,78 @@ object Dedup {
     * near-dup graph, with the component's minimum id as the canonical
     * KEEPER (every other member is a drop candidate).
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes min(own label, neighbors' labels); labels only decrease and the
-    * fixpoint is the component minimum, reached in O(component diameter)
-    * rounds (near-dup clusters are shallow: dup groups are cliques or
-    * short chains). Each round is one equi-join (edges ⋈ labels on id) +
-    * one min-aggregate — both shuffle on id, no cross product; the edge
-    * set is only the CANDIDATE PAIRS (tiny next to the corpus), so at
-    * 100 TB this loops over a table orders of magnitude smaller than the
-    * input. Convergence is an exact fixpoint test per round.
+    * Algorithm: min-label propagation WITH POINTER JUMPING — each round
+    * every node takes min(own label, neighbors' labels), then compresses
+    * one indirection: label := min(label, label(label)). Labels only
+    * decrease, a node's label always names a node of its own component,
+    * and the fixpoint is the component minimum — but the jump step halves
+    * the remaining path each round, so a component of diameter d converges
+    * in O(log d) rounds instead of O(d) (a planted 500-node chain
+    * converges in < 15 rounds — DedupSpec). Each round is two equi-joins
+    * (edges ⋈ labels, labels ⋈ labels) + one min-aggregate — all shuffle
+    * on id, no cross product; the edge set is only the CANDIDATE PAIRS
+    * (tiny next to the corpus), so at 100 TB this loops over a table
+    * orders of magnitude smaller than the input. Convergence is an exact
+    * fixpoint test per round.
     *
     * Output: (id, keeper_id) for every id that appears in a pair.
-    * maxIters bounds the rounds (propagation needs one round per unit of
-    * component eccentricity; 50 covers any plausible near-dup chain —
-    * a deeper graph fails loudly rather than returning wrong clusters). */
+    * maxIters bounds the rounds; with the jump step 50 covers components
+    * of diameter ~2^49 — a non-converging run indicates a bug, and fails
+    * loudly rather than returning wrong clusters.
+    *
+    * Lifecycle: intermediate checkpoints (edges, superseded rounds) are
+    * freed before returning; the RETURNED frame is backed by the final
+    * round's localCheckpoint — a long-lived caller that is done with it
+    * can free those blocks via `result.rdd.unpersist()` (Bench's
+    * between-query sweep does exactly that). */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs
+    val sc = pairs.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val (edges, edgeIds) = checkpointTracked(pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
+    var (labels, prevIds) = checkpointTracked(
+      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
     var converged = false
     var i = 0
-    val sc = pairs.sparkSession.sparkContext
-    var prevIds = Set.empty[Int] // superseded round's checkpoint blocks
     while (!converged && i < maxIters) {
       val nb = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy(col("src")).agg(min(col("nlabel")).as("nmin"))
-      // the changed flag rides the update itself, so convergence is one
-      // cheap aggregate over the materialized result — no extra join
-      val before = sc.getPersistentRDDs.keySet
-      val updated = labels
+      val stepped = labels
         .join(nb.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (col("label") > coalesce(col("nmin"), col("label"))).as("__chg"))
-        .localCheckpoint()
-      val newIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      // pointer jump: fetch the label's own label and take the min —
+      // every label is a node id present in `stepped`, so the equi-join
+      // is total; the changed flag rides the update itself and
+      // convergence is one cheap aggregate over the materialized result
+      val (updated, newIds) = checkpointTracked(stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"),
+          (col("__chg") || col("label") > coalesce(col("ll"), col("label"))).as("__chg")))
       converged = !updated
         .agg(coalesce(max(col("__chg")), lit(false))).head().getBoolean(0)
       // the old round's blocks are no longer reachable — free them instead
       // of accumulating one table per round for the session lifetime
-      prevIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      free(prevIds)
       prevIds = newIds
       labels = updated.select(col("id"), col("label"))
       i += 1
     }
+    // labels' blocks are materialized and lineage-truncated — the edge
+    // checkpoint is no longer reachable from the result
+    free(edgeIds)
     require(converged, s"label propagation did not converge in $maxIters rounds")
     labels.select(col("id"), col("label").as("keeper_id"))
   }

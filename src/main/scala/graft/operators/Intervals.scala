@@ -343,7 +343,15 @@ object Intervals {
     * A maximal set of transitively-overlapping intervals covers one
     * contiguous range, so the merged output is exactly the maximal
     * coverage>0 runs of the boundary events ([[coverageRuns]] — the
-    * distributed sweep, no global window). */
+    * distributed sweep, no global window).
+    *
+    * Degenerate (zero-length) half-open intervals `[a, a)` are EMPTY SETS
+    * under half-open semantics and are dropped: their +1/−1 events cancel
+    * at one boundary, so they neither appear in the output nor bridge two
+    * touching neighbours. (The reference's intervaltree raises ValueError
+    * on null intervals outright, intervaltree.py:261-264,323-325; no
+    * in-repo producer emits them — islands output always has
+    * end+1 > begin.) */
   def mergeOverlapsHO(ivs: DataFrame, strict: Boolean = true): DataFrame =
     coverageRuns(hoEvents(ivs), strict)
 

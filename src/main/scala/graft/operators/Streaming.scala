@@ -125,14 +125,18 @@ object Streaming {
       .groupByKey(_.band)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (band: String, it: Iterator[BandDoc], state: GroupState[BandState]) =>
+          // state schema stays a List (stable encoder); the membership
+          // check runs against a HashSet so admission is O(1), not O(cap)
           var seen = state.getOption.map(_.ids).getOrElse(Nil)
+          val seenSet = scala.collection.mutable.HashSet.empty[Long] ++= seen
           val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
           it.foreach { d =>
-            if (seen.length < maxBandSize && !seen.contains(d.id)) {
+            if (seenSet.size < maxBandSize && !seenSet.contains(d.id)) {
               seen.foreach { p =>
                 out += CandPair(math.min(p, d.id), math.max(p, d.id), band)
               }
               seen = d.id :: seen
+              seenSet += d.id
             }
           }
           state.update(BandState(seen))

@@ -122,11 +122,18 @@ object TextStats {
           i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
       .select(col("b.w1"), col("b.w2"))
-      // NOT checkpointed: the count() and groupBy consumers each re-run
-      // the explode, which is a cheap map-only scan — materializing the
-      // full bigram table costs more than recomputing it
-    val nUni = toks.count().toDouble
-    val nBi = bi.count().toDouble
+      // NOT checkpointed: the groupBy consumers re-run the explode, which
+      // is a cheap map-only scan — materializing the full bigram table
+      // costs more than recomputing it
+    // both corpus totals in ONE action over per-doc token counts (a doc of
+    // n tokens contributes n unigrams and max(n-1, 0) bigrams) — no
+    // separate count() scans
+    val totals = docs
+      .select(size(w).as("n"))
+      .agg(sum(col("n")).as("nu"), sum(greatest(col("n") - 1, lit(0))).as("nb"))
+      .head()
+    val nUni = totals.getLong(0).toDouble
+    val nBi = totals.getLong(1).toDouble
     val uc = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
       .where(col("c_ab") >= minCount)

@@ -127,6 +127,16 @@ class DedupSpec extends SparkSpec {
     (100L to 110L).foreach(i => assert(r(i) === ((100L, 11L))))
   }
 
+  test("nearDupClusters: 500-node chain converges in O(log d) rounds") {
+    import spark.implicits._
+    // a worst-case long-chain component; plain per-hop propagation would
+    // need ~500 rounds — pointer jumping must land it well under 15
+    val pairs = (0L until 500L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val r = Dedup.nearDupClusters(pairs, maxIters = 15).collect()
+    assert(r.length === 501)
+    assert(r.forall(_.getLong(1) === 0L))
+  }
+
   test("embedding near-dups: planted copy found with cosine 1.0") {
     val pts = Tables.points(spark, sf0)
     val planted = pts.unionByName(

@@ -244,4 +244,31 @@ class TextStreamSpec extends SparkSpec {
     // each of the 4 bands admits at most 5 members -> <= 4 * C(5,2) rows
     assert(capped.count() <= 40L)
   }
+
+  test("streaming LSH saturated band keeps its FIRST cap members") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingLshCandidates(in.toDF().toDF("id", "text"), maxBandSize = 3)
+      .writeStream.outputMode("append").format("memory").queryName("lshsat").start()
+    try {
+      // saturate every band with ids 0..2 (identical text -> same bands)
+      in.addData((0L, a), (1L, a), (2L, a))
+      q.processAllAvailable()
+      val before = spark.table("lshsat")
+        .select("id_a", "id_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(before === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+      // a later arrival must be REFUSED by the saturated band: no new
+      // pairs, and the state keeps the first cap members (a stream cannot
+      // retract already-emitted pairs, so first-in wins by design)
+      in.addData((7L, a))
+      q.processAllAvailable()
+      val after = spark.table("lshsat")
+        .select("id_a", "id_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after === before)
+    } finally q.stop()
+  }
 }

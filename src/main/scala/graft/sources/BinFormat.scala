@@ -22,9 +22,12 @@ import org.apache.spark.sql.types._
   * path; engine-internal data should live in Parquet (SURVEY §2 S5) — this
   * codec exists for interop with the reference's artifacts.
   *
-  * The writer streams partitions to a single local file via
-  * `toLocalIterator` (header needs a global count first) — an export
-  * utility, not a 100 TB path.
+  * Two writers: `write` streams partitions to a single local file via
+  * `toLocalIterator` (an interop convenience), and the 100 TB path
+  * `writeParts`/`concatParts` — every task writes its id-range as a
+  * headerless part in parallel, then one sequential raw byte copy (an
+  * object store's compose/multipart-complete call) assembles the
+  * reference-format file. BinFormatSpec proves the two paths byte-equal.
   */
 object BinFormat {
 
@@ -128,6 +131,74 @@ object BinFormat {
     } finally os.close()
   }
 
+  /** Row-major element bytes of one vector (little-endian, no header) —
+    * the shared serializer of both writers. */
+  private def rowBytes(vec: Seq[Float], elem: ElemType): Array[Byte] = {
+    val bb = ByteBuffer.allocate(vec.length * elem.size).order(ByteOrder.LITTLE_ENDIAN)
+    vec.foreach { v =>
+      elem match {
+        case F32 => bb.putFloat(v)
+        case I32 => bb.putInt(v.toInt)
+        case U8 => bb.put((v.toInt & 0xff).toByte)
+        case I8 => bb.put(v.toByte)
+      }
+    }
+    bb.array()
+  }
+
+  /** PARALLEL export, stage 1 (the 100 TB write path): range-partition by
+    * id, sort within partitions, and let EVERY TASK write its id-range as
+    * a headerless `part-NNNNN.bin` under `dir` — no driver bottleneck, no
+    * global sort. File-ordinal order is preserved because range partitions
+    * are globally ordered and parts concatenate in partition order. */
+  def writeParts(df: DataFrame, dir: String, elem: ElemType, numParts: Int = 32): Unit = {
+    import org.apache.spark.sql.functions.col
+    new java.io.File(dir).mkdirs()
+    df.select(col("id"), col("vec"))
+      .repartitionByRange(numParts, col("id"))
+      .sortWithinPartitions(col("id"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val os = new BufferedOutputStream(
+            new FileOutputStream(f"$dir/part-$pid%05d.bin"))
+          try it.foreach(r => os.write(rowBytes(r.getSeq[Float](1), elem)))
+          finally os.close()
+        }
+      }
+  }
+
+  /** PARALLEL export, stage 2: assemble header + parts into one
+    * reference-format file with a single sequential RAW BYTE copy (no
+    * decode; on an object store this is a server-side compose call —
+    * only this local fallback touches the driver). nvecs is derived from
+    * the part sizes, so the parts are the one source of truth. */
+  def concatParts(dir: String, outPath: String, dim: Int, elem: ElemType): Unit = {
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".bin"))
+      .sortBy(_.getName)
+    val totalBytes = parts.map(_.length()).sum
+    val rb = dim.toLong * elem.size
+    require(totalBytes % rb == 0,
+      s"part bytes $totalBytes not a multiple of row size $rb")
+    val os = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(outPath)))
+    try {
+      def le32(v: Int): Unit = {
+        os.write(v & 0xff); os.write((v >> 8) & 0xff)
+        os.write((v >> 16) & 0xff); os.write((v >> 24) & 0xff)
+      }
+      le32((totalBytes / rb).toInt); le32(dim)
+      val buf = new Array[Byte](1 << 20)
+      parts.foreach { p =>
+        val in = new java.io.BufferedInputStream(new java.io.FileInputStream(p))
+        try {
+          var n = in.read(buf)
+          while (n > 0) { os.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+    } finally os.close()
+  }
+
   /** Write (id, vec) ordered by id to a single reference-format file. */
   def write(df: DataFrame, path: String, elem: ElemType): Unit = {
     import org.apache.spark.sql.functions._
@@ -141,20 +212,7 @@ object BinFormat {
       }
       le32(nvecs); le32(dim)
       val it = df.orderBy(col("id")).select(col("vec")).toLocalIterator()
-      val bb = ByteBuffer.allocate(dim * elem.size).order(ByteOrder.LITTLE_ENDIAN)
-      while (it.hasNext) {
-        val vec = it.next().getSeq[Float](0)
-        bb.clear()
-        vec.foreach { v =>
-          elem match {
-            case F32 => bb.putFloat(v)
-            case I32 => bb.putInt(v.toInt)
-            case U8 => bb.put((v.toInt & 0xff).toByte)
-            case I8 => bb.put(v.toByte)
-          }
-        }
-        os.write(bb.array())
-      }
+      while (it.hasNext) os.write(rowBytes(it.next().getSeq[Float](0), elem))
     } finally os.close()
   }
 }

@@ -59,6 +59,24 @@ class BinFormatSpec extends SparkSpec {
     assert(lines.head.split("\t").head.matches("""-?\d\.\d{18}e[+-]\d+"""))
   }
 
+  test("parallel part export + concat is byte-identical to the serial writer") {
+    val pts = Tables.points(spark, sf0).where(col("id") < 100)
+    for (elem <- Seq[BinFormat.ElemType](F32, BinFormat.U8)) {
+      val serial = s"$tmp/serial_$elem.bin"
+      val partsDir = s"$tmp/parts_$elem"
+      val parallel = s"$tmp/parallel_$elem.bin"
+      BinFormat.write(pts, serial, elem)
+      BinFormat.writeParts(pts, partsDir, elem, numParts = 7)
+      // multiple real parts, none with a header
+      val partFiles = new java.io.File(partsDir).listFiles().filter(_.getName.startsWith("part-"))
+      assert(partFiles.length > 1)
+      BinFormat.concatParts(partsDir, parallel, dim = 64, elem)
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(serial))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(parallel))
+      assert(a.toSeq === b.toSeq, s"byte mismatch for $elem")
+    }
+  }
+
   test("ranged read honors the chunk offset contract (no read_ibin bug)") {
     val pts = Tables.points(spark, sf0).where(col("id") < 30)
     val path = s"$tmp/r.fbin"

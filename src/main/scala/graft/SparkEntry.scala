@@ -452,6 +452,35 @@ object SparkEntry {
       ShardedSearch.recallAtK(gtFile, routed, 10)
     }),
 
+    // ---- incremental corpus dedup: Bloom pre-filter (map-only vs the
+    // broadcast bitmap of the EXISTING corpus) + exact verify on the
+    // candidates only — how new data dedups against 100 TB without
+    // joining it
+    "q75_bloom_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val ref = d.where(col("id") % 2 === 0)
+      val incoming = d.where(col("id") % 2 === 1)
+        .unionByName(ref.where(col("id") % 10 === 0)
+          .select((col("id") + 100000).as("id"), col("text")))
+      Dedup.incrementalDedup(ref, incoming)
+    }),
+
+    // ---- benchmark decontamination: 8-gram collision sweep of the corpus
+    // (with planted dups) against a benchmark sample — the pre-training
+    // leak check
+    "q76_contamination" -> ((s, dir) => {
+      val bench = Tables.documents(s, dir).where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      TextStats.contamination(docsWithDups(s, dir), bench,
+        n = 8, maxGramDf = Params.maxGramDf)
+    }),
+
+    // ---- bigram-LM quality score (perplexity proxy): per-doc mean log
+    // conditional bigram probability under corpus counts
+    "q77_lm_score" -> ((s, dir) =>
+      TextStats.lmScore(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
+
     // ---- M8: near-dup CLUSTER formation + keeper selection — connected
     // components (min-label propagation) over the LSH near-dup pairs; the
     // keeper is the component minimum, cluster_size the drop-count + 1
@@ -1127,6 +1156,70 @@ object SparkEntry {
          |        list_transform(generate_series(0, 2), ch ->
          |          (id*7 + r*31 + c*13 + ch*5) % 256)))))) AS BIGINT) AS pix_sum
          |FROM dims""".stripMargin,
+
+    // bloom positions are md5 hex arithmetic (the engine's h32 convention);
+    // bloom_hit = all k positions set; is_dup = exact text match (the
+    // bitmap has no false negatives, so candidate-only verify == truth)
+    "q75_bloom_dedup" ->
+      s"""WITH ref AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 0),
+         |inc AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS id, text FROM documents
+         |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+         |js AS (SELECT unnest(generate_series(0, 3)) AS j),
+         |bloom AS (SELECT DISTINCT
+         |    ('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || ':' || text), 1, 8))::BIGINT % 16384 AS pos
+         |  FROM ref CROSS JOIN js),
+         |probe AS (SELECT i.id,
+         |    ('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || ':' || i.text), 1, 8))::BIGINT % 16384 AS pos
+         |  FROM inc i CROSS JOIN js),
+         |hits AS (SELECT p.id, count(b.pos) = 4 AS bloom_hit
+         |  FROM probe p LEFT JOIN bloom b USING (pos) GROUP BY p.id),
+         |dups AS (SELECT DISTINCT i.id FROM inc i JOIN ref r ON r.text = i.text)
+         |SELECT h.id, h.bloom_hit, (d.id IS NOT NULL) AS is_dup
+         |FROM hits h LEFT JOIN dups d ON d.id = h.id""".stripMargin,
+
+    // distinct 8-grams per doc; benchmark grams df-capped exactly like the
+    // Spark side; n_bench_docs = distinct colliding benchmark docs
+    "q76_contamination" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id % 10 = 0),
+         |bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 50 = 0),
+         |bg0 AS (SELECT DISTINCT bench_id, gram FROM (
+         |  SELECT bench_id, unnest(list_transform(
+         |    generate_series(1, len(string_split(text, ' ')) - 7),
+         |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))) AS gram
+         |  FROM bench WHERE len(string_split(text, ' ')) >= 8)),
+         |bg AS (SELECT bench_id, gram FROM (
+         |  SELECT bench_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM bg0)
+         |  WHERE df <= ${Params.maxGramDf}),
+         |dg AS (SELECT DISTINCT id, gram FROM (
+         |  SELECT id, unnest(list_transform(
+         |    generate_series(1, len(string_split(text, ' ')) - 7),
+         |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' '))) AS gram
+         |  FROM corpus WHERE len(string_split(text, ' ')) >= 8)),
+         |hits AS (SELECT dg.id, count(DISTINCT bg.bench_id) AS n_bench_docs
+         |  FROM dg JOIN bg USING (gram) WHERE dg.id != bg.bench_id GROUP BY dg.id)
+         |SELECT c.id, CAST(coalesce(h.n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+         |  coalesce(h.n_bench_docs, 0) > 0 AS contaminated
+         |FROM corpus c LEFT JOIN hits h ON h.id = c.id""".stripMargin,
+
+    // ln of exact integer ratios, averaged per doc, half-up rounded — the
+    // same convention as the PMI oracle
+    "q77_lm_score" ->
+      s"""WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+         |uc AS (SELECT tok, count(*) AS ca FROM (SELECT unnest(w) AS tok FROM d) GROUP BY tok),
+         |bi AS (SELECT id, s['w1'] AS w1, s['w2'] AS w2 FROM (
+         |  SELECT id, unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> {'w1': w[i], 'w2': w[i+1]})) AS s FROM d WHERE len(w) >= 2)),
+         |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY w1, w2),
+         |sc AS (SELECT bi.id, count(*) AS n_bigrams,
+         |    ${Oracles.rHU("avg(ln(CAST(c_ab AS DOUBLE) / CAST(uc.ca AS DOUBLE)))", 4)} AS score
+         |  FROM bi JOIN bc USING (w1, w2) JOIN uc ON uc.tok = bi.w1
+         |  GROUP BY bi.id)
+         |SELECT d.id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, sc.score
+         |FROM d LEFT JOIN sc USING (id)""".stripMargin,
 
     // ratios are exact integer/integer doubles -> identical booleans
     "q64_gopher_rules" ->

@@ -388,6 +388,36 @@ object Dedup {
       .select(col("id"), col("keeper_id"), col("cluster_size"))
   }
 
+  /** Incremental corpus dedup via Bloom pre-filter + exact verify — how a
+    * NEW batch is deduplicated against an EXISTING 100 TB corpus without
+    * joining the corpus: the corpus is summarized once into an m-bit Bloom
+    * bitmap ([[Sketches.bloomBits]]/[[Sketches.packBloom]] — built at
+    * corpus-update time and merged incrementally, since the position set
+    * is a pure union), the incoming batch gets a MAP-ONLY membership flag
+    * against the broadcast bitmap, and only the bloom-hit candidates
+    * (true dups + the bounded false-positive residue) pay the exact-hash
+    * semi-join. No false negatives by construction, so
+    * is_dup == exact text match. Output: every incoming row as
+    * (id, bloom_hit, is_dup). */
+  def incrementalDedup(
+      reference: DataFrame, // (id, text) — the existing corpus
+      incoming: DataFrame, // (id, text) — the new batch
+      m: Int = 16384,
+      k: Int = 4): DataFrame = {
+    val words = Sketches.packBloom(
+      Sketches.bloomBits(reference.select(col("text").as("key")), "key", m, k), m)
+    val flagged = incoming
+      .withColumn("bloom_hit", Sketches.bloomHitCol(words, col("text"), m, k))
+    val refHashes = reference.select(md5(col("text")).as("__h")).distinct()
+    val dupIds = flagged.where(col("bloom_hit"))
+      .join(refHashes, md5(col("text")) === col("__h"), "left_semi")
+      .select(col("id"), lit(true).as("__dup"))
+    flagged
+      .join(dupIds, Seq("id"), "left")
+      .select(col("id"), col("bloom_hit"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
   /** Deterministic sign-random-projection bucket for an embedding: bit k is
     * the sign of dot(vec, r_k) with r_k[i] = ((k*31 + i*7) % 13) - 6 —
     * integer weights so both engines compute identical doubles. */

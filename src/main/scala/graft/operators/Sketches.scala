@@ -22,6 +22,49 @@ object Sketches {
   private def h32(tok: Column, prefix: Column): Column =
     conv(substring(md5(concat(prefix, lit(":"), tok)), 1, 8), 16, 10).cast("long")
 
+  /** Bloom-filter bit positions of a key column: each key sets k
+    * md5-derived positions in [0, m). The distinct position set IS the
+    * filter — pure set-union state, so it is mergeable in any order and
+    * bounded by m regardless of corpus size (at scale: an agg to a real
+    * m-bit bitmap; the position-set form is the oracle-able equivalent).
+    * No false negatives by construction; false-positive rate ≈
+    * (1 - e^(-k·n/m))^k. */
+  def bloomBits(keys: DataFrame, keyCol: String, m: Int = 16384, k: Int = 4): DataFrame =
+    keys
+      .select(explode(sequence(lit(0), lit(k - 1))).as("j"), col(keyCol).as("key"))
+      .select(pmod(
+        h32(col("key"), concat(lit("bloom"), col("j").cast("string"))), lit(m)).as("pos"))
+      .distinct()
+
+  /** Pack a `bloomBits` position set into m/32 words of 32 bits each
+    * (values < 2^32 so every word is EXACT as a double — the same
+    * pure-double bit convention as the HLL rho extraction). A driver
+    * artifact like the centroid sets: m bits regardless of corpus size. */
+  def packBloom(bloom: DataFrame, m: Int): Array[Long] = {
+    val words = new Array[Long](m / 32)
+    bloom.collect().foreach { r =>
+      val pos = r.getLong(0)
+      words((pos >> 5).toInt) |= 1L << (pos & 31)
+    }
+    words
+  }
+
+  /** Map-only membership test against the packed broadcast bitmap:
+    * `bloom_hit` iff ALL k positions of the key are set. No join, no
+    * shuffle of the probe side — the filter rides the plan as a literal
+    * word array and each test is floor/pow double arithmetic (replayable
+    * cross-engine, equivalent to `pos IN positions` for every position). */
+  def bloomHitCol(words: Array[Long], key: Column, m: Int = 16384, k: Int = 4): Column = {
+    val wordsLit = typedLit(words.toSeq)
+    (0 until k)
+      .map { j =>
+        val pos = pmod(h32(key, lit("bloom" + j)), lit(m))
+        val word = element_at(wordsLit, floor(pos / lit(32.0)).cast("int") + 1).cast("double")
+        pmod(floor(word / pow(lit(2.0), pmod(pos, lit(32)).cast("double"))), lit(2.0)) === lit(1.0)
+      }
+      .reduce(_ && _)
+  }
+
   /** Count-min sketch of a token multiset: d hash rows × w buckets,
     * (row, bucket, cnt) — state bounded by d·w regardless of corpus size. */
   def countMinSketch(tokens: DataFrame, d: Int = 4, w: Int = 64): DataFrame =

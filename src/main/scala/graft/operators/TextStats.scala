@@ -278,4 +278,80 @@ object TextStats {
       .join(minima, Seq("id"), "left")
       .select(col("id"), coalesce(col("fp"), lit("")).as("fingerprint"))
   }
+
+  /** Distinct word n-grams per row: (idCol, gram). */
+  private def wordGrams(d: DataFrame, idCol: String, n: Int): DataFrame = {
+    val w = split(col("text"), " ")
+    d.select(col(idCol),
+        explode(
+          when(size(w) >= n, transform(sequence(lit(1), size(w) - (n - 1)),
+            i => array_join(slice(w, i, lit(n)), " ")))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+  }
+
+  /** Benchmark decontamination — the train-set sweep every LLM data
+    * pipeline runs before training: flag every corpus document sharing at
+    * least one word `n`-gram with a benchmark document. Grams are distinct
+    * per doc and the collision check is a gram-keyed equi-join; benchmark
+    * grams appearing in more than `maxGramDf` benchmark docs are dropped
+    * (boilerplate — the same capped-equi-join discipline as the dedup
+    * candidate generators; rare grams, the actual contamination signal,
+    * are checked exactly). Self-matches (same id) are excluded. Output:
+    * (id, n_bench_docs, contaminated) for EVERY corpus doc. */
+  def contamination(
+      docs: DataFrame, // (id, text)
+      bench: DataFrame, // (bench_id, text)
+      n: Int = 8,
+      maxGramDf: Int = 200): DataFrame = {
+    val bg = wordGrams(bench, "bench_id", n)
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    val bgCapped = bg
+      .withColumn("__df", count(lit(1)).over(dfw))
+      .where(col("__df") <= maxGramDf)
+      .select(col("bench_id"), col("gram"))
+    val hits = wordGrams(docs, "id", n)
+      .join(bgCapped, "gram")
+      .where(col("id") =!= col("bench_id"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_docs"))
+    docs.select(col("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+        (coalesce(col("n_bench_docs"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Corpus bigram-LM quality score (the CCNet-style perplexity proxy):
+    * score = avg over the doc's bigram INSTANCES of ln(c(w1,w2)/c(w1)),
+    * counts taken from the scoring corpus itself — every scored bigram has
+    * count ≥ 1, so no smoothing is needed; higher (closer to 0) = more
+    * predictable text. Two vocabulary-bounded count shuffles + one
+    * bigram-keyed join + one per-doc aggregation; nothing global. Docs
+    * with < 2 tokens emit n_bigrams = 0 and a null score. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val bi = docs.select(col("id"),
+        explode(
+          when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
+            i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uc = docs.select(explode(w).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("ca"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val scored = bi
+      .join(bc, Seq("w1", "w2"))
+      .join(uc.select(col("tok").as("w1"), col("ca")), "w1")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        roundHU(avg(log(col("c_ab").cast("double") / col("ca").cast("double"))), 4)
+          .as("score"))
+    docs.select(col("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("score"))
+  }
 }

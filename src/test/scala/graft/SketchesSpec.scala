@@ -31,6 +31,43 @@ class SketchesSpec extends SparkSpec {
     assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
   }
 
+  test("bloom: no false negatives; position sets merge by union; packed test agrees") {
+    import org.apache.spark.sql.functions._
+    val keys = (0 until 200).map(i => s"key-$i")
+    val df = keys.toDF("key")
+    val bloom = Sketches.bloomBits(df, "key", m = 4096, k = 4)
+    val words = Sketches.packBloom(bloom, m = 4096)
+    // every inserted key must hit (no false negatives)
+    val members = df.withColumn("hit", Sketches.bloomHitCol(words, col("key"), m = 4096, k = 4))
+    assert(members.where(!col("hit")).count() === 0)
+    // non-members mostly miss (fp rate for n=200, m=4096, k=4 is ~0.1%)
+    val others = (1000 until 1200).map(i => s"other-$i").toDF("key")
+      .withColumn("hit", Sketches.bloomHitCol(words, col("key"), m = 4096, k = 4))
+    assert(others.where(col("hit")).count() <= 5)
+    // split-insert merges by union to the whole-corpus filter
+    val (a, b) = keys.splitAt(70)
+    val merged = Sketches.bloomBits(a.toDF("key"), "key", m = 4096, k = 4)
+      .unionByName(Sketches.bloomBits(b.toDF("key"), "key", m = 4096, k = 4))
+      .distinct()
+    assert(bloom.exceptAll(merged).isEmpty && merged.exceptAll(bloom).isEmpty)
+  }
+
+  test("incremental dedup: planted copies flagged, clean rows pass") {
+    import org.apache.spark.sql.functions._
+    val ref = (0L until 100L).map(i => (i, s"reference document number $i with unique content"))
+      .toDF("id", "text")
+    val incoming = (100L until 150L).map(i => (i, s"fresh document $i never seen before"))
+      .toDF("id", "text")
+      .unionByName(ref.where(col("id") % 10 === 0)
+        .select((col("id") + 1000).as("id"), col("text")))
+    val r = graft.operators.Dedup.incrementalDedup(ref, incoming)
+      .collect().map(x => x.getLong(0) -> ((x.getBoolean(1), x.getBoolean(2)))).toMap
+    // all 10 planted copies: bloom hit AND verified dup
+    (0L until 100L by 10L).foreach(i => assert(r(i + 1000) === ((true, true))))
+    // fresh rows are never is_dup (bloom fps possible but must verify false)
+    (100L until 150L).foreach(i => assert(r(i)._2 === false))
+  }
+
   test("hll: estimate lands near the true distinct count; registers merge by max") {
     val df = toks.toDF("tok")
     val trueDistinct = toks.distinct.size // 102

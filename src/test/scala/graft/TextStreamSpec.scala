@@ -72,6 +72,43 @@ class TextStreamSpec extends SparkSpec {
     assert(dec.width === w0 && dec.height === h0 && dec.channels === 3)
   }
 
+  test("contamination: planted benchmark copy flagged, self-match excluded") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("bench_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // the benchmark doc itself
+      (2L, "alpha beta gamma delta epsilon zeta eta theta extra words"), // shares an 8-gram
+      (3L, "completely different words with no overlap at all here now"))
+      .toDF("id", "text")
+    val r = TextStats.contamination(docs, bench, n = 8)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r(1L) === false) // self-match excluded
+    assert(r(2L) === true)
+    assert(r(3L) === false)
+  }
+
+  test("lmScore: consistent continuations beat scattered ones; short docs null") {
+    // shared vocabulary, different predictability: doc 1 always follows
+    // `a` with `b` (P(b|a) = 3/6); doc 2 follows `a` with a different
+    // word each time (P = 1/6 each) — the LM must prefer doc 1
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a c a d a e"),
+      (3L, "single"))
+      .toDF("id", "text")
+    val r = TextStats.lmScore(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), Option(x.get(2))))).toMap
+    assert(r(3L) === ((0L, None)))
+    assert(r(1L)._1 === 5L && r(2L)._1 === 5L)
+    val s1 = r(1L)._2.get.asInstanceOf[Double]
+    val s2 = r(2L)._2.get.asInstanceOf[Double]
+    assert(s1 > s2, s"consistent $s1 should beat scattered $s2")
+    // hand-check doc 1: 3·ln(3/6) + 2·ln(2/3), averaged over 5 bigrams
+    val expected = math.floor(
+      ((3 * math.log(3.0 / 6) + 2 * math.log(2.0 / 3)) / 5) * 1e4 + 0.5) / 1e4
+    assert(s1 === expected)
+  }
+
   test("PNG codec: lossless round-trip via ImageIO; corrupt input degrades to stub") {
     for (id <- Seq(0L, 2L, 5L, 13L)) {
       val (w, h, rgb) = Multimodal.syntheticRgb(id)

@@ -462,7 +462,17 @@ object SparkEntry {
       val incoming = d.where(col("id") % 2 === 1)
         .unionByName(ref.where(col("id") % 10 === 0)
           .select((col("id") + 100000).as("id"), col("text")))
-      Dedup.incrementalDedup(ref, incoming)
+      Dedup.incrementalDedup(ref, incoming, prebuilt = Some(bloomWordsMemo(s, dir)))
+    }),
+
+    // ---- semantic dedup (SemDeDup shape): K-Means cluster bucketing +
+    // within-cluster exact cosine verify — candidate generation is an
+    // equi-join on the cluster id over the fitted index's centroids
+    "q78_semantic_dedup" -> ((s, dir) => {
+      val p = Tables.points(s, dir)
+      val planted = p.unionByName(
+        p.where(col("id") % 10 === 0).select((col("id") + 100000).as("id"), col("vec")))
+      Dedup.semanticNearDups(planted, centroidArrMemo(s, dir), threshold = 0.99)
     }),
 
     // ---- benchmark decontamination: 8-gram collision sweep of the corpus
@@ -697,6 +707,20 @@ object SparkEntry {
         StructField("shard_id", IntegerType, false),
         StructField("centroid", ArrayType(DoubleType, false), false))))
   }
+
+  /** Memoized packed Bloom bitmap of the q75 reference corpus — the
+    * corpus-summary state an incremental dedup pipeline maintains at
+    * corpus-update time (m bits, a driver artifact like the centroids). */
+  private val bloomMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  private def bloomWordsMemo(s: SparkSession, dir: String): Array[Long] =
+    bloomMemo.computeIfAbsent(dir, _ => {
+      val ref = Tables.documents(s, dir)
+        .where(col("doc_id") % 2 === 0)
+        .select(col("text").as("key"))
+      Sketches.packBloom(Sketches.bloomBits(ref, "key", 16384, 4), 16384)
+    })
 
   /** The fitted centroid set as a driver array for the map-only literal
     * assignment (Sharding.assignLit). */
@@ -1178,6 +1202,30 @@ object SparkEntry {
          |dups AS (SELECT DISTINCT i.id FROM inc i JOIN ref r ON r.text = i.text)
          |SELECT h.id, h.bloom_hit, (d.id IS NOT NULL) AS is_dup
          |FROM hits h LEFT JOIN dups d ON d.id = h.id""".stripMargin,
+
+    // centroids from the standard Lloyd's CTEs (fit on the ORIGINAL
+    // corpus); the planted set assigns against cfin with the engine
+    // ranking convention (ROUNDED dist, shard_id tie-break — assignLit);
+    // pairs join on the cluster id
+    "q78_semantic_dedup" ->
+      s"""WITH ${Oracles.centroidCtes(Params.k, Params.iters)},
+         |dp AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS id, embedding AS vec FROM embeddings
+         |  WHERE vec_id % 10 = 0),
+         |fa2 AS (SELECT p.id, p.vec, c.shard_id,
+         |    round(${Oracles.l2("p.vec", "c.centroid")}, 4) AS d
+         |  FROM dp p CROSS JOIN cfin c),
+         |asg2 AS (SELECT id, vec, shard_id FROM (
+         |  SELECT id, vec, shard_id,
+         |    row_number() OVER (PARTITION BY id ORDER BY d, shard_id) AS rn FROM fa2)
+         |  WHERE rn = 1)
+         |SELECT id_a, id_b, shard_id, cosine FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.shard_id,
+         |    ${Oracles.rHU(s"${Oracles.dotp("a.vec", "b.vec")} / " +
+      s"(sqrt(${Oracles.dotp("a.vec", "a.vec")}) * sqrt(${Oracles.dotp("b.vec", "b.vec")}))", 4)} AS cosine
+         |  FROM asg2 a JOIN asg2 b ON a.shard_id = b.shard_id AND a.id < b.id)
+         |WHERE cosine >= 0.99""".stripMargin,
 
     // distinct 8-grams per doc; benchmark grams df-capped exactly like the
     // Spark side; n_bench_docs = distinct colliding benchmark docs

@@ -388,6 +388,30 @@ object Dedup {
       .select(col("id"), col("keeper_id"), col("cluster_size"))
   }
 
+  /** Semantic (embedding) dedup candidates via K-Means bucketing — the
+    * SemDeDup-style generator: assign every embedding to its nearest
+    * centroid with the MAP-ONLY literal assignment and verify exact cosine
+    * only WITHIN a cluster. Same capped-candidate discipline as the SRP
+    * generator ([[embeddingNearDups]]) but with data-adaptive buckets;
+    * the shuffle key is the cluster id, never all-pairs. Output:
+    * (id_a, id_b, shard_id, cosine) for same-cluster pairs over the
+    * threshold. */
+  def semanticNearDups(
+      points: DataFrame, // (id, vec)
+      cents: Array[(Int, Array[Double])],
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val a = Sharding.assignLit(points, cents, keepVec = true)
+      .select(col("shard_id"), col("id"), col("vec"))
+    val b = a.select(col("shard_id"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.select(col("shard_id"), col("id").as("id_a"), col("vec").as("vec_a"))
+      .join(b, Seq("shard_id"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("shard_id"),
+        roundHU(cosineSim(col("vec_a"), col("vec_b")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Incremental corpus dedup via Bloom pre-filter + exact verify — how a
     * NEW batch is deduplicated against an EXISTING 100 TB corpus without
     * joining the corpus: the corpus is summarized once into an m-bit Bloom
@@ -403,9 +427,13 @@ object Dedup {
       reference: DataFrame, // (id, text) — the existing corpus
       incoming: DataFrame, // (id, text) — the new batch
       m: Int = 16384,
-      k: Int = 4): DataFrame = {
-    val words = Sketches.packBloom(
-      Sketches.bloomBits(reference.select(col("text").as("key")), "key", m, k), m)
+      k: Int = 4,
+      prebuilt: Option[Array[Long]] = None): DataFrame = {
+    // the bitmap summarizes the EXISTING corpus — real pipelines build it
+    // at corpus-update time and pass it in (`prebuilt`); building inline
+    // is the self-contained convenience form
+    val words = prebuilt.getOrElse(Sketches.packBloom(
+      Sketches.bloomBits(reference.select(col("text").as("key")), "key", m, k), m))
     val flagged = incoming
       .withColumn("bloom_hit", Sketches.bloomHitCol(words, col("text"), m, k))
     val refHashes = reference.select(md5(col("text")).as("__h")).distinct()

@@ -262,15 +262,55 @@ object Multimodal {
     * deliberately NOT part of the output. */
   def pngRoundTripStats(spark: SparkSession, ids: DataFrame): DataFrame = {
     import spark.implicits._
-    ids.select(col("id")).as[Long].map { id =>
-      val (w, h, rgb) = syntheticRgb(id)
-      val png = encodePng(w, h, rgb)
-      val (dw, dh, back) = decodeImage(png)
-        .getOrElse(sys.error(s"ImageIO failed to decode its own PNG for $id"))
-      require(dw == w && dh == h, s"dimension mismatch for $id")
-      var sum = 0L
-      back.foreach(b => sum += (b & 0xff))
-      (id, dw, dh, sum)
+    ids.select(col("id")).as[Long].mapPartitions { it =>
+      // ONE writer/reader per partition: the per-image cost of the
+      // convenience ImageIO.write/read entry points is dominated by SPI
+      // lookup + stream setup, not by deflate, at thumbnail sizes — this
+      // is the batch boundary a real codec kernel wants
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      val out = it.map { id =>
+        val (w, h, rgb) = syntheticRgb(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) {
+            val i = (r * w + c) * 3
+            img.setRGB(c, r,
+              ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+            c += 1
+          }
+          r += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
+        val png = bos.toByteArray
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(png))
+        reader.setInput(iis)
+        val back = reader.read(0)
+        require(back.getWidth == w && back.getHeight == h, s"dimension mismatch for $id")
+        var sum = 0L
+        var rr = 0
+        while (rr < h) {
+          var cc = 0
+          while (cc < w) {
+            val px = back.getRGB(cc, rr)
+            sum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+            cc += 1
+          }
+          rr += 1
+        }
+        (id, w, h, sum)
+      }.toVector // materialize before disposing the shared writer/reader
+      writer.dispose()
+      reader.dispose()
+      out.iterator
     }.toDF("id", "width", "height", "pix_sum")
   }
 

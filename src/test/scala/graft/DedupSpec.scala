@@ -137,6 +137,19 @@ class DedupSpec extends SparkSpec {
     assert(r.forall(_.getLong(1) === 0L))
   }
 
+  test("semantic near-dups: planted copy lands in the same cluster, cosine 1.0") {
+    val pts = Tables.points(spark, sf0)
+    val cents = graft.operators.Sharding.fitCentroids(spark, pts, k = 4, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val planted = pts.unionByName(
+      pts.where(col("id") === 7).select(lit(100007L).as("id"), col("vec")))
+    val res = Dedup.semanticNearDups(planted, cents, threshold = 0.99).collect()
+    assert(res.exists(r => r.getLong(0) == 7L && r.getLong(1) == 100007L
+      && r.getDouble(3) == 1.0))
+    // every reported pair shares a cluster by construction (join key)
+    assert(res.forall(_.schema.fieldNames.contains("shard_id")))
+  }
+
   test("embedding near-dups: planted copy found with cosine 1.0") {
     val pts = Tables.points(spark, sf0)
     val planted = pts.unionByName(

@@ -110,4 +110,58 @@ class PropertiesSpec extends SparkSpec {
       assert(merged === cover)
     }
   }
+
+  test("nearDupClusters equals brute-force connected components on random graphs") {
+    val edgesGen = for {
+      n <- Gen.chooseNum(2, 40) // nodes 0..n-1
+      m <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(m,
+        for { a <- Gen.chooseNum(0L, n - 1L); b <- Gen.chooseNum(0L, n - 1L) } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    forAll(edgesGen.suchThat(_.nonEmpty), 10) { es =>
+      // brute-force union-find on the driver
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = graft.operators.Dedup
+        .nearDupClusters(es.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("bloom membership: packed bit test == position-set semantics; inserts always hit") {
+    import graft.operators.Sketches
+    val keysGen = Gen.listOfN(30, Gen.alphaNumStr.suchThat(_.nonEmpty)).map(_.distinct)
+    forAll(keysGen.suchThat(_.size >= 2), 8) { keys =>
+      val df = keys.toDF("key")
+      val bloom = Sketches.bloomBits(df, "key", m = 512, k = 3)
+      val positions = bloom.collect().map(_.getLong(0)).toSet
+      val words = Sketches.packBloom(bloom, m = 512)
+      // packed test must equal the position-set definition for arbitrary probes
+      val probes = (keys.take(10) ++ Seq("missing-1", "missing-2", "zz")).distinct
+      val got = probes.toDF("key")
+        .select(col("key"), Sketches.bloomHitCol(words, col("key"), m = 512, k = 3).as("hit"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      val expected = probes.map { p =>
+        val hit = (0 until 3).forall { j =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(s"bloom$j:$p".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString.take(8)
+          positions.contains(java.lang.Long.parseLong(hex, 16) % 512)
+        }
+        p -> hit
+      }.toMap
+      assert(got === expected)
+      // no false negatives ever
+      keys.foreach(k => assert(got.getOrElse(k, true)))
+    }
+  }
 }

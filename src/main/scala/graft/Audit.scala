@@ -71,6 +71,19 @@ object Audit {
       ("windowed (per-user), not global", _.contains("Window")),
       ("no global top-level sort", p => !p.linesIterator.exists(l =>
         l.contains("Sort ") && !l.contains("Sort [user_id"))))
+    audit("q75_bloom_dedup")(
+      // bloom flag is a literal-bitmap map stage; the only joins are the
+      // candidate-only exact verify (equi) — never a nested loop
+      ("no nested-loop join", p => !p.contains("BroadcastNestedLoopJoin")),
+      ("bloom verify is equi-join", p => p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")))
+    audit("q76_contamination")(
+      // gram-keyed capped equi-join, same discipline as the dedup generators
+      ("no nested-loop join", p => !p.contains("BroadcastNestedLoopJoin")))
+    audit("q78_semantic_dedup")(
+      // cluster-bucketed candidates: the pair join must be keyed on the
+      // cluster id, not a cross product
+      ("no cross/nested-loop pair join", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")))
     audit("q44_pq_adc_search")(
       // literal-LUT strategy: ONE map stage over the codes + one top-k
       // shuffle — no LUT join anywhere in the plan

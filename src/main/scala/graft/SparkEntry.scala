@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Intervals, Kanndi, Knn, Multimodal, Pq, Sharding, ShardedSearch, Sketches, Skew, Sq, Stats, Streaming, TextStats}
+import graft.operators.{AsOfJoin, Corpus, Dedup, Intervals, Kanndi, Knn, Multimodal, Packing, Pq, Sharding, ShardedSearch, Sketches, Skew, Sq, Stats, Streaming, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -669,6 +669,78 @@ object SparkEntry {
         .select(col("id"), col("shard_id").cast("int").as("shard_id"))
     }),
 
+    // ---- sequence packing (concat-and-chunk): map every document to its
+    // global token offset and training-block span. The global running
+    // offset is a two-phase distributed prefix sum (range partition +
+    // local cumsum + broadcast partition offsets) — never a
+    // single-partition window
+    "q79_seq_packing" -> ((s, dir) =>
+      Packing.packChunks(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+        blockTokens = Params.blockTokens)),
+
+    // ---- packed-block composition: docs per training sequence and how
+    // many are fully contained — the packing QA view (bounded key
+    // cardinality: total_tokens / blockTokens)
+    "q86_pack_blocks" -> ((s, dir) =>
+      Packing.blockSummary(Packing.packChunks(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+        blockTokens = Params.blockTokens))),
+
+    // ---- PII detection + redaction over planted emails/IPs/id-numbers
+    // (the corpus is PII-free word soup, so the plant IS the ground
+    // truth); map-only regexp arithmetic
+    "q80_pii_redact" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val planted = base.withColumn("text",
+        when(col("id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("id"),
+            lit("@mail.example.com at 10.2."), col("id") % 250,
+            lit(".7 ref 123-45-6789")))
+          .otherwise(col("text")))
+      Corpus.piiRedact(planted)
+    }),
+
+    // ---- canonical text normalization (pre-dedup pass) over planted
+    // mess: uppercased docs, doubled whitespace, punctuation tails —
+    // normalization must collapse all of it back
+    "q83_normalize" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val t0 = when(col("id") % 3 === 0, upper(col("text"))).otherwise(col("text"))
+      val t1 = when(col("id") % 5 === 0,
+        concat(lit("  "), replace(t0, lit(" "), lit("  ")), lit(" ... END!!")))
+        .otherwise(t0)
+      Corpus.normalizeText(base.withColumn("text", t1))
+    }),
+
+    // ---- frequency-cutoff vocabulary with dense rank ids — TakeOrdered
+    // top-N, rank window only AFTER the limit (never a full-vocab sort)
+    "q81_vocab" -> ((s, dir) =>
+      Corpus.vocabulary(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+        minCount = 5, topN = 64)),
+
+    // ---- domain-mixture resampling to integer target weights: binding
+    // source by exact ratio ordering, integer quotas, md5-ranked draw
+    "q84_mixture" -> ((s, dir) =>
+      Corpus.mixtureSample(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("source")),
+        weight = substring(col("source"), 4, 10).cast("long") % 3 + 1)),
+
+    // ---- boilerplate chunk removal (CCNet shape): a 10-word header
+    // planted on every 4th doc crosses the per-source df threshold and
+    // must be stripped; docs reassemble from surviving chunks in order
+    "q82_boilerplate" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("source"), col("text"))
+      val planted = base.withColumn("text",
+        when(col("id") % 4 === 0,
+          concat(lit("terms of service apply all rights reserved by host inc "),
+            col("text")))
+          .otherwise(col("text")))
+      Corpus.boilerplateClean(planted, chunkWords = 10, dfThreshold = 3)
+    }),
+
     // ---- M5: KANNDI routed search — the reference's E3 with the seed
     // router over the distance-built shards (kanndi_search.py:28-66)
     "q41_kanndi_search" -> ((s, dir) => {
@@ -926,6 +998,9 @@ object SparkEntry {
     val maxGramDf = 200
     /** Demo permutation for q19: even dims then odd dims (0-based). */
     val evensOddsPerm: Seq[Int] = (0 until 64 by 2) ++ (1 until 64 by 2)
+    /** Training-sequence length for the q79/q86 packing queries (docs
+      * average ~30 tokens, so blocks mix 2-3 documents). */
+    val blockTokens = 64L
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1862,7 +1937,116 @@ object SparkEntry {
          |SELECT id, dims.i - 1 AS dim,
          |  round(CAST(vec[(list_value(${perm1.mkString(",")}))[dims.i]] AS DOUBLE), 6) AS value
          |FROM p CROSS JOIN dims""".stripMargin
-    }
+    },
+
+    // exclusive prefix sum in doc-id order; floor division on BIGINTs —
+    // the oracle's window form IS the semantics the distributed two-phase
+    // cumsum must reproduce exactly
+    "q79_seq_packing" ->
+      s"""WITH ${Oracles.packCte}
+         |SELECT id, n_tokens, start_off, block_first, block_last,
+         |  block_last - block_first + 1 AS n_blocks
+         |FROM pk""".stripMargin,
+
+    "q86_pack_blocks" ->
+      s"""WITH ${Oracles.packCte},
+         |e AS (SELECT id, block_first, block_last,
+         |    unnest(generate_series(block_first, block_last)) AS block_id
+         |  FROM pk)
+         |SELECT block_id, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN block_first = block_id AND block_last = block_id
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs
+         |FROM e GROUP BY block_id""".stripMargin,
+
+    // same literal regexes (Java == RE2 for this subset), same replacement
+    // order — the planted PII is the only match source in the word-soup
+    // corpus
+    "q80_pii_redact" ->
+      s"""WITH d AS (SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@mail.example.com at 10.2.' ||
+         |      CAST(doc_id % 250 AS VARCHAR) || '.7 ref 123-45-6789'
+         |    ELSE text END AS text
+         |  FROM documents),
+         |r AS (SELECT id,
+         |    CAST(len(regexp_extract_all(text, '${Corpus.EmailRe}')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(text, '${Corpus.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |    CAST(len(regexp_extract_all(text, '${Corpus.IdNumRe}')) AS BIGINT) AS n_ids,
+         |    md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${Corpus.EmailRe}', '<EMAIL>', 'g'),
+         |      '${Corpus.Ipv4Re}', '<IP>', 'g'),
+         |      '${Corpus.IdNumRe}', '<ID>', 'g')) AS redacted_md5
+         |  FROM d)
+         |SELECT id, n_emails, n_ips, n_ids, redacted_md5,
+         |  (n_emails + n_ips + n_ids) > 0 AS has_pii
+         |FROM r""".stripMargin,
+
+    // planted mess (upper, doubled spaces, punctuation tail) must collapse
+    // back through lower + punct->space + whitespace-collapse + trim
+    "q83_normalize" ->
+      s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
+         |t0 AS (SELECT id, CASE WHEN id % 3 = 0 THEN upper(text) ELSE text END AS t FROM d),
+         |t1 AS (SELECT id, CASE WHEN id % 5 = 0
+         |    THEN '  ' || replace(t, ' ', '  ') || ' ... END!!' ELSE t END AS t
+         |  FROM t0),
+         |n AS (SELECT id, trim(regexp_replace(regexp_replace(lower(t),
+         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM t1)
+         |SELECT id, CAST(length(norm) AS BIGINT) AS n_chars_norm,
+         |  md5(norm) AS norm_md5
+         |FROM n""".stripMargin,
+
+    "q81_vocab" ->
+      s"""WITH c AS (SELECT tok, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY tok HAVING count(*) >= 5),
+         |r AS (SELECT tok, cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) - 1
+         |      AS token_id
+         |  FROM c)
+         |SELECT tok, cnt, token_id FROM r WHERE token_id < 64""".stripMargin,
+
+    // binding source selected by double RATIO ordering (same doubles both
+    // engines, ties by source); quotas are pure integer floor division
+    "q84_mixture" ->
+      s"""WITH d AS (SELECT doc_id AS id, source FROM documents),
+         |c AS (SELECT source, count(*) AS cnt,
+         |    (CAST(substr(source, 4) AS BIGINT) % 3) + 1 AS weight
+         |  FROM d GROUP BY source),
+         |m AS (SELECT cnt AS m_cnt, weight AS m_weight FROM c
+         |  ORDER BY CAST(cnt AS DOUBLE) / weight, source LIMIT 1),
+         |q AS (SELECT source, weight * m_cnt // m_weight AS quota
+         |  FROM c CROSS JOIN m),
+         |r AS (SELECT id, source, CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY md5(source || '|' || CAST(id AS VARCHAR)), id) AS BIGINT)
+         |      AS rk
+         |  FROM d)
+         |SELECT r.id, r.source, r.rk, r.rk <= q.quota AS keep
+         |FROM r JOIN q USING (source)""".stripMargin,
+
+    // 10-word chunks; chunk df counted over DISTINCT docs within source;
+    // survivors reassembled in chunk order; all-dropped docs hash ''
+    "q82_boilerplate" ->
+      s"""WITH p AS (SELECT doc_id AS id, source,
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN 'terms of service apply all rights reserved by host inc ' || text
+         |    ELSE text END AS text
+         |  FROM documents),
+         |ch AS (SELECT id, source, s['p'] AS chunk_pos, s['c'] AS chunk FROM (
+         |  SELECT id, source, unnest(list_transform(
+         |      generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1),
+         |      i -> {'p': i, 'c': array_to_string(list_slice(w, i*10+1, i*10+10), ' ')}))
+         |    AS s
+         |  FROM (SELECT id, source, string_split(text, ' ') AS w FROM p))),
+         |f AS (SELECT source, chunk, count(*) AS chunk_df FROM (
+         |    SELECT DISTINCT id, source, chunk FROM ch)
+         |  GROUP BY source, chunk)
+         |SELECT c.id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN f.chunk_df < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  md5(coalesce(string_agg(c.chunk, ' ' ORDER BY c.chunk_pos)
+         |    FILTER (WHERE f.chunk_df < 3), '')) AS clean_md5
+         |FROM ch c JOIN f USING (source, chunk)
+         |GROUP BY c.id""".stripMargin
   )
 }
 
@@ -1871,6 +2055,27 @@ object SparkEntry {
   * tie-breaks, same column names). */
 object Oracles {
   val dim = 64
+
+  /** Packing map CTE (q79/q86): per-doc token counts, exclusive prefix sum
+    * in id order, block span at Params.blockTokens. Mirrors
+    * Packing.packChunks. */
+  def packCte: String = {
+    val b = SparkEntry.Params.blockTokens
+    s"""d AS (SELECT doc_id AS id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |pk AS (SELECT id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $b
+       |      AS BIGINT) AS block_first,
+       |    CAST((coalesce(sum(n_tokens) OVER (ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + n_tokens - 1) // $b AS BIGINT) AS block_last
+       |  FROM d)""".stripMargin
+  }
 
   /** Exact double-precision L2 distance between two LIST(FLOAT) columns,
     * rounded to 4 dp — mirrors VectorFunctions.l2Dist + round. */

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for an LLM training-data pipeline: PII
+  * redaction, text normalization, vocabulary construction, domain-mixture
+  * resampling, and boilerplate removal. All are either map-only column
+  * arithmetic or shuffles on bounded keys — each function's scaladoc
+  * carries its 100 TB story.
+  *
+  * The reference engine has no text-pipeline stage; these extend the
+  * SURVEY §2 pipeline family alongside TextStats/Dedup.
+  */
+object Corpus {
+
+  /** Java-and-RE2-compatible patterns (no lookarounds, no backrefs), so
+    * the Spark side and the DuckDB oracle run the LITERAL same regex. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val IdNumRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** PII detection + redaction: count emails / IPv4s / SSN-shaped ids and
+    * replace them with typed placeholder tokens. Pure per-row regexp
+    * column arithmetic — map-only, stays inside one WholeStageCodegen
+    * span, embarrassingly parallel at any scale.
+    *
+    * Replacement order (email, then ip, then id) is part of the contract:
+    * the oracle applies the same order, so overlapping matches resolve
+    * identically.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        IdNumRe, "<ID>")
+    docs.select(
+      col("id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(IdNumRe), lit(0)))
+        .cast("long").as("n_ids"),
+      md5(redacted).as("redacted_md5"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_ids") > 0)
+  }
+
+  /** Canonical text normalization (the CCNet-style pre-dedup pass):
+    * lowercase, non-alphanumerics to spaces, whitespace collapsed, ends
+    * trimmed. Map-only. (Unicode NFC is a no-op on the ASCII testdata and
+    * DuckDB/JVM agree on it; the contract here is the ASCII pipeline.) */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val norm = trim(
+      regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    docs.select(
+      col("id"),
+      length(norm).cast("long").as("n_chars_norm"),
+      md5(norm).as("norm_md5"))
+  }
+
+  /** Frequency-cutoff vocabulary: tokens with count >= minCount, top
+    * `topN` by (count desc, token), dense ids 0..topN-1 assigned by that
+    * rank. The global shuffle is a word-count aggregation (map-side
+    * combine; key space = vocabulary, not corpus). The ordering is a
+    * TakeOrdered (per-partition top-N, driver merge of N rows) — the
+    * rank window runs AFTER the limit, over at most topN rows, so no
+    * full-vocabulary single-partition sort ever happens. */
+  def vocabulary(docs: DataFrame, minCount: Long, topN: Int): DataFrame = {
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(topN)
+    counts.withColumn("token_id",
+      row_number().over(Window.orderBy(col("cnt").desc, col("tok")))
+        .cast("long") - 1L)
+  }
+
+  /** Domain-mixture resampling: hit integer target proportions
+    * `weight(source)` as closely as possible without oversampling any
+    * source. The binding source m minimizes cnt/weight (exact integer
+    * cross-comparison via doubles only for ORDERING, ties by source
+    * name); every source's quota is then the exact integer
+    * `weight_s * cnt_m div weight_m`, and each source keeps its quota of
+    * docs ranked by md5(source|id) — a deterministic uniform draw.
+    *
+    * Scale: per-source counts are a map-side-combined agg on a tiny key
+    * space; quotas are a broadcast join; the rank is a per-source window
+    * (partition-local sort, never global). Output keeps every doc with a
+    * boolean, so the selection is auditable.
+    */
+  def mixtureSample(docs: DataFrame, weight: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("weight", weight.cast("long"))
+    // binding source: smallest cnt/weight (double order only; quota math
+    // below is pure integer, so no float crosses an equality boundary)
+    val binding = counts
+      .orderBy((col("cnt").cast("double") / col("weight")).asc, col("source"))
+      .limit(1)
+      .select(col("cnt").as("m_cnt"), col("weight").as("m_weight"))
+    val quotas = counts.crossJoin(broadcast(binding))
+      .select(col("source"),
+        expr("weight * m_cnt div m_weight").as("quota"))
+    val ranked = docs.withColumn("rk",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(md5(concat_ws("|", col("source"), col("id"))), col("id")))
+        .cast("long"))
+    ranked.join(broadcast(quotas), "source")
+      .select(col("id"), col("source"), col("rk"),
+        (col("rk") <= col("quota")).as("keep"))
+  }
+
+  /** Boilerplate removal (CCNet-shape): split each doc into fixed
+    * `chunkWords`-word chunks, count each chunk text's document frequency
+    * WITHIN its source (the "per-domain" grouping), drop chunks appearing
+    * in >= dfThreshold docs of that source, and reassemble the survivors
+    * in order. Output: id, n_chunks, n_kept, clean_md5.
+    *
+    * Scale: the explode is linear in corpus size; the df count is a
+    * groupBy on (source, chunk-hash) with map-side combine; the join back
+    * is an equi-join on the same key; reassembly groups by doc id.
+    * Chunk ORDER inside a doc rides along as a position column —
+    * array_sort on (pos, chunk) structs, no window needed.
+    */
+  def boilerplateClean(docs: DataFrame, chunkWords: Int, dfThreshold: Long)
+      : DataFrame = {
+    val w = split(col("text"), " ")
+    val nChunks = ceil(size(w).cast("double") / chunkWords).cast("int")
+    val chunks = docs.select(col("id"), col("source"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(w, i * chunkWords + 1, lit(chunkWords)), " "))))
+      .withColumnRenamed("pos", "chunk_pos")
+      .withColumnRenamed("col", "chunk")
+    val df = chunks.select(col("source"), col("chunk"), col("id")).distinct()
+      .groupBy(col("source"), col("chunk"))
+      .agg(count(lit(1)).as("chunk_df"))
+    chunks.join(df, Seq("source", "chunk"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_df") < dfThreshold, 1L).otherwise(0L))
+          .as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("chunk_df") < dfThreshold,
+            struct(col("chunk_pos"), col("chunk"))))),
+          c => c.getField("chunk")), " ")).as("clean_md5"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pre-training: concatenate the corpus in doc-id
+  * order and chunk the token stream into fixed-length training blocks
+  * (GPT-style "concat and chunk"). The output maps every document to its
+  * place in the packed stream: global token offset plus the
+  * [block_first, block_last] span of training sequences it lands in.
+  *
+  * Scale design: the only order-sensitive step is the global running token
+  * offset, computed as a distributed two-phase prefix sum over the
+  * (id, n_tokens) table — range-partition by id, per-partition local
+  * cumsum, per-partition totals (≤ #partitions driver rows) collected once
+  * and rebroadcast as exclusive prefix offsets. Both passes consume the
+  * SAME shuffled DataFrame instance, so the shuffle map stage runs once
+  * (the Intervals boundary-sweep idiom). The naive alternative — a
+  * `Window.orderBy(id)` with no partition key — funnels the whole corpus
+  * through ONE task and is exactly the 100 TB killer this avoids.
+  *
+  * The reference has no packing operator; this is part of the
+  * training-data-pipeline extension family (SURVEY §2 additions).
+  */
+object Packing {
+
+  /** Per-document packing map for fixed-size blocks of `blockTokens`
+    * tokens. Tokens are whitespace words (the engine's corpus-wide
+    * convention, `string_split(text, ' ')`).
+    *
+    * Output: id, n_tokens, start_off (exclusive prefix sum in id order),
+    * block_first, block_last, n_blocks — all long. A document spans
+    * `floor(start/B) .. floor((start+n-1)/B)`; documents never pad blocks
+    * (concat-and-chunk splits documents across block boundaries, unlike
+    * first-fit padding packers).
+    */
+  def packChunks(docs: DataFrame, blockTokens: Long): DataFrame = {
+    require(blockTokens > 0, s"blockTokens must be positive: $blockTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(col("id").cast("long"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
+    // pass 1: per-partition token totals -> exclusive prefix offsets
+    val sums = counts.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(1))
+      Iterator.single((pid, s))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](sums.length)
+    var acc = 0L
+    sums.foreach { case (pid, s) => offsets(pid) = acc; acc += s }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val b = blockTokens
+    // pass 2 (same shuffle output): partition-local cumsum + global offset
+    counts.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var off = bc.value(pid)
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = r.getLong(1)
+        val start = off
+        off += n
+        val bf = start / b
+        val bl = if (n == 0) bf else (start + n - 1) / b
+        (id, n, start, bf, bl, bl - bf + 1)
+      }
+    }.toDF("id", "n_tokens", "start_off", "block_first", "block_last",
+      "n_blocks")
+  }
+
+  /** Block-level composition summary derived from [[packChunks]]: how many
+    * documents contribute to each training sequence and how many of them
+    * are fully contained (vs split across a boundary). Pure relational
+    * fan-out — each doc emits its (≤ n_blocks) spanned block ids; the
+    * aggregation shuffles on block_id, a key with bounded cardinality
+    * (total_tokens / blockTokens).
+    */
+  def blockSummary(packed: DataFrame): DataFrame =
+    packed
+      .select(col("id"), col("block_first"), col("block_last"),
+        explode(sequence(col("block_first"), col("block_last"))).as("block_id"))
+      .groupBy(col("block_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("block_first") === col("block_id") &&
+          col("block_last") === col("block_id"), 1L).otherwise(0L))
+          .as("n_full_docs"))
+}

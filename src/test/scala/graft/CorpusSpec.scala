@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiRedact counts and redacts each PII kind; clean docs untouched") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@x.example.org and 10.0.0.1 today"),
+      (2L, "ssn 123-45-6789 twice 987-65-4321"),
+      (3L, "plain words only")).toDF("id", "text")
+    val r = Corpus.piiRedact(docs).orderBy("id").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(5))) ===
+      Array((1L, 1L, 0L, true), (0L, 0L, 2L, true), (0L, 0L, 0L, false)))
+    // redaction literally removes the PII text
+    val redacted = Seq((9L, "x 1.2.3.4 y")).toDF("id", "text")
+    val hash = Corpus.piiRedact(redacted).select("redacted_md5").as[String].head()
+    val expected = Seq((9L, "x <IP> y")).toDF("id", "text")
+      .select(md5(col("text"))).as[String].head()
+    assert(hash === expected)
+  }
+
+  test("normalizeText collapses case, punctuation and whitespace") {
+    val docs = Seq(
+      (1L, "  Hello,   WORLD!! 42  "),
+      (2L, "already clean text")).toDF("id", "text")
+    val r = Corpus.normalizeText(docs).orderBy("id").collect()
+    val cleanMd5 = Seq((0L, "hello world 42")).toDF("id", "text")
+      .select(md5(col("text"))).as[String].head()
+    assert(r(0).getString(2) === cleanMd5)
+    assert(r(0).getLong(1) === "hello world 42".length.toLong)
+    val sameMd5 = Seq((0L, "already clean text")).toDF("id", "text")
+      .select(md5(col("text"))).as[String].head()
+    assert(r(1).getString(2) === sameMd5)
+  }
+
+  test("vocabulary: min-count cutoff, rank order, dense ids") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d d d d")).toDF("id", "text")
+    val v = Corpus.vocabulary(docs, minCount = 2, topN = 2)
+      .orderBy("token_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // counts: a=4, d=4, b=3, c=1(cut); top-2 by (cnt desc, tok): a, d
+    assert(v === Array(("a", 4L, 0L), ("d", 4L, 1L)))
+  }
+
+  test("mixtureSample: quotas never oversample, binding source keeps all") {
+    val docs = (0L until 60L).map { i =>
+      val src = if (i < 10) "srcA" else if (i < 30) "srcB" else "srcC"
+      (i, src)
+    }.toDF("id", "source")
+    // weights: A=1, B=2, C=3 -> ratios 10/1, 20/2, 30/3 all equal (=10);
+    // binding source is lexicographic first (srcA); quotas = weights*10
+    val w = when(col("source") === "srcA", 1)
+      .when(col("source") === "srcB", 2).otherwise(3)
+    val r = Corpus.mixtureSample(docs, w.cast("long"))
+    val kept = r.where(col("keep")).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept === Map("srcA" -> 10L, "srcB" -> 20L, "srcC" -> 30L))
+    // skewed weights: A=3 -> binding is A (10/3); B quota = 1*(10 div 3)*...
+    val w2 = when(col("source") === "srcA", 3).otherwise(1).cast("long")
+    val kept2 = Corpus.mixtureSample(docs, w2).where(col("keep"))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // binding A: m_cnt=10, m_weight=3; quotas: A=3*10/3=10, B=C=1*10/3=3
+    assert(kept2 === Map("srcA" -> 10L, "srcB" -> 3L, "srcC" -> 3L))
+    // determinism: same input -> same kept set
+    val k1 = r.where(col("keep")).select("id").as[Long].collect().sorted
+    val k2 = Corpus.mixtureSample(docs, w.cast("long"))
+      .where(col("keep")).select("id").as[Long].collect().sorted
+    assert(k1 === k2)
+  }
+
+  test("boilerplateClean drops high-df chunks and reassembles in order") {
+    val header = (1 to 10).map(i => s"h$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s", s"$header one two three"),
+      (2L, "s", s"$header four five"),
+      (3L, "s", s"$header six"),
+      (4L, "s", "unique words only here")).toDF("id", "source", "text")
+    val r = Corpus.boilerplateClean(docs, chunkWords = 10, dfThreshold = 3)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    def m(s: String) = Seq((0L, s)).toDF("id", "t").select(md5(col("t")))
+      .as[String].head()
+    // header chunk df=3 >= 3 -> dropped; tail chunks survive
+    assert(r(0) === ((1L, 2L, 1L, m("one two three"))))
+    assert(r(1) === ((2L, 2L, 1L, m("four five"))))
+    assert(r(2) === ((3L, 2L, 1L, m("six"))))
+    assert(r(3) === ((4L, 1L, 1L, m("unique words only here"))))
+  }
+
+  test("boilerplateClean: doc with every chunk dropped hashes empty string") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s", ten), (2L, "s", ten), (3L, "s", ten)).toDF("id", "source", "text")
+    val r = Corpus.boilerplateClean(docs, chunkWords = 10, dfThreshold = 3)
+      .orderBy("id").collect()
+    def m(s: String) = Seq((0L, s)).toDF("id", "t").select(md5(col("t")))
+      .as[String].head()
+    assert(r.forall(x => x.getLong(2) === 0L && x.getString(3) === m("")))
+  }
+
+  test("boilerplate df is per-source: same chunk in another source survives") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s1", ten), (2L, "s1", ten), (3L, "s1", ten),
+      (4L, "s2", ten)).toDF("id", "source", "text")
+    val r = Corpus.boilerplateClean(docs, chunkWords = 10, dfThreshold = 3)
+      .where(col("id") === 4L).collect()(0)
+    assert(r.getLong(2) === 1L) // kept in s2 (df=1 there)
+  }
+}

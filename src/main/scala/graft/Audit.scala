@@ -94,6 +94,53 @@ object Audit {
       // a filter + generator, not a join operator
       ("no join in IVF-PQ search", p => !p.contains("Join")),
       ("top-k partial limit", _.contains("WindowGroupLimit")))
+    audit("q79_seq_packing")(
+      // two-phase prefix sum: the cumsum runs in the RDD stage (range
+      // shuffle inside the lineage), NEVER as a global single-partition
+      // window in the SQL plan
+      ("no window operator", p => !p.contains("Window")),
+      ("RDD two-phase stage (no SQL sort/exchange)", p =>
+        p.contains("SerializeFromObject") && !p.contains("Exchange")))
+    audit("q80_pii_redact")(
+      // pure per-row regexp arithmetic: no join, no aggregate, no shuffle
+      ("map-only (no exchange beyond ingest spread)", p =>
+        !p.contains("Join") && !p.contains("HashAggregate")))
+    audit("q81_vocab")(
+      // top-N must be a TakeOrdered (per-partition partial), with the
+      // rank window running over the already-limited rows
+      ("TakeOrdered top-N", _.contains("TakeOrderedAndProject")))
+    audit("q84_mixture")(
+      // quotas broadcast; the per-source rank is a partition-local window
+      ("quota broadcast join", _.contains("BroadcastHashJoin")),
+      ("no global sort", p => !p.linesIterator.exists(l =>
+        l.contains("Sort ") && l.contains("global=true") &&
+          !l.contains("md5"))))
+    // q85's full plan includes exact-kNN (whose BNLJ broadcast of the
+    // query batch is the INTENDED shape, same as q02); isolate the sweep
+    // operator to assert its one-pass claim: exactly 2 windows (route
+    // rank + the shared candidate rank — a per-t implementation would
+    // plan maxT+1) and exactly ONE candidate equi-join on shard_id
+    locally {
+      import org.apache.spark.sql.functions.col
+      val pts = Tables.points(spark, dir)
+      val cents = graft.operators.Sharding.fitCentroids(spark, pts, 8, 1)
+      val sharded = pts.join(
+        graft.operators.Sharding.assign(pts, cents).select("id", "shard_id"), "id")
+      val plan = graft.operators.ShardedSearch
+        .searchSweep(sharded, Tables.queryPoints(spark, dir), cents, 10, 4)
+        .queryExecution.executedPlan.toString
+      val nWin = plan.linesIterator.count(_.contains("Window ["))
+      val ok1 = nWin == 2
+      // the only BNLJs are the tiny query-x-centroid broadcast crosses
+      // (route + distance, same shape q02 asserts); the CANDIDATE join
+      // must be the hash equi-join on shard_id
+      val ok2 = plan.contains("BroadcastHashJoin [shard_id")
+      println(f"searchSweep(maxT=4)     ${if (ok1) "OK " else "MISS"} one shared rank window (2 total, got $nWin)")
+      println(f"searchSweep(maxT=4)     ${if (ok2) "OK " else "MISS"} candidates via shard_id equi-join")
+    }
+    audit("q82_boilerplate")(
+      // chunk-df join is keyed on (source, chunk): equi only
+      ("chunk equi-join (no BNLJ)", p => !p.contains("BroadcastNestedLoopJoin")))
     spark.stop()
   }
 }

@@ -741,6 +741,20 @@ object SparkEntry {
       Corpus.boilerplateClean(planted, chunkWords = 10, dfThreshold = 3)
     }),
 
+    // ---- recall-vs-nprobe evaluation curve: routed recall@10 for every
+    // probe count t=1..4 from ONE candidate pass (per-t ranks are
+    // conditional running sums sharing a single window sort)
+    "q85_recall_sweep" -> ((s, dir) => {
+      val pts = Tables.points(s, dir)
+      val qs = queryBatchDf(s, dir)
+      val cents = fitCentroidsMemo(s, dir)
+      val sharded = Sharding.assignLit(pts, centroidArrMemo(s, dir), keepVec = true)
+        .select(col("id"), col("vec"), col("shard_id"))
+      val exact = Knn.knnExact(pts, qs, 10)
+      val sweep = ShardedSearch.searchSweep(sharded, qs, cents, k = 10, maxT = 4)
+      ShardedSearch.recallSweep(exact, sweep, k = 10, maxT = 4)
+    }),
+
     // ---- M5: KANNDI routed search — the reference's E3 with the seed
     // router over the distance-built shards (kanndi_search.py:28-66)
     "q41_kanndi_search" -> ((s, dir) => {
@@ -2046,7 +2060,48 @@ object SparkEntry {
          |  md5(coalesce(string_agg(c.chunk, ' ' ORDER BY c.chunk_pos)
          |    FILTER (WHERE f.chunk_df < 3), '')) AS clean_md5
          |FROM ch c JOIN f USING (source, chunk)
-         |GROUP BY c.id""".stripMargin
+         |GROUP BY c.id""".stripMargin,
+
+    // per-t recall from the shared routing rank (crank): each t's routed
+    // set is the crank <= t candidates re-ranked — the unrolled form of
+    // the engine's single-window sweep
+    "q85_recall_sweep" -> {
+      val maxT = 4
+      val per = (1 to maxT).map { t =>
+        s"""cand_$t AS (SELECT r.qid, sp.id,
+           |    round(${Oracles.l2("r.qvec", "sp.vec")}, 4) AS dist
+           |  FROM ra r JOIN sp ON r.shard_id = sp.shard_id WHERE r.crank <= $t),
+           |rk_$t AS (SELECT qid, id,
+           |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+           |  FROM cand_$t),
+           |hits_$t AS (SELECT r.qid, count(*) AS n_hits FROM rk_$t r
+           |  JOIN exact e ON e.qid = r.qid AND e.neighbor_id = r.id
+           |  WHERE r.rnk <= 10 GROUP BY r.qid),
+           |rec_$t AS (SELECT CAST($t AS BIGINT) AS t, count(*) AS n_queries,
+           |    round(avg(coalesce(h.n_hits, 0) / 10.0), 6) AS recall
+           |  FROM (SELECT DISTINCT qid FROM exact) q
+           |  LEFT JOIN hits_$t h USING (qid))""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to maxT).map(t => s"SELECT * FROM rec_$t")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${Oracles.assignCtes(SparkEntry.Params.k, SparkEntry.Params.iters)},
+         |sp AS (SELECT p.id, p.vec, a.shard_id FROM pts p JOIN asg a USING (id)),
+         |qs AS (SELECT id AS qid, vec AS qvec FROM pts WHERE id % 25 = 0),
+         |rd AS (SELECT q.qid, q.qvec, c.shard_id,
+         |    round(${Oracles.l2("q.qvec", "c.centroid")}, 4) AS dr
+         |  FROM qs q CROSS JOIN cfin c),
+         |ra AS (SELECT qid, qvec, shard_id,
+         |  row_number() OVER (PARTITION BY qid ORDER BY dr, shard_id) AS crank FROM rd),
+         |exact_p AS (SELECT qs.qid, pts.id AS neighbor_id,
+         |    round(${Oracles.l2("qs.qvec", "pts.vec")}, 4) AS dist
+         |  FROM qs CROSS JOIN pts),
+         |exact AS (SELECT qid, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rn
+         |  FROM exact_p) WHERE rn <= 10),
+         |$per
+         |$union""".stripMargin
+    }
   )
 }
 

@@ -91,6 +91,77 @@ object ShardedSearch {
         col("n.shard_id").as("shard_id"))
   }
 
+  /** Probe-count sweep: routed top-k results for EVERY t in 1..maxT from a
+    * single candidate pass — the recall-vs-nprobe evaluation curve
+    * (recall.py run once per shard count in the reference; here one scan).
+    *
+    * Candidates are generated once at maxT with their producing
+    * centroid_rank carried along. Per-t ranks all come from ONE window
+    * sort: `rank_t = sum(crank <= t) over (qid order dist, id rows
+    * unbounded preceding)` is the row's rank among only-those-candidates
+    * produced by the first t routes — so maxT conditional running sums
+    * share a single partition-by-qid sort instead of maxT separate
+    * searches. Output: (t, qid, rank, neighbor_id, dist); for each t the
+    * rows equal search(..., t = t) exactly (ShardingSpec asserts).
+    *
+    * Scale: identical shuffle footprint to ONE search at t = maxT (the
+    * largest candidate set dominates any sweep); the per-t reranks are
+    * free column arithmetic inside the same window operator.
+    */
+  def searchSweep(
+      shardedPoints: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      maxT: Int,
+      distance: (Column, Column) => Column = l2Dist): DataFrame = {
+    val routes = route(queries, centroids, maxT)
+    val cands = shardedPoints
+      .join(broadcast(routes), "shard_id")
+      .withColumn("dist", round(distance(col("qvec"), col("vec")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rankCols = (1 to maxT).map { t =>
+      sum(when(col("centroid_rank") <= t, 1L).otherwise(0L)).over(w)
+        .as(s"rk_$t")
+    }
+    val ranked = cands.select(
+      Seq(col("qid"), col("id"), col("dist"), col("centroid_rank")) ++
+        rankCols: _*)
+    val perT = array((1 to maxT).map { t =>
+      when(col("centroid_rank") <= t && col(s"rk_$t") <= k,
+        struct(lit(t.toLong).as("t"),
+          col(s"rk_$t").cast("int").as("rank")))
+    }: _*)
+    ranked
+      .select(col("qid"), col("id").as("neighbor_id"), col("dist"),
+        explode(filter(perT, e => e.isNotNull)).as("e"))
+      .select(col("e.t").as("t"), col("qid"), col("e.rank").as("rank"),
+        col("neighbor_id"), col("dist"))
+  }
+
+  /** Recall@k per sweep step: one semi-join against the exact result for
+    * the WHOLE sweep, grouped by (t, qid), then averaged per t over the
+    * full query grid (queries with zero hits count as zero). */
+  def recallSweep(exact: DataFrame, sweep: DataFrame, k: Int, maxT: Int)
+      : DataFrame = {
+    val e = exact.select(col("qid"), col("neighbor_id"))
+    val hits = sweep.select(col("t"), col("qid"), col("neighbor_id"))
+      .join(e, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy(col("t"), col("qid"))
+      .agg(count(lit(1)).as("n_hits"))
+    val grid = e.select(col("qid")).distinct()
+      .crossJoin(broadcast(
+        e.sparkSession.range(1, maxT + 1).select(col("id").as("t"))))
+    grid
+      .join(hits, Seq("t", "qid"), "left")
+      .select(col("t"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .groupBy(col("t"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        round(avg(col("n_hits") / k.toDouble), 6).as("recall"))
+  }
+
   /** Recall@k of a routed result vs the exact result (recall.py:34-83
     * industrialized): per-query |routed ∩ exact| / k, then the mean. */
   def recallAtK(exact: DataFrame, routed: DataFrame, k: Int): DataFrame = {

@@ -76,6 +76,22 @@ class ShardingSpec extends SparkSpec {
     assert(rec.getDouble(rec.fieldIndex("recall")) === 1.0)
   }
 
+  test("searchSweep per-t slices are row-identical to independent searches") {
+    val qs = Tables.queryPoints(spark, sf0)
+    val sharded = pts.join(Sharding.assign(pts, cents).select("id", "shard_id"), "id")
+    val sweep = ShardedSearch.searchSweep(sharded, qs, cents, k = 10, maxT = 3)
+      .cache()
+    for (t <- 1 to 3) {
+      val slice = sweep.where(col("t") === t.toLong)
+        .select("qid", "rank", "neighbor_id", "dist")
+      val indep = ShardedSearch.search(sharded, qs, cents, k = 10, t = t)
+        .select("qid", "rank", "neighbor_id", "dist")
+      assert(slice.exceptAll(indep).isEmpty && indep.exceptAll(slice).isEmpty,
+        s"t=$t")
+    }
+    sweep.unpersist()
+  }
+
   test("searchAgg (heap aggregator) is row-identical to the window search") {
     val qs = Tables.queryPoints(spark, sf0)
     val sharded = pts.join(Sharding.assign(pts, cents).select("id", "shard_id"), "id")

@@ -755,6 +755,32 @@ object SparkEntry {
       ShardedSearch.recallSweep(exact, sweep, k = 10, maxT = 4)
     }),
 
+    // ---- approximate kNN-graph construction (the neighbor lists under
+    // graph-based ANN indexes): SRP buckets -> within-bucket exact cosine
+    // top-k per source point; one bucket-keyed self-equi-join
+    "q87_knn_graph" -> ((s, dir) =>
+      Knn.knnGraph(Tables.points(s, dir), k = 5)),
+
+    // ---- perceptual image dHash (image near-dup analogue of SimHash):
+    // real BMP encode -> decode -> block-mosaic grayscale -> adjacent-cell
+    // darkness bits; the oracle replays the integer arithmetic from the
+    // pattern formula, so codec bugs break the hash
+    "q88_image_dhash" -> ((s, dir) =>
+      Multimodal.imageDHash(s,
+        Tables.documents(s, dir).select(col("doc_id").as("id")))),
+
+    // ---- hard-negative mining for contrastive training: per query, the
+    // nearest points with a DIFFERENT label (filter prunes before any
+    // distance math)
+    "q89_hard_negatives" -> ((s, dir) => {
+      val p = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      val qs = p.where(col("id") % 25 === 0)
+        .select(col("id").as("qid"), col("vec").as("qvec"),
+          col("label").as("qlabel"))
+      Knn.hardNegatives(p, qs, k = 10)
+    }),
+
     // ---- M5: KANNDI routed search — the reference's E3 with the seed
     // router over the distance-built shards (kanndi_search.py:28-66)
     "q41_kanndi_search" -> ((s, dir) => {
@@ -2101,7 +2127,63 @@ object SparkEntry {
          |  FROM exact_p) WHERE rn <= 10),
          |$per
          |$union""".stripMargin
-    }
+    },
+
+    // same SRP bucket integers as q28; rank by (rounded cosine desc, id)
+    "q87_knn_graph" ->
+      s"""WITH p AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |bk AS (SELECT id, vec, array_to_string(list_transform(generate_series(0, 7), k ->
+         |    CASE WHEN list_sum(list_transform(generate_series(0, 63),
+         |      i -> CAST(vec[i+1] AS DOUBLE) * (((k*31 + i*7) % 13) - 6))) > 0
+         |    THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM p),
+         |pr AS (SELECT a.id AS src_id, b.id AS nbr_id,
+         |    ${Oracles.rHU(s"${Oracles.dotp("a.vec", "b.vec")} / " +
+      s"(sqrt(${Oracles.dotp("a.vec", "a.vec")}) * sqrt(${Oracles.dotp("b.vec", "b.vec")}))", 4)} AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id != b.id),
+         |rk AS (SELECT src_id, nbr_id, cosine,
+         |    row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id)
+         |      AS "rank"
+         |  FROM pr)
+         |SELECT src_id, "rank", nbr_id, cosine FROM rk
+         |WHERE "rank" <= 5""".stripMargin,
+
+    // grayscale = channel sum (no /3 anywhere); block means compared as
+    // integer cross-products, bit position br*4+bc; n_same = bucket size
+    "q88_image_dhash" ->
+      s"""WITH d AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h
+         |  FROM documents),
+         |rws AS (SELECT id, w, h, unnest(generate_series(0, h - 1)) AS r FROM d),
+         |px AS (SELECT id, w, h, r, unnest(generate_series(0, w - 1)) AS c FROM rws),
+         |g AS (SELECT id, (r * 4) // h AS br, (c * 5) // w AS bc,
+         |    ((id*7 + r*31 + c*13) % 256) + ((id*7 + r*31 + c*13 + 5) % 256)
+         |      + ((id*7 + r*31 + c*13 + 10) % 256) AS gray
+         |  FROM px),
+         |bl AS (SELECT id, br, bc, sum(gray) AS s, count(*) AS n
+         |  FROM g GROUP BY id, br, bc),
+         |bits AS (SELECT l.id,
+         |    CASE WHEN l.s * rt.n < rt.s * l.n
+         |      THEN (CAST(1 AS BIGINT) << (l.br * 4 + l.bc)) ELSE 0 END AS bv
+         |  FROM bl l JOIN bl rt ON rt.id = l.id AND rt.br = l.br AND rt.bc = l.bc + 1),
+         |dh AS (SELECT id, CAST(sum(bv) AS BIGINT) AS dhash FROM bits GROUP BY id),
+         |hs AS (SELECT d.id, d.w AS width, d.h AS height, dh.dhash
+         |  FROM d JOIN dh USING (id))
+         |SELECT id, width, height, dhash,
+         |  count(*) OVER (PARTITION BY dhash) AS n_same
+         |FROM hs""".stripMargin,
+
+    "q89_hard_negatives" ->
+      s"""WITH p AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings),
+         |qs AS (SELECT id AS qid, vec AS qvec, label AS qlabel FROM p WHERE id % 25 = 0),
+         |cand AS (SELECT qs.qid, p.id AS neighbor_id, p.label AS neg_label,
+         |    round(${Oracles.l2("qs.qvec", "p.vec")}, 4) AS dist
+         |  FROM qs CROSS JOIN p WHERE p.label != qs.qlabel),
+         |rk AS (SELECT qid, neighbor_id, neg_label, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id)
+         |      AS "rank"
+         |  FROM cand)
+         |SELECT qid, "rank", neighbor_id, neg_label, dist FROM rk
+         |WHERE "rank" <= 10""".stripMargin
   )
 }
 

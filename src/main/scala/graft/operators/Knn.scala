@@ -47,6 +47,60 @@ object Knn {
         col("dist"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * NEAREST points whose label DIFFERS from the query's — the
+    * highest-loss negatives an embedding-model trainer wants in-batch.
+    *
+    * Shape = [[knnExact]] with the label predicate applied BEFORE any
+    * distance math (the filter prunes candidates inside the same codegen
+    * stage as the broadcast join — no wasted distance kernels), and the
+    * same WindowGroupLimit partial top-k. Output carries the negative's
+    * label for batch-construction bookkeeping.
+    */
+  def hardNegatives(
+      points: DataFrame, // (id, vec, label)
+      queries: DataFrame, // (qid, qvec, qlabel)
+      k: Int,
+      distance: (Column, Column) => Column = l2Dist): DataFrame = {
+    val joined = points
+      .join(broadcast(queries))
+      .where(col("label") =!= col("qlabel"))
+      .withColumn("dist", round(distance(col("qvec"), col("vec")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        col("label").as("neg_label"), col("dist"))
+  }
+
+  /** Approximate kNN GRAPH construction (the neighbor lists a graph-based
+    * ANN index builds on): SRP-bucket the corpus, rank same-bucket
+    * neighbors by exact cosine per source point, keep top-k. One
+    * bucket-keyed self-equi-join — never an all-pairs product; recall
+    * rises with nProj the usual LSH way (more, smaller buckets at scale).
+    * Output: (src_id, rank, nbr_id, cosine), rank by (cosine desc, id).
+    */
+  def knnGraph(points: DataFrame, k: Int, nProj: Int = 8, dim: Int = 64)
+      : DataFrame = {
+    val b = points
+      .withColumn("bucket", Dedup.srpBucket(col("vec"), nProj, dim))
+    val a = b.select(col("id").as("src_id"), col("vec").as("src_vec"),
+      col("bucket"))
+    val n = b.select(col("id").as("nbr_id"), col("vec").as("nbr_vec"),
+      col("bucket"))
+    val pairs = a.join(n, Seq("bucket"))
+      .where(col("src_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        roundHU(cosineSim(col("src_vec"), col("nbr_vec")), 4))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("src_id"), col("rank"), col("nbr_id"), col("cosine"))
+  }
+
   /** Exact cosine top-k with point/query norms computed ONCE instead of per
     * pair (2N norm folds instead of N*Q*2). Same values as
     * knnExact(distance = cosineDist).

@@ -254,6 +254,62 @@ object Multimodal {
     }.toDF("id", "width", "height", "n_bytes", "pix_sum")
   }
 
+  /** Perceptual difference-hash (dHash) over DECODED image pixels — the
+    * image analogue of SimHash near-dup: encode the deterministic pattern
+    * to real BMP bytes, decode, block-partition the grayscale plane into a
+    * gridR x gridC mosaic and set bit (R*gridC' + C) when cell (R,C) is
+    * darker than its right neighbor. Means are compared as exact integer
+    * cross-products (sum_l * n_r < sum_r * n_l) so uneven block splits
+    * never touch floating point — the DuckDB oracle replays the identical
+    * arithmetic from the pattern formula, which means any codec bug
+    * breaks the hash. Output: (id, width, height, dhash, n_same) where
+    * n_same = how many images share the hash (the near-dup bucket size).
+    *
+    * Scale: pure map kernel + one groupBy on the 2^bits-bounded hash key.
+    */
+  def imageDHash(spark: SparkSession, ids: DataFrame,
+      gridC: Int = 5, gridR: Int = 4): DataFrame = {
+    import spark.implicits._
+    val hashed = ids.select(col("id")).as[Long].map { id =>
+      val (w, h, rgb) = syntheticRgb(id)
+      val (dw, dh, back) = decodeBmp(encodeBmp(w, h, rgb))
+      require(dw == w && dh == h, s"dimension mismatch for $id")
+      val sums = Array.ofDim[Long](gridR, gridC)
+      val cnts = Array.ofDim[Long](gridR, gridC)
+      var r = 0
+      while (r < dh) {
+        val br = r * gridR / dh
+        var c = 0
+        while (c < dw) {
+          val bc = c * gridC / dw
+          val i = (r * dw + c) * 3
+          sums(br)(bc) += (back(i) & 0xff) + (back(i + 1) & 0xff) +
+            (back(i + 2) & 0xff)
+          cnts(br)(bc) += 1
+          c += 1
+        }
+        r += 1
+      }
+      var hash = 0L
+      var br = 0
+      while (br < gridR) {
+        var bc = 0
+        while (bc < gridC - 1) {
+          if (sums(br)(bc) * cnts(br)(bc + 1) <
+            sums(br)(bc + 1) * cnts(br)(bc))
+            hash |= 1L << (br * (gridC - 1) + bc)
+          bc += 1
+        }
+        br += 1
+      }
+      (id, w, h, hash)
+    }.toDF("id", "width", "height", "dhash")
+    hashed
+      .join(hashed.groupBy("dhash").agg(count(lit(1)).as("n_same")), "dhash")
+      .select(col("id"), col("width"), col("height"), col("dhash"),
+        col("n_same"))
+  }
+
   /** End-to-end PNG round trip as a distributed kernel: per id, build the
     * deterministic pattern, ENCODE via ImageIO to real PNG bytes, DECODE
     * back through the dispatching image decoder, and report stats over the

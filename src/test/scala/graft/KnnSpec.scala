@@ -38,4 +38,58 @@ class KnnSpec extends SparkSpec {
   test("entry smoke: rows > 0") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("hardNegatives = knnExact over the label-filtered candidate set") {
+    val p = Tables.embeddings(spark, sf0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val qs = p.where(col("id") % 50 === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        col("label").as("qlabel")).cache()
+    val hn = Knn.hardNegatives(p, qs, k = 5).cache()
+    // no negative shares its query's label
+    val labels = p.select(col("id").as("neighbor_id"), col("label"))
+    val qlabels = qs.select(col("qid"), col("qlabel"))
+    val joined = hn.join(labels, "neighbor_id").join(qlabels, "qid")
+    assert(joined.where(col("label") === col("qlabel")).count() === 0)
+    // per query: equals knnExact run against only the differently-labeled
+    // points for that query's label
+    val someQ = qs.limit(3).collect()
+    for (q <- someQ) {
+      val qid = q.getLong(0)
+      val qlabel = q.getInt(2)
+      val filtered = p.where(col("label") =!= qlabel).select("id", "vec")
+      val exact = Knn.knnExact(filtered,
+        qs.where(col("qid") === qid), k = 5)
+        .select(col("qid"), col("rank"), col("neighbor_id"), col("dist"))
+      val mine = hn.where(col("qid") === qid)
+        .select(col("qid"), col("rank"), col("neighbor_id"), col("dist"))
+      assert(mine.exceptAll(exact).isEmpty && exact.exceptAll(mine).isEmpty,
+        s"qid=$qid")
+    }
+    hn.unpersist(); qs.unpersist()
+  }
+
+  test("knnGraph: no self-edges, <= k ranked neighbors, bucket-consistent") {
+    val pts = Tables.points(spark, sf0)
+    val g = Knn.knnGraph(pts, k = 3).cache()
+    assert(g.where(col("src_id") === col("nbr_id")).count() === 0)
+    val perSrc = g.groupBy("src_id").count()
+    assert(perSrc.agg(max("count")).head().getLong(0) <= 3L)
+    // ranks are dense from 1 and cosine nonincreasing in rank
+    val bad = g.groupBy("src_id")
+      .agg(max(struct(col("rank"), col("cosine"))).getField("cosine").as("last"),
+        min(struct(col("rank"), col("cosine"))).getField("cosine").as("first"))
+      .where(col("last") > col("first"))
+    assert(bad.count() === 0)
+    // every edge joins two points of the same SRP bucket
+    import graft.operators.Dedup
+    val bk = pts.withColumn("bucket", Dedup.srpBucket(col("vec"), 8, 64))
+      .select(col("id"), col("bucket"))
+    val withB = g.join(bk.withColumnRenamed("id", "src_id")
+        .withColumnRenamed("bucket", "src_b"), "src_id")
+      .join(bk.withColumnRenamed("id", "nbr_id")
+        .withColumnRenamed("bucket", "nbr_b"), "nbr_id")
+    assert(withB.where(col("src_b") =!= col("nbr_b")).count() === 0)
+    g.unpersist()
+  }
 }

@@ -72,6 +72,36 @@ class TextStreamSpec extends SparkSpec {
     assert(dec.width === w0 && dec.height === h0 && dec.channels === 3)
   }
 
+  test("imageDHash: hash matches a hand computation; bucket sizes consistent") {
+    import graft.operators.Multimodal
+    val ids = Seq(3L, 12L, 3L + 63L).toDF("id") // 3 and 66 share (w,h) dims
+    val r = Multimodal.imageDHash(spark, ids.distinct()).orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getLong(3)))
+    // hand-replay the kernel for id=3 straight from the pattern formula
+    def handHash(id: Long): (Int, Int, Long) = {
+      val w = (8 + id % 9).toInt; val h = (5 + id % 7).toInt
+      val s = Array.ofDim[Long](4, 5); val n = Array.ofDim[Long](4, 5)
+      for (rr <- 0 until h; cc <- 0 until w) {
+        val g = (0 until 3).map(ch => (id * 7 + rr * 31 + cc * 13 + ch * 5) % 256).sum
+        s(rr * 4 / h)(cc * 5 / w) += g; n(rr * 4 / h)(cc * 5 / w) += 1
+      }
+      var hash = 0L
+      for (br <- 0 until 4; bc <- 0 until 4)
+        if (s(br)(bc) * n(br)(bc + 1) < s(br)(bc + 1) * n(br)(bc))
+          hash |= 1L << (br * 4 + bc)
+      (w, h, hash)
+    }
+    for ((id, w, h, dh) <- r) {
+      val (ew, eh, ehash) = handHash(id)
+      assert((w, h, dh) === ((ew, eh, ehash)), s"id=$id")
+    }
+    // n_same is the exact hash-bucket count
+    val counts = Multimodal.imageDHash(spark, ids.distinct())
+      .groupBy("dhash").agg(max("n_same").as("m"), count(lit(1)).as("c"))
+      .collect()
+    assert(counts.forall(x => x.getLong(1) === x.getLong(2)))
+  }
+
   test("contamination: planted benchmark copy flagged, self-match excluded") {
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
       .toDF("bench_id", "text")

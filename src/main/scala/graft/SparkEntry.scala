@@ -432,8 +432,8 @@ object SparkEntry {
         val gt = exact.groupBy(col("qid"))
           .agg(sort_array(collect_list(struct(col("rank"), col("neighbor_id")))).as("ns"))
           .select(col("qid").as("id"),
-            transform(col("ns"), n => n.getField("neighbor_id").cast("float")).as("vec"))
-        graft.sources.BinFormat.write(gt, tmp, graft.sources.BinFormat.I32)
+            transform(col("ns"), n => n.getField("neighbor_id").cast("int")).as("ivec"))
+        graft.sources.BinFormat.writeIbin(gt, tmp)
         true
       })
       // .ibin rows are ordinal; row i belongs to the i-th query in qid
@@ -768,6 +768,15 @@ object SparkEntry {
     "q88_image_dhash" -> ((s, dir) =>
       Multimodal.imageDHash(s,
         Tables.documents(s, dir).select(col("doc_id").as("id")))),
+
+    // ---- curriculum binning: exact global quality-decile assignment via
+    // the two-phase rank sweep (no global window, no approx percentile)
+    "q90_curriculum" -> ((s, dir) => {
+      val scored = TextStats.qualityScore(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))
+        .select(col("id"), col("quality").as("score"))
+      Corpus.curriculumBuckets(scored, nBuckets = 10)
+    }),
 
     // ---- hard-negative mining for contrastive training: per query, the
     // nearest points with a DIFFERENT label (filter prunes before any
@@ -2147,6 +2156,33 @@ object SparkEntry {
          |  FROM pr)
          |SELECT src_id, "rank", nbr_id, cosine FROM rk
          |WHERE "rank" <= 5""".stripMargin,
+
+    // quality formula mirrors q30 exactly (same rHU roundings); the rank
+    // is the window form of the engine's two-phase sweep; bucket is pure
+    // integer floor math so both engines agree at every boundary
+    "q90_curriculum" ->
+      s"""WITH b AS (SELECT doc_id AS id, length(text) AS n_chars,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct,
+         |    len(list_filter(string_split(text, ' '),
+         |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS sw
+         |  FROM documents),
+         |r AS (SELECT id, n_words,
+         |    ${Oracles.rHU("CAST(punct AS DOUBLE) / n_chars", 4)} AS punct_ratio,
+         |    ${Oracles.rHU("CAST(sw AS DOUBLE) / n_words", 4)} AS stopword_ratio
+         |  FROM b),
+         |q AS (SELECT id, ${Oracles.rHU("least(1.0, greatest(0.0, " +
+        "0.4 * least(1.0, CAST(n_words AS DOUBLE) / 100) " +
+        "+ 0.3 * least(1.0, stopword_ratio * 5) " +
+        "+ 0.3 * (1.0 - least(1.0, punct_ratio * 10))))", 4)} AS score
+         |  FROM r),
+         |c AS (SELECT count(*) AS n FROM q),
+         |rk AS (SELECT id, score,
+         |    CAST(row_number() OVER (ORDER BY score, id) AS BIGINT) AS "rank"
+         |  FROM q)
+         |SELECT id, score, "rank",
+         |  (("rank" - 1) * 10) // (SELECT n FROM c) AS bucket
+         |FROM rk""".stripMargin,
 
     // grayscale = channel sum (no /3 anywhere); block means compared as
     // integer cross-products, bit position br*4+bc; n_same = bucket size

@@ -121,6 +121,46 @@ object Corpus {
         (col("rk") <= col("quota")).as("keep"))
   }
 
+  /** Curriculum binning: assign every document its EXACT global quantile
+    * bucket of a score column — the ordering step of curriculum training
+    * schedules (easy->hard) and quality-tiered sampling.
+    *
+    * Exactness without a global window: the global rank is a two-phase
+    * distributed computation (range-partition by (score, id) ->
+    * per-partition row counts, ≤ #partitions driver rows -> broadcast
+    * exclusive offsets -> partition-local rank assignment). The bucket is
+    * then pure integer math `(rank-1)*nBuckets div n`, so ties broken by
+    * id make every engine agree. A `Window.orderBy(score)` ntile would
+    * serialize the corpus through one task; approximate percentiles would
+    * disagree across engines.
+    *
+    * Output: (id, score, rank, bucket); rank is 1-based dense global,
+    * bucket in [0, nBuckets).
+    */
+  def curriculumBuckets(scored: DataFrame, nBuckets: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val parted = scored.select(col("id").cast("long"), col("score"))
+      .repartitionByRange(col("score"), col("id"))
+      .sortWithinPartitions(col("score"), col("id"))
+    val counts = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single((pid, it.length.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](counts.length)
+    var acc = 0L
+    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+    val n = acc
+    val bc = spark.sparkContext.broadcast(offsets)
+    val b = nBuckets.toLong
+    parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rk = bc.value(pid)
+      it.map { r =>
+        rk += 1
+        (r.getLong(0), r.getDouble(1), rk, (rk - 1) * b / n)
+      }
+    }.toDF("id", "score", "rank", "bucket")
+  }
+
   /** Boilerplate removal (CCNet-shape): split each doc into fixed
     * `chunkWords`-word chunks, count each chunk text's document frequency
     * WITHIN its source (the "per-domain" grouping), drop chunks appearing

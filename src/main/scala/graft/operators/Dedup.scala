@@ -431,7 +431,14 @@ object Dedup {
       prebuilt: Option[Array[Long]] = None): DataFrame = {
     // the bitmap summarizes the EXISTING corpus — real pipelines build it
     // at corpus-update time and pass it in (`prebuilt`); building inline
-    // is the self-contained convenience form
+    // is the self-contained convenience form. A prebuilt bitmap whose m
+    // disagrees with the probe's m would probe the wrong positions and
+    // SILENTLY break the no-false-negative contract — the one invariant
+    // the caller can't observe locally, so it's require()d (k is not
+    // recoverable from the bitmap; it stays a documented contract).
+    prebuilt.foreach(w => require(w.length == m / 32,
+      s"prebuilt bloom bitmap packs ${w.length * 32} bits but m=$m — " +
+        "build and probe must share m (and k)"))
     val words = prebuilt.getOrElse(Sketches.packBloom(
       Sketches.bloomBits(reference.select(col("text").as("key")), "key", m, k), m))
     val flagged = incoming

@@ -134,7 +134,10 @@ object Multimodal {
   // --------------------------------------------------------------------
 
   /** Encode top-down RGB pixels (row-major, 3 bytes per pixel) as PNG. */
-  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+  /** Top-down RGB bytes -> TYPE_INT_RGB BufferedImage (the one shared
+    * pixel-packing loop for every ImageIO-backed encoder). */
+  def toBufferedImage(width: Int, height: Int, rgb: Array[Byte])
+      : java.awt.image.BufferedImage = {
     require(rgb.length == width * height * 3, "rgb must be w*h*3 bytes")
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -149,8 +152,29 @@ object Multimodal {
       }
       r += 1
     }
+    img
+  }
+
+  /** BufferedImage -> (width, height, summed RGB over all pixels) — the
+    * shared decoded-pixel walk. */
+  def pixelSum(img: java.awt.image.BufferedImage): Long = {
+    var sum = 0L
+    var r = 0
+    while (r < img.getHeight) {
+      var c = 0
+      while (c < img.getWidth) {
+        val px = img.getRGB(c, r)
+        sum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+        c += 1
+      }
+      r += 1
+    }
+    sum
+  }
+
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(toBufferedImage(width, height, rgb), "png", bos)
     bos.toByteArray
   }
 
@@ -327,23 +351,10 @@ object Multimodal {
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       val out = it.map { id =>
         val (w, h, rgb) = syntheticRgb(id)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var r = 0
-        while (r < h) {
-          var c = 0
-          while (c < w) {
-            val i = (r * w + c) * 3
-            img.setRGB(c, r,
-              ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
-            c += 1
-          }
-          r += 1
-        }
         val bos = new java.io.ByteArrayOutputStream()
         val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
         writer.setOutput(ios)
-        writer.write(img)
+        writer.write(toBufferedImage(w, h, rgb))
         ios.flush()
         val png = bos.toByteArray
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
@@ -351,18 +362,7 @@ object Multimodal {
         reader.setInput(iis)
         val back = reader.read(0)
         require(back.getWidth == w && back.getHeight == h, s"dimension mismatch for $id")
-        var sum = 0L
-        var rr = 0
-        while (rr < h) {
-          var cc = 0
-          while (cc < w) {
-            val px = back.getRGB(cc, rr)
-            sum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
-            cc += 1
-          }
-          rr += 1
-        }
-        (id, w, h, sum)
+        (id, w, h, pixelSum(back))
       }.toVector // materialize before disposing the shared writer/reader
       writer.dispose()
       reader.dispose()

@@ -33,7 +33,16 @@ object Pq {
   final case class CodebookLit(m: Int, dsub: Int, k: Int,
       cents: Array[Array[Array[Double]]])
 
-  /** Collect a fitted codebook DataFrame (`fit` output) to a [[CodebookLit]]. */
+  /** Collect a fitted codebook DataFrame (`fit` output) to a [[CodebookLit]].
+    *
+    * Lloyd's can drop a cluster (no member points — e.g. duplicate
+    * subvectors among the first-k init points), leaving a (sub, code) gap
+    * the fit output simply omits. A gap slot is filled with a
+    * far-sentinel codeword (MaxValue components): no point encodes to it
+    * (argmin can't pick a sentinel over any real codeword) and no code
+    * references it, so encode/ADC results are identical to the relational
+    * forms that join only existing codewords — instead of an NPE at plan
+    * construction. */
   def collectCodebooks(codebooks: DataFrame, m: Int, dsub: Int): CodebookLit = {
     val rows = codebooks.collect()
     val k = rows.map(_.getInt(1)).max + 1
@@ -41,6 +50,9 @@ object Pq {
     rows.foreach { r =>
       cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
     }
+    for (s <- 0 until m; c <- 0 until k)
+      if (cents(s)(c) == null)
+        cents(s)(c) = Array.fill(dsub)(Double.MaxValue)
     CodebookLit(m, dsub, k, cents)
   }
 

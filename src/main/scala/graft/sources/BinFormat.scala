@@ -98,11 +98,65 @@ object BinFormat {
         StructField("vec", ArrayType(FloatType, false), false))))
   }
 
-  /** Int32 ground-truth matrix reader (.ibin) as (id, ids: Array[Int]). */
-  def readIbin(spark: SparkSession, path: String): DataFrame = {
-    val df = read(spark, path, I32)
+  /** Int32 ground-truth matrix reader (.ibin) as (id, ids: Array[Int]).
+    *
+    * Decodes ints DIRECTLY — never through the float32 vec path, which
+    * silently rounds ids >= 2^24 (the billion-point corpora this format
+    * exists for sit far above that ceiling). Same parallel range-read
+    * shape as [[read]]. */
+  def readIbin(spark: SparkSession, path: String, numSlices: Int = 32)
+      : DataFrame = {
+    val (nvecs, dim) = readHeader(path)
+    val bounds = (0 until numSlices)
+      .map(i => (nvecs.toLong * i / numSlices, nvecs.toLong * (i + 1) / numSlices))
+      .filter { case (a, b) => b > a }
+    val rdd = spark.sparkContext
+      .parallelize(bounds, math.max(bounds.size, 1))
+      .flatMap { case (lo, hi) =>
+        val f = new RandomAccessFile(path, "r")
+        try {
+          val rb = dim * 4
+          f.seek(8L + lo * rb)
+          val buf = new Array[Byte](rb)
+          (lo until hi).map { id =>
+            f.readFully(buf)
+            val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+            val ids = new Array[Int](dim)
+            var i = 0
+            while (i < dim) { ids(i) = bb.getInt(i * 4); i += 1 }
+            Row(id, ids)
+          }.toVector
+        } finally f.close()
+      }
+    spark.createDataFrame(
+      rdd,
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("ids", ArrayType(IntegerType, false), false))))
+  }
+
+  /** Int32 ground-truth matrix writer (.ibin): input (id, ivec:
+    * array<int>), rows ordered by id. The exact-integer twin of [[write]]
+    * — ids never pass through float32. */
+  def writeIbin(df: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.functions._
-    df.select(col("id"), transform(col("vec"), _.cast("int")).as("ids"))
+    val dim = df.select(size(col("ivec"))).head().getInt(0)
+    val nvecs = df.count().toInt
+    val os = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      def le32(v: Int): Unit = {
+        os.write(v & 0xff); os.write((v >> 8) & 0xff)
+        os.write((v >> 16) & 0xff); os.write((v >> 24) & 0xff)
+      }
+      le32(nvecs); le32(dim)
+      val it = df.orderBy(col("id")).select(col("ivec")).toLocalIterator()
+      while (it.hasNext) {
+        val ids = it.next().getSeq[Int](0)
+        val bb = ByteBuffer.allocate(ids.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        ids.foreach(bb.putInt)
+        os.write(bb.array())
+      }
+    } finally os.close()
   }
 
   /** TSV projection of (id, vec): one line per vector, elements
@@ -153,7 +207,13 @@ object BinFormat {
     * are globally ordered and parts concatenate in partition order. */
   def writeParts(df: DataFrame, dir: String, elem: ElemType, numParts: Int = 32): Unit = {
     import org.apache.spark.sql.functions.col
-    new java.io.File(dir).mkdirs()
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    // clear prior parts: a re-export with fewer non-empty partitions must
+    // not leave stale part files for concatParts to silently absorb
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".bin"))
+      .foreach(_.delete())
     df.select(col("id"), col("vec"))
       .repartitionByRange(numParts, col("id"))
       .sortWithinPartitions(col("id"))
@@ -174,9 +234,13 @@ object BinFormat {
     * only this local fallback touches the driver). nvecs is derived from
     * the part sizes, so the parts are the one source of truth. */
   def concatParts(dir: String, outPath: String, dim: Int, elem: ElemType): Unit = {
-    val parts = new java.io.File(dir).listFiles()
+    val listed = Option(new java.io.File(dir).listFiles())
+      .getOrElse(throw new IllegalArgumentException(
+        s"concatParts: part directory does not exist: $dir"))
+    val parts = listed
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".bin"))
       .sortBy(_.getName)
+    require(parts.nonEmpty, s"concatParts: no part-*.bin files in $dir")
     val totalBytes = parts.map(_.length()).sum
     val rb = dim.toLong * elem.size
     require(totalBytes % rb == 0,

@@ -77,6 +77,33 @@ class BinFormatSpec extends SparkSpec {
     }
   }
 
+  test("writeIbin/readIbin round-trip ids above the float32 2^24 ceiling") {
+    val big = (1 << 24) + 1 // rounds to 2^24 if it ever touches float32
+    val gt = Seq(
+      (0L, Seq(1, 2, big)),
+      (1L, Seq(big + 1, 5, 6))).toDF("id", "ivec")
+    val path = s"$tmp/gt.ibin"
+    BinFormat.writeIbin(gt, path)
+    val back = BinFormat.readIbin(spark, path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList))
+    assert(back === Array((0L, List(1, 2, big)), (1L, List(big + 1, 5, 6))))
+  }
+
+  test("writeParts re-export clears stale parts; concatParts rejects missing dir") {
+    val dir = s"$tmp/restale"
+    val wide = Tables.points(spark, sf0).where(col("id") < 64)
+    val narrow = Tables.points(spark, sf0).where(col("id") < 8)
+    BinFormat.writeParts(wide, dir, F32, numParts = 8)
+    BinFormat.writeParts(narrow, dir, F32, numParts = 2)
+    val out = s"$tmp/restale.fbin"
+    BinFormat.concatParts(dir, out, dim = 64, F32)
+    // the artifact must contain ONLY the second export's 8 rows
+    assert(BinFormat.readHeader(out)._1 === 8)
+    intercept[IllegalArgumentException] {
+      BinFormat.concatParts(s"$tmp/no_such_dir", s"$tmp/x.bin", 64, F32)
+    }
+  }
+
   test("ranged read honors the chunk offset contract (no read_ibin bug)") {
     val pts = Tables.points(spark, sf0).where(col("id") < 30)
     val path = s"$tmp/r.fbin"

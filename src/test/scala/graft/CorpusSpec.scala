@@ -73,6 +73,22 @@ class CorpusSpec extends SparkSpec {
     assert(k1 === k2)
   }
 
+  test("curriculumBuckets equals the single-partition window computation") {
+    val rnd = new scala.util.Random(11)
+    // heavy ties: scores drawn from only 7 distinct values
+    val rows = (0L until 400L).map(i => (i, (rnd.nextInt(7) * 10).toDouble / 100))
+    for (parts <- Seq(1, 4, 13)) {
+      val df = rows.toDF("id", "score").repartition(parts)
+      val got = Corpus.curriculumBuckets(df, nBuckets = 10)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      val exp = rows.sortBy { case (id, s) => (s, id) }.zipWithIndex.map {
+        case ((id, _), i) => id -> ((i + 1L, i.toLong * 10 / 400))
+      }.toMap
+      assert(got === exp, s"parts=$parts")
+    }
+  }
+
   test("boilerplateClean drops high-df chunks and reassembles in order") {
     val header = (1 to 10).map(i => s"h$i").mkString(" ")
     val docs = Seq(

@@ -146,8 +146,16 @@ class DedupSpec extends SparkSpec {
     val res = Dedup.semanticNearDups(planted, cents, threshold = 0.99).collect()
     assert(res.exists(r => r.getLong(0) == 7L && r.getLong(1) == 100007L
       && r.getDouble(3) == 1.0))
-    // every reported pair shares a cluster by construction (join key)
-    assert(res.forall(_.schema.fieldNames.contains("shard_id")))
+    // every reported pair really shares a cluster: recompute each side's
+    // assignment independently and compare to the pair's shard_id
+    val asg = graft.operators.Sharding.assignLit(planted, cents)
+      .select(col("id"), col("shard_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (r <- res) {
+      val s = r.getInt(2)
+      assert(asg(r.getLong(0)) === s && asg(r.getLong(1)) === s,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) not co-clustered")
+    }
   }
 
   test("embedding near-dups: planted copy found with cosine 1.0") {

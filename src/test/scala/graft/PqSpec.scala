@@ -15,6 +15,27 @@ class PqSpec extends SparkSpec {
     assert(c.forall(_.getSeq[Double](2).length === 8))
   }
 
+  test("collectCodebooks tolerates dropped (empty) clusters via far sentinels") {
+    import spark.implicits._
+    // codebook with (sub 0, code 1) missing — the empty-cluster shape
+    val gap = Seq(
+      (0, 0, Seq(0.0, 0.0)), (0, 2, Seq(9.0, 9.0)),
+      (1, 0, Seq(1.0, 1.0)), (1, 1, Seq(2.0, 2.0)), (1, 2, Seq(3.0, 3.0)))
+      .toDF("sub", "code", "centroid")
+    val lit = Pq.collectCodebooks(gap, m = 2, dsub = 2)
+    assert(lit.k === 3)
+    assert(lit.cents(0)(1).forall(_ == Double.MaxValue))
+    // the sentinel never wins an encode argmin...
+    val p = Seq((0L, Array(9.5f, 9.5f, 2.5f, 2.5f))).toDF("id", "vec")
+    val enc = Pq.encodeWide(p, lit).select("codes").head().getSeq[Int](0)
+    assert(enc === Seq(2, 1) || enc === Seq(2, 2)) // never code 1 in sub 0
+    assert(enc(0) === 2)
+    // ...and its LUT entries are +inf, so ADC can never rank it first
+    val lut = Pq.lutFlat(Array(1f, 1f, 1f, 1f), lit)
+    assert(lut(0 * 3 + 1).isInfinity)
+    assert(lut.count(!_.isInfinity) === 5)
+  }
+
   test("encode: every point gets one code per subspace") {
     assert(codes.count() === pts.count() * 8)
     val perSub = codes.groupBy("sub").count().collect()

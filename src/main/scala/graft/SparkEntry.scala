@@ -769,6 +769,14 @@ object SparkEntry {
       Multimodal.imageDHash(s,
         Tables.documents(s, dir).select(col("doc_id").as("id")))),
 
+    // ---- WordPiece subword tokenization (native expression over the
+    // corpus's DISTINCT words, equi-joined back): the tokenizer stage of
+    // an LLM data pipeline, hash-checked against a recursive-CTE oracle
+    "q91_wordpiece" -> ((s, dir) =>
+      Corpus.wordpieceTokenize(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+        Params.wpVocab)),
+
     // ---- curriculum binning: exact global quality-decile assignment via
     // the two-phase rank sweep (no global window, no approx percentile)
     "q90_curriculum" -> ((s, dir) => {
@@ -1050,6 +1058,16 @@ object SparkEntry {
     /** Training-sequence length for the q79/q86 packing queries (docs
       * average ~30 tokens, so blocks mix 2-3 documents). */
     val blockTokens = 64L
+    /** WordPiece vocab for q91: single-char starters + continuations give
+      * a total fallback (no word can hit [UNK] except by design), and the
+      * multi-char pieces exercise the longest-match-wins path. */
+    val wpVocab: Seq[String] =
+      ('a' to 'z').map(_.toString) ++
+        ('a' to 'z').map(c => s"##$c") ++
+        Seq("ta", "##ble", "sc", "##an", "qu", "##ery", "val", "##ue",
+          "str", "##eam", "wind", "##ow", "ha", "##sh", "jo", "##in",
+          "gro", "##up", "ve", "##ctor", "fi", "##lter", "ba", "##tch",
+          "li", "##ne", "cu", "##stomer", "so", "##rt", "##w")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2156,6 +2174,43 @@ object SparkEntry {
          |  FROM pr)
          |SELECT src_id, "rank", nbr_id, cosine FROM rk
          |WHERE "rank" <= 5""".stripMargin,
+
+    // greedy longest-match per DISTINCT word via a recursive CTE with a
+    // LATERAL argmax (ORDER BY len DESC, v = the expression's tie-break);
+    // [UNK] consumes one char; reassembly sorts (pos, toks) structs
+    "q91_wordpiece" -> {
+      val vocabList = SparkEntry.Params.wpVocab
+        .map(v => s"'$v'").mkString(", ")
+      s"""WITH RECURSIVE vocab(v) AS (SELECT unnest([$vocabList])),
+         |d AS (SELECT doc_id AS id, text FROM documents),
+         |wd AS (SELECT id, s['p'] AS pos, s['w'] AS word FROM (
+         |  SELECT id, unnest(list_transform(
+         |      generate_series(1, len(string_split(text, ' '))),
+         |      i -> {'p': i - 1, 'w': string_split(text, ' ')[i]})) AS s
+         |  FROM d)),
+         |uw AS (SELECT DISTINCT word FROM wd),
+         |step(word, pos, toks) AS (
+         |  SELECT word, 0, CAST([] AS VARCHAR[]) FROM uw
+         |  UNION ALL
+         |  SELECT s.word, s.pos + coalesce(m.len, 1),
+         |    list_append(s.toks, coalesce(m.tok, '[UNK]'))
+         |  FROM step s LEFT JOIN LATERAL (
+         |    SELECT v AS tok,
+         |      CASE WHEN s.pos = 0 THEN len(v) ELSE len(v) - 2 END AS len
+         |    FROM vocab
+         |    WHERE (s.pos = 0 AND v NOT LIKE '##%' AND substr(s.word, 1, len(v)) = v)
+         |       OR (s.pos > 0 AND v LIKE '##%'
+         |           AND substr(s.word, s.pos + 1, len(v) - 2) = substr(v, 3))
+         |    ORDER BY len DESC, v LIMIT 1) m ON true
+         |  WHERE s.pos < len(s.word)),
+         |tok AS (SELECT word, toks FROM step WHERE pos >= len(word)),
+         |j AS (SELECT wd.id, wd.pos, tok.toks FROM wd JOIN tok USING (word))
+         |SELECT id, CAST(sum(len(toks)) AS BIGINT) AS n_subtokens,
+         |  CAST(sum(len(list_filter(toks, t -> t = '[UNK]'))) AS BIGINT) AS n_unk,
+         |  md5(array_to_string(flatten(list_transform(
+         |    list_sort(list({'p': pos, 't': toks})), s -> s['t'])), ' ')) AS tok_md5
+         |FROM j GROUP BY id""".stripMargin
+    },
 
     // quality formula mirrors q30 exactly (same rHU roundings); the rank
     // is the window form of the engine's two-phase sweep; bucket is pure

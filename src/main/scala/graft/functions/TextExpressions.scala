@@ -194,6 +194,93 @@ object SimHash32 {
   }
 }
 
+/** Greedy longest-match WordPiece tokenization of ONE word — the subword
+  * step of an LLM tokenizer, as a native expression.
+  *
+  * Semantics (mirrored verbatim by the recursive-CTE oracle): at position
+  * 0 the candidates are the non-`##` vocab entries that prefix the word;
+  * at later positions the `##`-continuation entries whose suffix matches.
+  * The winner is the LONGEST consumed span, ties broken by the
+  * lexicographically smallest vocab string (`ORDER BY len DESC, v`). No
+  * candidate: emit `[UNK]` and advance one character (the char-skip
+  * variant — deterministic and total, no whole-word UNK collapse).
+  *
+  * Why an Expression: tokenization is an unbounded per-row loop — not
+  * expressible as Column combinators, and a Scala UDF would box every
+  * row. Like [[SimHash32]], the kernel is shared between the interpreted
+  * and codegen paths; the scale contract is that callers tokenize the
+  * corpus's DISTINCT words (vocabulary-sized input) and equi-join back,
+  * so the loop never runs per corpus token.
+  */
+case class WordpieceTokens(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  override def prettyName: String = "wordpiece"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string")
+    }
+
+  /** (piece-to-match, emit-token, consumed) sorted by (consumed desc,
+    * token asc) — the greedy scan tries in this order and takes the first
+    * hit. Starters and continuations kept separate. */
+  @transient private lazy val starters: Array[(String, Int)] =
+    vocab.filterNot(_.startsWith("##")).filter(_.nonEmpty).sorted
+      .map(v => (v, v.length)).sortBy { case (v, l) => (-l, v) }.toArray
+  @transient private lazy val continuations: Array[(String, String, Int)] =
+    vocab.filter(v => v.startsWith("##") && v.length > 2).sorted
+      .map(v => (v.substring(2), v, v.length - 2))
+      .sortBy { case (_, v, l) => (-l, v) }.toArray
+
+  def tokenize(word: UTF8String): ArrayData = {
+    val w = word.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var pos = 0
+    while (pos < w.length) {
+      var emitted: String = null
+      var consumed = 1
+      if (pos == 0) {
+        val n = starters.length
+        var i = 0
+        while (i < n && emitted == null) {
+          val (v, l) = starters(i)
+          if (w.startsWith(v)) { emitted = v; consumed = l }
+          i += 1
+        }
+      } else {
+        val n = continuations.length
+        var i = 0
+        while (i < n && emitted == null) {
+          val (suf, v, l) = continuations(i)
+          if (w.startsWith(suf, pos)) { emitted = v; consumed = l }
+          i += 1
+        }
+      }
+      out += UTF8String.fromString(if (emitted == null) "[UNK]" else emitted)
+      pos += consumed
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordpiece", this, classOf[WordpieceTokens].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.tokenize($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   /** MinHash signature column: array of numHashes hex-string minima. */
   def minhashSig(shingles: Column, numHashes: Int = 16): Column =
@@ -202,4 +289,8 @@ object TextExpressions {
   /** 32-bit SimHash bit string over a token array — single map-stage pass. */
   def simhash32(tokens: Column): Column =
     column(SimHash32(expression(tokens)))
+
+  /** Greedy longest-match WordPiece of one word against a literal vocab. */
+  def wordpiece(word: Column, vocab: Seq[String]): Column =
+    column(WordpieceTokens(expression(word), vocab))
 }

@@ -121,6 +121,34 @@ object Corpus {
         (col("rk") <= col("quota")).as("keep"))
   }
 
+  /** Corpus WordPiece tokenization: greedy longest-match subword encoding
+    * of every document against a fixed vocab, via the
+    * [[graft.functions.WordpieceTokens]] native expression.
+    *
+    * Scale shape: the expression runs over the corpus's DISTINCT words —
+    * a vocabulary-sized table, orders of magnitude smaller than the token
+    * stream — and the result joins back on the word as an equi-key (AQE
+    * broadcasts it when it fits). Reassembly per doc is array_sort over
+    * collected (pos, toks) structs; token order inside the doc is exact.
+    * Output: (id, n_subtokens, n_unk, tok_md5).
+    */
+  def wordpieceTokenize(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    import graft.functions.TextExpressions
+    val words = docs.select(col("id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val uniq = words.select(col("word")).distinct()
+      .withColumn("toks", TextExpressions.wordpiece(col("word"), vocab))
+    words.join(uniq, "word")
+      .groupBy(col("id"))
+      .agg(
+        sum(size(col("toks"))).cast("long").as("n_subtokens"),
+        sum(size(filter(col("toks"), t => t === "[UNK]"))).cast("long")
+          .as("n_unk"),
+        md5(array_join(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("toks")))),
+          s => s.getField("toks"))), " ")).as("tok_md5"))
+  }
+
   /** Curriculum binning: assign every document its EXACT global quantile
     * bucket of a score column — the ordering step of curriculum training
     * schedules (easy->hard) and quality-tiered sampling.

@@ -40,4 +40,27 @@ class VectorExprSpec extends SparkSpec {
     assert(r.getDouble(1) === 13.0) // 1*3 + 2*5
     assert(r.getDouble(2) === 13.0) // mixed double/float
   }
+
+  test("wordpiece: longest match wins, ties lexicographic, [UNK] advances one char") {
+    import spark.implicits._
+    import graft.functions.TextExpressions.wordpiece
+    val vocab = Seq("hel", "he", "##llo", "##lo", "##l", "a", "ab", "##b",
+      "x", "##x")
+    val words = Seq("hello", "ab", "abxa", "zzx", "axq").toDF("word")
+    val got = words
+      .select(col("word"), wordpiece(col("word"), vocab).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got("hello") === List("hel", "##lo")) // hel > he; ##lo after pos 3
+    assert(got("ab") === List("ab")) // ab (len 2) beats a (len 1)
+    assert(got("abxa") === List("ab", "##x", "[UNK]")) // no ##a: UNK skips 1
+    assert(got("zzx") === List("[UNK]", "[UNK]", "##x")) // z unknown; x continues
+    assert(got("axq") === List("a", "##x", "[UNK]"))
+    // interpreted eval (driver-side, no codegen) agrees with the codegen run
+    val expr = graft.functions.WordpieceTokens(
+      org.apache.spark.sql.catalyst.expressions.Literal("hello"), vocab)
+    val arr = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until arr.numElements())
+      .map(arr.getUTF8String(_).toString) === Seq("hel", "##lo"))
+  }
 }

@@ -141,6 +141,30 @@ object Audit {
     audit("q82_boilerplate")(
       // chunk-df join is keyed on (source, chunk): equi only
       ("chunk equi-join (no BNLJ)", p => !p.contains("BroadcastNestedLoopJoin")))
+    audit("q88_image_dhash")(
+      // ONE codec kernel pass: bucket counts come from a window over the
+      // hash key, not a groupBy + self-join that re-runs the map kernel
+      ("single codec kernel stage",
+        p => p.linesIterator.count(_.contains("SerializeFromObject")) == 1),
+      ("no self-join", p => !p.contains("Join")))
+    audit("q90_curriculum")(
+      // exact decile binning via the RDD two-phase sweep, no SQL window
+      ("no window operator", p => !p.contains("Window")))
+    audit("q91_wordpiece")(
+      // tokenization over DISTINCT words only, joined back as an equi-key;
+      // the expression itself appears as a plain projection (no UDF)
+      ("distinct-words equi-join", p =>
+        (p.contains("BroadcastHashJoin [word") || p.contains("SortMergeJoin [word")
+          || p.contains("ShuffledHashJoin [word")) &&
+          p.contains("HashAggregate(keys=[word")),
+      // the expression is a native Catalyst node: its evaluation shows up
+      // inside the post-distinct projection, never as a UDF operator
+      ("no UDF tokenization", p =>
+        !p.contains("ScalaUDF") && !p.contains("BatchEvalPython")))
+    audit("q92_json_props")(
+      // codegen'd json path + partial agg before the shuffle
+      ("partial agg before shuffle", _.contains("HashAggregate")),
+      ("no UDF json parsing", p => !p.contains("BatchEvalPython")))
     spark.stop()
   }
 }

@@ -777,6 +777,23 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
         Params.wpVocab)),
 
+    // ---- semi-structured ingestion: JSON property extraction
+    // (codegen'd get_json_object, no UDF) + per-type rollup with
+    // map-side partial aggregation
+    "q92_json_props" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      import graft.functions.VectorFunctions.roundHU
+      ev.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .withColumn("avg_k",
+          roundHU(col("sum_k").cast("double") / col("n"), 4))
+    }),
+
     // ---- curriculum binning: exact global quality-decile assignment via
     // the two-phase rank sweep (no global window, no approx percentile)
     "q90_curriculum" -> ((s, dir) => {
@@ -2211,6 +2228,18 @@ object SparkEntry {
          |    list_sort(list({'p': pos, 't': toks})), s -> s['t'])), ' ')) AS tok_md5
          |FROM j GROUP BY id""".stripMargin
     },
+
+    // exact integer sum/count -> one double division, rHU-rounded
+    "q92_json_props" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS k
+         |  FROM events),
+         |a AS (SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+         |    CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+         |  FROM e GROUP BY event_type)
+         |SELECT event_type, n, CAST(sum_k AS BIGINT) AS sum_k, n_distinct_k,
+         |  ${Oracles.rHU("CAST(sum_k AS DOUBLE) / n", 4)} AS avg_k
+         |FROM a""".stripMargin,
 
     // quality formula mirrors q30 exactly (same rHU roundings); the rank
     // is the window form of the engine's two-phase sweep; bucket is pure

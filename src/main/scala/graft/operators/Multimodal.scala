@@ -328,10 +328,12 @@ object Multimodal {
       }
       (id, w, h, hash)
     }.toDF("id", "width", "height", "dhash")
-    hashed
-      .join(hashed.groupBy("dhash").agg(count(lit(1)).as("n_same")), "dhash")
-      .select(col("id"), col("width"), col("height"), col("dhash"),
-        col("n_same"))
+    // bucket size via an unordered window over the hash key: ONE pass over
+    // the codec kernel (a groupBy + self-join would run the encode/decode
+    // map stage twice), one shuffle on the bounded dhash key, no sort
+    hashed.withColumn("n_same",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dhash"))))
   }
 
   /** End-to-end PNG round trip as a distributed kernel: per id, build the

@@ -164,4 +164,43 @@ class PropertiesSpec extends SparkSpec {
       keys.foreach(k => assert(got.getOrElse(k, true)))
     }
   }
+
+  test("wordpiece: consumed spans tile the word; tokens are vocab members or [UNK]") {
+    import graft.functions.WordpieceTokens
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val pieceGen = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val vocabGen = Gen.chooseNum(2, 10).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf(true, false), pieceGen)).map(_.map {
+        case (cont, p) => if (cont) s"##$p" else p
+      }.distinct)
+    }
+    val wordGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    forAll(vocabGen, wordGen) { (vocab, word) =>
+      val expr = WordpieceTokens(Literal(word), vocab)
+      val arr = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val toks = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      val vset = vocab.toSet
+      // every token is a vocab member or [UNK]; first real token is a
+      // starter, later real tokens are continuations
+      toks.zipWithIndex.foreach { case (t, i) =>
+        assert(t == "[UNK]" || vset.contains(t), s"$vocab $word -> $toks")
+      }
+      // consumed spans reassemble the word exactly
+      val rebuilt = new StringBuilder
+      toks.foreach {
+        case "[UNK]" => rebuilt += word(rebuilt.length) // consumes 1 char
+        case t if t.startsWith("##") =>
+          val p = t.substring(2)
+          assert(word.startsWith(p, rebuilt.length), s"$vocab $word -> $toks")
+          rebuilt ++= p
+        case t =>
+          assert(rebuilt.isEmpty && word.startsWith(t), s"$vocab $word -> $toks")
+          rebuilt ++= t
+      }
+      assert(rebuilt.toString === word, s"$vocab $word -> $toks")
+    }
+  }
 }

@@ -161,6 +161,12 @@ object Audit {
       // inside the post-distinct projection, never as a UDF operator
       ("no UDF tokenization", p =>
         !p.contains("ScalaUDF") && !p.contains("BatchEvalPython")))
+    audit("q93_pack_by_source")(
+      // group-partitioned window: the sort key leads with grp, so every
+      // sort is partition-local (no global single-task ORDER BY)
+      ("per-group window", _.contains("Window")),
+      ("no global sort", p => !p.linesIterator.exists(l =>
+        l.contains("Sort ") && l.contains("global=true"))))
     audit("q92_json_props")(
       // codegen'd json path + partial agg before the shuffle
       ("partial agg before shuffle", _.contains("HashAggregate")),

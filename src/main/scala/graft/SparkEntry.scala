@@ -777,6 +777,32 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
         Params.wpVocab)),
 
+    // ---- dedup provenance: which sources duplicate into which — pair
+    // counts from per-(hash, source) combinatorics, duplicate pairs NEVER
+    // materialized (a viral doc would explode g^2 rows)
+    "q94_dup_provenance" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("source"), col("text"))
+      // plant cross-source copies: every 5th doc is duplicated into the
+      // NEXT source (same text, different domain)
+      val planted = base.unionByName(base.where(col("id") % 5 === 0)
+        .select((col("id") + 100000).as("id"),
+          concat(lit("src"),
+            (substring(col("source"), 4, 10).cast("long") + 1) % 20)
+            .as("source"),
+          col("text")))
+      Dedup.dupProvenance(planted)
+    }),
+
+    // ---- per-source sequence packing: each domain packs its own token
+    // stream (group-partitioned window — partition-LOCAL sorts, the form
+    // a sharded pipeline runs; cross-group = q79's two-phase sweep)
+    "q93_pack_by_source" -> ((s, dir) =>
+      Packing.packChunksByGroup(
+        Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("source").as("grp"), col("text")),
+        blockTokens = Params.blockTokens)),
+
     // ---- semi-structured ingestion: JSON property extraction
     // (codegen'd get_json_object, no UDF) + per-type rollup with
     // map-side partial aggregation
@@ -2227,6 +2253,42 @@ object SparkEntry {
          |  md5(array_to_string(flatten(list_transform(
          |    list_sort(list({'p': pos, 't': toks})), s -> s['t'])), ' ')) AS tok_md5
          |FROM j GROUP BY id""".stripMargin
+    },
+
+    // per-(hash, source) counts -> combinatorial pair counts; same plant
+    "q94_dup_provenance" ->
+      s"""WITH base AS (SELECT doc_id AS id, source, text FROM documents),
+         |planted AS (SELECT * FROM base
+         |  UNION ALL
+         |  SELECT id + 100000 AS id,
+         |    'src' || CAST((CAST(substr(source, 4) AS BIGINT) + 1) % 20 AS VARCHAR)
+         |      AS source,
+         |    text
+         |  FROM base WHERE id % 5 = 0),
+         |hs AS (SELECT md5(text) AS h, source, count(*) AS c
+         |  FROM planted GROUP BY md5(text), source),
+         |px AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+         |      ELSE a.c * b.c END AS p
+         |  FROM hs a JOIN hs b ON a.h = b.h AND a.source <= b.source)
+         |SELECT source_a, source_b, CAST(sum(p) AS BIGINT) AS n_dup_pairs
+         |FROM px GROUP BY source_a, source_b
+         |HAVING sum(p) > 0""".stripMargin,
+
+    "q93_pack_by_source" -> {
+      val b = SparkEntry.Params.blockTokens
+      s"""WITH d AS (SELECT doc_id AS id, source AS grp,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT id, grp, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off
+         |  FROM d)
+         |SELECT id, grp, n_tokens, start_off,
+         |  start_off // $b AS block_first,
+         |  (start_off + n_tokens - 1) // $b AS block_last
+         |FROM c""".stripMargin
     },
 
     // exact integer sum/count -> one double division, rHU-rounded

@@ -453,6 +453,36 @@ object Dedup {
         coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 
+  /** Exact-duplicate PROVENANCE matrix: for every source pair, how many
+    * duplicate document pairs link them — the attribution report a dedup
+    * run ships ("which domains copy from which").
+    *
+    * Scale design: duplicate pairs are NEVER materialized (a hash group
+    * of size g would explode into g² rows — a viral document is exactly
+    * the pathological case). Instead: per (text-hash, source) counts,
+    * one self-equi-join on the hash over the COUNT table (group-size
+    * rows, not pair rows), and the pair count is pure combinatorics —
+    * c_a*c_b across sources, C(c,2) within one. Output:
+    * (source_a, source_b, n_dup_pairs), source_a <= source_b.
+    */
+  def dupProvenance(docs: DataFrame /* (id, source, text) */): DataFrame = {
+    val hs = docs
+      .select(md5(col("text")).as("__h"), col("source"))
+      .groupBy(col("__h"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val a = hs.select(col("__h"), col("source").as("source_a"), col("c").as("ca"))
+    val b = hs.select(col("__h"), col("source").as("source_b"), col("c").as("cb"))
+    a.join(b, Seq("__h"))
+      .where(col("source_a") <= col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        when(col("source_a") === col("source_b"),
+          expr("ca * (ca - 1) div 2"))
+          .otherwise(col("ca") * col("cb")).as("p"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("p")).cast("long").as("n_dup_pairs"))
+      .where(col("n_dup_pairs") > 0)
+  }
+
   /** Deterministic sign-random-projection bucket for an embedding: bit k is
     * the sign of dot(vec, r_k) with r_k[i] = ((k*31 + i*7) % 13) - 6 —
     * integer weights so both engines compute identical doubles. */

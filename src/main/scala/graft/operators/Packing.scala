@@ -70,6 +70,28 @@ object Packing {
       "n_blocks")
   }
 
+  /** Per-GROUP concat-and-chunk packing: each group (source/domain/epoch
+    * shard) packs its own token stream independently. This is the form a
+    * sharded 100 TB pipeline actually runs — the window is partitioned by
+    * the group key, so every sort is partition-local and the global
+    * single-task pitfall of an unpartitioned ORDER BY never arises (the
+    * cross-group variant is [[packChunks]]'s two-phase sweep). Offsets
+    * and block ids are group-local. */
+  def packChunksByGroup(docs: DataFrame, blockTokens: Long): DataFrame = {
+    require(blockTokens > 0, s"blockTokens must be positive: $blockTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("id").cast("long"), col("grp"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("block_first", expr(s"start_off div ${blockTokens}L"))
+      .withColumn("block_last",
+        expr(s"(start_off + n_tokens - 1) div ${blockTokens}L"))
+  }
+
   /** Block-level composition summary derived from [[packChunks]]: how many
     * documents contribute to each training sequence and how many of them
     * are fully contained (vs split across a boundary). Pure relational

@@ -90,6 +90,35 @@ object Streaming {
       }
   }
 
+  final case class DocTok(grp: String, id: Long, n: Long)
+  final case class PackCarry(off: Long)
+  final case class PackedDoc(grp: String, id: Long, n_tokens: Long, start_off: Long)
+
+  /** Streaming sequence packer: documents stream in per group; GroupState
+    * carries each group's running token offset ACROSS micro-batches, so a
+    * training-data feed can emit stable global offsets (and therefore
+    * stable block assignments) incrementally. Docs inside one micro-batch
+    * are folded in id order — with id-ordered arrival this makes the
+    * stream's offsets EQUAL the batch Packing.packChunksByGroup result
+    * (TextStreamSpec proves the cross-batch parity). State is O(groups),
+    * one long each. */
+  def streamingPacker(docs: Dataset[DocTok]): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[DocTok], state: GroupState[PackCarry]) =>
+          var off = state.getOption.getOrElse(PackCarry(0L)).off
+          val out = it.toIndexedSeq.sortBy(_.id).map { d =>
+            val s = off
+            off += d.n
+            PackedDoc(grp, d.id, d.n, s)
+          }
+          state.update(PackCarry(off))
+          out.iterator
+      }
+  }
+
   final case class BandDoc(band: String, id: Long)
   final case class BandState(ids: List[Long])
   final case class CandPair(id_a: Long, id_b: Long, band: String)

@@ -283,6 +283,35 @@ class TextStreamSpec extends SparkSpec {
     assert(e.where(col("end_ms") < col("start_ms")).count() === 0)
   }
 
+  test("streamingPacker offsets carry across micro-batches == batch per-group packing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Streaming.DocTok
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      DocTok("s1", 1L, 5), DocTok("s1", 2L, 7), DocTok("s2", 10L, 3),
+      DocTok("s1", 3L, 4), DocTok("s2", 11L, 9), DocTok("s2", 12L, 1))
+    val in = MemoryStream[DocTok]
+    val q = graft.operators.Streaming.streamingPacker(in.toDS())
+      .writeStream.format("memory").queryName("spack").outputMode("append").start()
+    try {
+      in.addData(docs.take(3)); q.processAllAvailable()
+      in.addData(docs.drop(3)); q.processAllAvailable()
+      val streamed = spark.table("spack")
+        .select("grp", "id", "n_tokens", "start_off").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch reference over the SAME rows (ids arrive in order per group)
+      import spark.implicits._
+      val batchDf = docs.map(d => (d.id, d.grp, Seq.fill(d.n.toInt)("w").mkString(" ")))
+        .toDF("id", "grp", "text")
+      val batch = graft.operators.Packing.packChunksByGroup(batchDf, 8)
+        .select("grp", "id", "n_tokens", "start_off").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup: cross-batch pairs, state capped per band") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext

@@ -159,18 +159,21 @@ object Audit {
           p.contains("HashAggregate(keys=[word")),
       // the expression is a native Catalyst node: its evaluation shows up
       // inside the post-distinct projection, never as a UDF operator
+      // (a ScalaUDF prints as "UDF(...)" in the plan string)
       ("no UDF tokenization", p =>
-        !p.contains("ScalaUDF") && !p.contains("BatchEvalPython")))
+        !p.contains("UDF(") && !p.contains("BatchEvalPython")))
     audit("q93_pack_by_source")(
       // group-partitioned window: the sort key leads with grp, so every
-      // sort is partition-local (no global single-task ORDER BY)
+      // sort is partition-local (a GLOBAL sort prints as "Sort [...], true"
+      // in Spark's plan string — the boolean is the global flag)
       ("per-group window", _.contains("Window")),
       ("no global sort", p => !p.linesIterator.exists(l =>
-        l.contains("Sort ") && l.contains("global=true"))))
+        l.contains("Sort [") && l.contains("], true"))))
     audit("q92_json_props")(
       // codegen'd json path + partial agg before the shuffle
       ("partial agg before shuffle", _.contains("HashAggregate")),
-      ("no UDF json parsing", p => !p.contains("BatchEvalPython")))
+      ("no UDF json parsing", p =>
+        !p.contains("UDF(") && !p.contains("BatchEvalPython")))
     spark.stop()
   }
 }

@@ -777,6 +777,15 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
         Params.wpVocab)),
 
+    // ---- materialized training blocks: the actual fixed-length token
+    // sequences (every block but the last is exactly blockTokens long);
+    // blocks reassemble from globally-unique start offsets — the oracle
+    // hash-checks every block's full content
+    "q95_pack_contents" -> ((s, dir) =>
+      Packing.blockContents(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+        blockTokens = Params.blockTokens)),
+
     // ---- dedup provenance: which sources duplicate into which — pair
     // counts from per-(hash, source) combinatorics, duplicate pairs NEVER
     // materialized (a viral doc would explode g^2 rows)
@@ -1110,7 +1119,7 @@ object SparkEntry {
         Seq("ta", "##ble", "sc", "##an", "qu", "##ery", "val", "##ue",
           "str", "##eam", "wind", "##ow", "ha", "##sh", "jo", "##in",
           "gro", "##up", "ve", "##ctor", "fi", "##lter", "ba", "##tch",
-          "li", "##ne", "cu", "##stomer", "so", "##rt", "##w")
+          "li", "##ne", "cu", "##stomer", "so", "##rt")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2253,6 +2262,28 @@ object SparkEntry {
          |  md5(array_to_string(flatten(list_transform(
          |    list_sort(list({'p': pos, 't': toks})), s -> s['t'])), ' ')) AS tok_md5
          |FROM j GROUP BY id""".stripMargin
+    },
+
+    // token slices per (doc, spanned block); list_slice is end-INDEX based
+    // (Spark slice is length-based — aligned via e2 = f + len); blocks
+    // reassemble by globally-unique start_off
+    "q95_pack_contents" -> {
+      val b = SparkEntry.Params.blockTokens
+      s"""WITH ${Oracles.packCte},
+         |t AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+         |e AS (SELECT pk.start_off, pk.n_tokens, t.w,
+         |    unnest(generate_series(pk.block_first, pk.block_last)) AS block_id
+         |  FROM pk JOIN t USING (id)),
+         |s AS (SELECT block_id, start_off,
+         |    greatest(0, block_id * $b - start_off) AS f,
+         |    least(n_tokens, (block_id + 1) * $b - start_off) AS e2, w
+         |  FROM e)
+         |SELECT block_id, count(*) AS n_docs,
+         |  CAST(sum(e2 - f) AS BIGINT) AS n_tokens_blk,
+         |  md5(array_to_string(flatten(list_transform(
+         |    list_sort(list({'s': start_off, 'p': list_slice(w, f + 1, e2)})),
+         |    x -> x['p'])), ' ')) AS block_md5
+         |FROM s GROUP BY block_id""".stripMargin
     },
 
     // per-(hash, source) counts -> combinatorial pair counts; same plant

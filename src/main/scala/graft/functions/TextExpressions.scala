@@ -232,10 +232,10 @@ case class WordpieceTokens(child: Expression, vocab: Seq[String])
     * token asc) — the greedy scan tries in this order and takes the first
     * hit. Starters and continuations kept separate. */
   @transient private lazy val starters: Array[(String, Int)] =
-    vocab.filterNot(_.startsWith("##")).filter(_.nonEmpty).sorted
+    vocab.filterNot(_.startsWith("##")).filter(_.nonEmpty).distinct
       .map(v => (v, v.length)).sortBy { case (v, l) => (-l, v) }.toArray
   @transient private lazy val continuations: Array[(String, String, Int)] =
-    vocab.filter(v => v.startsWith("##") && v.length > 2).sorted
+    vocab.filter(v => v.startsWith("##") && v.length > 2).distinct
       .map(v => (v.substring(2), v, v.length - 2))
       .sortBy { case (_, v, l) => (-l, v) }.toArray
 
@@ -263,6 +263,10 @@ case class WordpieceTokens(child: Expression, vocab: Seq[String])
           i += 1
         }
       }
+      // [UNK] advances one CODEPOINT (not one UTF-16 unit): the oracle's
+      // substr/len are codepoint-based, and splitting a surrogate pair
+      // would diverge from it on any supplementary character
+      if (emitted == null) consumed = Character.charCount(w.codePointAt(pos))
       out += UTF8String.fromString(if (emitted == null) "[UNK]" else emitted)
       pos += consumed
     }

@@ -88,8 +88,43 @@ object Packing {
       .withColumn("start_off",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("block_first", expr(s"start_off div ${blockTokens}L"))
+      // n == 0 guard mirrors packChunks: without it a zero-token row at a
+      // block boundary hits div's truncate-toward-zero vs the oracle's
+      // floor on (start_off - 1)
       .withColumn("block_last",
-        expr(s"(start_off + n_tokens - 1) div ${blockTokens}L"))
+        when(col("n_tokens") === 0L, col("block_first"))
+          .otherwise(expr(s"(start_off + n_tokens - 1) div ${blockTokens}L")))
+  }
+
+  /** Materialized training-block CONTENTS: the actual fixed-length token
+    * sequences a trainer reads. Every doc contributes its token slice to
+    * each block it spans; blocks reassemble from (start_off, piece)
+    * structs — start offsets are globally unique, so array_sort gives the
+    * exact stream order with no window. The one shuffle moves each token
+    * exactly once, keyed by block_id (bounded, uniform) — this IS the
+    * output write of a packing run, linear and unavoidable.
+    * Output: (block_id, n_docs, n_tokens_blk, block_md5); every block
+    * except the last has exactly blockTokens tokens. */
+  def blockContents(docs: DataFrame, blockTokens: Long): DataFrame = {
+    val b = blockTokens
+    val joined = packChunks(docs, b)
+      .join(docs.select(col("id").cast("long").as("id"), col("text")), "id")
+    val e = joined.select(col("start_off"), col("n_tokens"),
+      split(col("text"), " ").as("w"),
+      explode(sequence(col("block_first"), col("block_last"))).as("block_id"))
+    val from = greatest(lit(0L), col("block_id") * b - col("start_off"))
+    val until = least(col("n_tokens"), (col("block_id") + 1) * b - col("start_off"))
+    e.select(col("block_id"), col("start_off"),
+        (until - from).as("len"),
+        slice(col("w"), (from + 1).cast("int"), (until - from).cast("int"))
+          .as("piece"))
+      .groupBy(col("block_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).cast("long").as("n_tokens_blk"),
+        md5(array_join(flatten(transform(
+          array_sort(collect_list(struct(col("start_off"), col("piece")))),
+          x => x.getField("piece"))), " ")).as("block_md5"))
   }
 
   /** Block-level composition summary derived from [[packChunks]]: how many

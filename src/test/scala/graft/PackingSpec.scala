@@ -63,6 +63,29 @@ class PackingSpec extends SparkSpec {
     assert(got === Array((0L, 2L, 2L), (1L, 1L, 0L), (2L, 1L, 0L)))
   }
 
+  test("blockContents: every block but the last is exactly B tokens; stream reassembles") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 120L).map { id =>
+      val n = 1 + rnd.nextInt(20)
+      id -> (0 until n).map(j => s"w${id}_$j").mkString(" ")
+    }
+    val blocks = Packing.blockContents(mkDocs(rows, 5), 16)
+      .orderBy("block_id").collect()
+    val total = rows.map(_._2.split(" ").length.toLong).sum
+    assert(blocks.map(_.getLong(2)).sum === total)
+    // all but the last block hold exactly 16 tokens
+    blocks.dropRight(1).foreach(b => assert(b.getLong(2) === 16L, s"block $b"))
+    assert(blocks.last.getLong(2) <= 16L)
+    // block ids are dense from 0
+    assert(blocks.map(_.getLong(0)).toSeq === (0L until blocks.length).toSeq)
+    // content check: block 0's md5 equals the first 16 tokens of the stream
+    import org.apache.spark.sql.functions.md5
+    val stream = rows.sortBy(_._1).flatMap(_._2.split(" "))
+    val expect0 = Seq((0L, stream.take(16).mkString(" "))).toDF("id", "t")
+      .select(md5(col("t"))).as[String].head()
+    assert(blocks.head.getString(3) === expect0)
+  }
+
   test("packChunks token stream is gap-free: total blocks cover total tokens") {
     val rows = (0L until 97L).map(id => id -> Seq.fill(5)("x").mkString(" "))
     val packed = Packing.packChunks(mkDocs(rows, 4), 7)

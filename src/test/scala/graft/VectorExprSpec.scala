@@ -62,5 +62,14 @@ class VectorExprSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert((0 until arr.numElements())
       .map(arr.getUTF8String(_).toString) === Seq("hel", "##lo"))
+    // [UNK] advances a full CODEPOINT: one astral char = ONE [UNK], never a
+    // split surrogate pair (oracle substr/len are codepoint-based)
+    val astral = graft.functions.WordpieceTokens(
+      org.apache.spark.sql.catalyst.expressions.Literal("a😀b"),
+      Seq("a", "##b"))
+    val arr2 = astral.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until arr2.numElements())
+      .map(arr2.getUTF8String(_).toString) === Seq("a", "[UNK]", "##b"))
   }
 }

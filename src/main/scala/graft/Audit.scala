@@ -174,6 +174,23 @@ object Audit {
       ("partial agg before shuffle", _.contains("HashAggregate")),
       ("no UDF json parsing", p =>
         !p.contains("UDF(") && !p.contains("BatchEvalPython")))
+    audit("q94_dup_provenance")(
+      // pair counts from combinatorics over the (hash, source) COUNT
+      // table: no pair materialization, so no generator/explode at all
+      ("no pair explode", p => !p.contains("Generate explode")),
+      ("hash equi-join only", p => !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct")))
+    audit("q95_pack_contents")(
+      // token slices shuffle once on block_id; reassembly is array_sort
+      // inside the aggregate — never a window, never a nested loop
+      ("no window operator", p => !p.contains("Window")),
+      ("no nested-loop join", p => !p.contains("BroadcastNestedLoopJoin")))
+    audit("q96_prep_pipeline")(
+      // four composed stages stay relational: equi-joins only, and the
+      // final packing is the RDD two-phase sweep (no SQL window)
+      ("equi-joins only", p => !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct")),
+      ("no window operator", p => !p.contains("Window")))
     spark.stop()
   }
 }

@@ -777,6 +777,29 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
         Params.wpVocab)),
 
+    // ---- the full corpus-prep pipeline composed in ONE plan:
+    // mess/dup plant -> normalize -> Gopher quality filter -> exact-dup
+    // keeper (messy variants collapse to one survivor via the canonical
+    // form) -> sequence packing of the survivors. Every stage is an
+    // operator proven alone (q83/q64/q24/q79); this proves they compose
+    "q96_prep_pipeline" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val t0 = when(col("id") % 3 === 0, upper(col("text"))).otherwise(col("text"))
+      val t1 = when(col("id") % 5 === 0,
+        concat(lit("  "), replace(t0, lit(" "), lit("  ")), lit(" ... END!!")))
+        .otherwise(t0)
+      val messy = base.select(col("id"), t1.as("text"))
+      // dup plant: raw-DIFFERENT copies (uppercased) that normalize equal
+      val planted = messy.unionByName(messy.where(col("id") % 10 === 0)
+        .select((col("id") + 100000).as("id"), upper(col("text")).as("text")))
+      val normed = planted.select(col("id"), Corpus.normCol(col("text")).as("text"))
+      val kept = TextStats.gopherRules(normed).where(col("keep")).select("id")
+      val q = normed.join(kept, "id")
+      val keepers = q.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("id")).as("id")).select("id")
+      Packing.packChunks(q.join(keepers, "id"), Params.blockTokens)
+    }),
+
     // ---- materialized training blocks: the actual fixed-length token
     // sequences (every block but the last is exactly blockTokens long);
     // blocks reassemble from globally-unique start offsets — the oracle
@@ -2262,6 +2285,45 @@ object SparkEntry {
          |  md5(array_to_string(flatten(list_transform(
          |    list_sort(list({'p': pos, 't': toks})), s -> s['t'])), ' ')) AS tok_md5
          |FROM j GROUP BY id""".stripMargin
+    },
+
+    // stage chain mirrors q83 (normalize) + q64 (gopher) + q24 (keeper) +
+    // q79 (pack) fragments verbatim over the planted messy/dup corpus
+    "q96_prep_pipeline" -> {
+      val b = SparkEntry.Params.blockTokens
+      s"""WITH d0 AS (SELECT doc_id AS id, text FROM documents),
+         |t0 AS (SELECT id, CASE WHEN id % 3 = 0 THEN upper(text) ELSE text END AS t FROM d0),
+         |t1 AS (SELECT id, CASE WHEN id % 5 = 0
+         |    THEN '  ' || replace(t, ' ', '  ') || ' ... END!!' ELSE t END AS t
+         |  FROM t0),
+         |pl AS (SELECT id, t FROM t1
+         |  UNION ALL SELECT id + 100000 AS id, upper(t) AS t FROM t1 WHERE id % 10 = 0),
+         |n AS (SELECT id, trim(regexp_replace(regexp_replace(lower(t),
+         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text FROM pl),
+         |m AS (SELECT id, text, string_split(text, ' ') AS w FROM n),
+         |g AS (SELECT id, text, len(w) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS avg_len,
+         |    1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dwf,
+         |    len(list_intersect(list_distinct(w),
+         |      ['the', 'a', 'of', 'and', 'to'])) AS sw
+         |  FROM m),
+         |k AS (SELECT id, text FROM g
+         |  WHERE n_words >= 10 AND n_words <= 100000
+         |    AND avg_len >= 2.0 AND avg_len <= 12.0 AND dwf <= 0.6 AND sw >= 2),
+         |kp AS (SELECT min(id) AS id FROM k GROUP BY md5(text)),
+         |surv AS (SELECT k.id, CAST(len(string_split(k.text, ' ')) AS BIGINT)
+         |    AS n_tokens
+         |  FROM k JOIN kp USING (id)),
+         |pk AS (SELECT id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off
+         |  FROM surv)
+         |SELECT id, n_tokens, start_off,
+         |  start_off // $b AS block_first,
+         |  (start_off + n_tokens - 1) // $b AS block_last,
+         |  (start_off + n_tokens - 1) // $b - start_off // $b + 1 AS n_blocks
+         |FROM pk""".stripMargin
     },
 
     // token slices per (doc, spanned block); list_slice is end-INDEX based

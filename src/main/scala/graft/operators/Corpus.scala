@@ -54,11 +54,16 @@ object Corpus {
     * lowercase, non-alphanumerics to spaces, whitespace collapsed, ends
     * trimmed. Map-only. (Unicode NFC is a no-op on the ASCII testdata and
     * DuckDB/JVM agree on it; the contract here is the ASCII pipeline.) */
-  def normalizeText(docs: DataFrame): DataFrame = {
-    val norm = trim(
+  /** The canonical-form column itself — shared by [[normalizeText]] and
+    * pipeline compositions that keep working on the normalized text. */
+  def normCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(
       regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        regexp_replace(lower(text), "[^a-z0-9 ]", " "),
         " +", " "))
+
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val norm = normCol(col("text"))
     docs.select(
       col("id"),
       length(norm).cast("long").as("n_chars_norm"),

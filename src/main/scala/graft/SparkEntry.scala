@@ -777,6 +777,17 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
         Params.wpVocab)),
 
+    // ---- fuzzy word matching (typo clustering / entity resolution):
+    // SymSpell deletion-neighborhood candidates + exact levenshtein
+    // verify; planted single-deletion typos must pair with their sources
+    "q97_fuzzy_match" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val planted = base.withColumn("text",
+        when(col("id") % 6 === 0, concat(col("text"), lit(" tabl spak lne")))
+          .otherwise(col("text")))
+      Dedup.fuzzyWordPairs(planted)
+    }),
+
     // ---- the full corpus-prep pipeline composed in ONE plan:
     // mess/dup plant -> normalize -> Gopher quality filter -> exact-dup
     // keeper (messy variants collapse to one survivor via the canonical
@@ -2286,6 +2297,23 @@ object SparkEntry {
          |    list_sort(list({'p': pos, 't': toks})), s -> s['t'])), ' ')) AS tok_md5
          |FROM j GROUP BY id""".stripMargin
     },
+
+    // same deletion-key expansion (substr concatenation), same verify
+    "q97_fuzzy_match" ->
+      s"""WITH d AS (SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 6 = 0 THEN text || ' tabl spak lne' ELSE text END AS text
+         |  FROM documents),
+         |u AS (SELECT DISTINCT w FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM d)
+         |  WHERE len(w) > 0),
+         |kd AS (SELECT DISTINCT w, key FROM (
+         |  SELECT w, unnest(list_append(list_transform(generate_series(1, len(w)),
+         |    i -> substr(w, 1, i - 1) || substr(w, i + 1, len(w))), w)) AS key
+         |  FROM u)),
+         |pr AS (SELECT DISTINCT a.w AS w_a, b.w AS w_b
+         |  FROM kd a JOIN kd b ON a.key = b.key AND a.w < b.w)
+         |SELECT w_a, w_b, CAST(levenshtein(w_a, w_b) AS BIGINT) AS dist
+         |FROM pr WHERE levenshtein(w_a, w_b) <= 1""".stripMargin,
 
     // stage chain mirrors q83 (normalize) + q64 (gopher) + q24 (keeper) +
     // q79 (pack) fragments verbatim over the planted messy/dup corpus

@@ -483,6 +483,37 @@ object Dedup {
       .where(col("n_dup_pairs") > 0)
   }
 
+  /** Fuzzy word pairs at Levenshtein distance <= 1 via SymSpell-style
+    * deletion-neighborhood banding: every word emits itself plus each
+    * single-deletion variant as candidate keys; any pair within distance
+    * 1 shares a key (substitution -> same-position deletions match;
+    * insertion/deletion -> one side's deletion equals the other), so the
+    * generator is COMPLETE — then `levenshtein` verifies exactly.
+    *
+    * Scale: key fanout is word length (bounded); the join is an equi-join
+    * on the deletion key over the DISTINCT-words table (vocabulary-sized,
+    * like the wordpiece path) — never an all-pairs product over words,
+    * let alone the corpus. The entity-resolution / typo-clustering shape.
+    */
+  def fuzzyWordPairs(docs: DataFrame /* (id, text) */): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .distinct()
+    val dels = transform(sequence(lit(1), length(col("w"))), i =>
+      concat(col("w").substr(lit(1), i - 1),
+        col("w").substr(i + 1, length(col("w")))))
+    val keyed = words
+      .select(col("w"), explode(array_union(array(col("w")), dels)).as("key"))
+      .distinct()
+    keyed.as("a").join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w_a"), col("b.w").as("w_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("w_a"), col("w_b")).cast("long"))
+      .where(col("dist") <= 1)
+  }
+
   /** Deterministic sign-random-projection bucket for an embedding: bit k is
     * the sign of dot(vec, r_k) with r_k[i] = ((k*31 + i*7) % 13) - 6 —
     * integer weights so both engines compute identical doubles. */

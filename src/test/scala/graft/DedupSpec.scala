@@ -158,6 +158,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyWordPairs: deletion banding finds EVERY distance-<=1 pair") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(3)
+    val words = (Seq("cat", "cut", "cart", "ca", "dog", "dogs", "dig", "xyz") ++
+      (1 to 40).map(_ => (1 + rnd.nextInt(5) to 5).map(_ =>
+        ('a' + rnd.nextInt(3)).toChar).mkString)).distinct
+    val docs = Seq((1L, words.mkString(" "))).toDF("id", "text")
+    val got = Dedup.fuzzyWordPairs(docs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = (for {
+      a <- words; b <- words if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got === expected)
+  }
+
   test("embedding near-dups: planted copy found with cosine 1.0") {
     val pts = Tables.points(spark, sf0)
     val planted = pts.unionByName(

@@ -185,12 +185,21 @@ object Audit {
       // inside the aggregate — never a window, never a nested loop
       ("no window operator", p => !p.contains("Window")),
       ("no nested-loop join", p => !p.contains("BroadcastNestedLoopJoin")))
+    // q96's final plan is the RDD-backed packing tail, which HIDES the
+    // upstream SQL stages — audit the pre-packing pipeline directly
+    locally {
+      val plan = SparkEntry.prepSurvivors(spark, dir)
+        .queryExecution.executedPlan.toString
+      val ok1 = !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct")
+      val ok2 = !plan.linesIterator.exists(l =>
+        l.contains("Sort [") && l.contains("], true"))
+      println(f"q96 survivors stages    ${if (ok1) "OK " else "MISS"} equi-joins only")
+      println(f"q96 survivors stages    ${if (ok2) "OK " else "MISS"} no global sort")
+    }
     audit("q96_prep_pipeline")(
-      // four composed stages stay relational: equi-joins only, and the
-      // final packing is the RDD two-phase sweep (no SQL window)
-      ("equi-joins only", p => !p.contains("BroadcastNestedLoopJoin") &&
-        !p.contains("CartesianProduct")),
-      ("no window operator", p => !p.contains("Window")))
+      ("packing tail is RDD two-phase (pinned counts)", p =>
+        p.contains("SerializeFromObject") && !p.contains("Exchange")))
     spark.stop()
   }
 }

@@ -794,21 +794,13 @@ object SparkEntry {
     // form) -> sequence packing of the survivors. Every stage is an
     // operator proven alone (q83/q64/q24/q79); this proves they compose
     "q96_prep_pipeline" -> ((s, dir) => {
-      val base = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
-      val t0 = when(col("id") % 3 === 0, upper(col("text"))).otherwise(col("text"))
-      val t1 = when(col("id") % 5 === 0,
-        concat(lit("  "), replace(t0, lit(" "), lit("  ")), lit(" ... END!!")))
-        .otherwise(t0)
-      val messy = base.select(col("id"), t1.as("text"))
-      // dup plant: raw-DIFFERENT copies (uppercased) that normalize equal
-      val planted = messy.unionByName(messy.where(col("id") % 10 === 0)
-        .select((col("id") + 100000).as("id"), upper(col("text")).as("text")))
-      val normed = planted.select(col("id"), Corpus.normCol(col("text")).as("text"))
-      val kept = TextStats.gopherRules(normed).where(col("keep")).select("id")
-      val q = normed.join(kept, "id")
-      val keepers = q.groupBy(md5(col("text")).as("__h"))
-        .agg(min(col("id")).as("id")).select("id")
-      Packing.packChunks(q.join(keepers, "id"), Params.blockTokens)
+      // survivors' token counts are the tail of a join pipeline: pin them
+      // so the range partitioner's sampling pass and the two sweep passes
+      // read the materialized rows instead of re-running the stages
+      val counts = prepSurvivors(s, dir)
+        .select(col("id"), size(split(col("text"), " ")).cast("long").as("n"))
+        .localCheckpoint()
+      Packing.packCounts(counts, Params.blockTokens)
     }),
 
     // ---- materialized training blocks: the actual fixed-length token
@@ -894,6 +886,32 @@ object SparkEntry {
       searchImpl(s, sharded, Tables.queryPoints(s, dir), r.seeds, k = 10, t = Params.t)
     })
   )
+
+  /** q96's pre-packing stages (mess/dup plant -> normalize -> Gopher keep
+    * -> exact-dup keeper), exposed so Audit can assert the SQL stages'
+    * plan properties directly — the packing tail is RDD-backed and hides
+    * upstream operators from the final plan string. */
+  private[graft] def prepSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+    val t0 = when(col("id") % 3 === 0, upper(col("text"))).otherwise(col("text"))
+    val t1 = when(col("id") % 5 === 0,
+      concat(lit("  "), replace(t0, lit(" "), lit("  ")), lit(" ... END!!")))
+      .otherwise(t0)
+    val messy = base.select(col("id"), t1.as("text"))
+    // dup plant: raw-DIFFERENT copies (uppercased) that normalize equal
+    val planted = messy.unionByName(messy.where(col("id") % 10 === 0)
+      .select((col("id") + 100000).as("id"), upper(col("text")).as("text")))
+    // normalization (3 regex passes per row) feeds THREE consumers
+    // (gopher metrics, the kept join, the keeper hash): pin it once
+    val normed = planted
+      .select(col("id"), graft.operators.Corpus.normCol(col("text")).as("text"))
+      .localCheckpoint()
+    val kept = TextStats.gopherRules(normed).where(col("keep")).select("id")
+    val q = normed.join(kept, "id")
+    val keepers = q.groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("id")).as("id")).select("id")
+    q.join(keepers, "id")
+  }
 
   /** Routed-search top-k operator selection: the window/WindowGroupLimit
     * form by default; GRAFT_TOPK_AGG=1 switches to the typed heap
@@ -2318,7 +2336,6 @@ object SparkEntry {
     // stage chain mirrors q83 (normalize) + q64 (gopher) + q24 (keeper) +
     // q79 (pack) fragments verbatim over the planted messy/dup corpus
     "q96_prep_pipeline" -> {
-      val b = SparkEntry.Params.blockTokens
       s"""WITH d0 AS (SELECT doc_id AS id, text FROM documents),
          |t0 AS (SELECT id, CASE WHEN id % 3 = 0 THEN upper(text) ELSE text END AS t FROM d0),
          |t1 AS (SELECT id, CASE WHEN id % 5 = 0
@@ -2342,15 +2359,9 @@ object SparkEntry {
          |surv AS (SELECT k.id, CAST(len(string_split(k.text, ' ')) AS BIGINT)
          |    AS n_tokens
          |  FROM k JOIN kp USING (id)),
-         |pk AS (SELECT id, n_tokens,
-         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |      AS start_off
-         |  FROM surv)
-         |SELECT id, n_tokens, start_off,
-         |  start_off // $b AS block_first,
-         |  (start_off + n_tokens - 1) // $b AS block_last,
-         |  (start_off + n_tokens - 1) // $b - start_off // $b + 1 AS n_blocks
+         |${Oracles.packFromCounts("surv")}
+         |SELECT id, n_tokens, start_off, block_first, block_last,
+         |  block_last - block_first + 1 AS n_blocks
          |FROM pk""".stripMargin
     },
 
@@ -2496,15 +2507,12 @@ object SparkEntry {
 object Oracles {
   val dim = 64
 
-  /** Packing map CTE (q79/q86): per-doc token counts, exclusive prefix sum
-    * in id order, block span at Params.blockTokens. Mirrors
-    * Packing.packChunks. */
-  def packCte: String = {
+  /** Packing prefix-sum + block-span fragment over ANY counts CTE
+    * `(id, n_tokens)` — the single source of truth mirroring
+    * Packing.packCounts (q79/q86/q95/q96 all build on it). */
+  def packFromCounts(src: String): String = {
     val b = SparkEntry.Params.blockTokens
-    s"""d AS (SELECT doc_id AS id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |  FROM documents),
-       |pk AS (SELECT id, n_tokens,
+    s"""pk AS (SELECT id, n_tokens,
        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
        |      AS start_off,
@@ -2514,8 +2522,16 @@ object Oracles {
        |    CAST((coalesce(sum(n_tokens) OVER (ORDER BY id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |      + n_tokens - 1) // $b AS BIGINT) AS block_last
-       |  FROM d)""".stripMargin
+       |  FROM $src)""".stripMargin
   }
+
+  /** Packing map CTE (q79/q86/q95): whole-corpus token counts feeding
+    * [[packFromCounts]]. Mirrors Packing.packChunks. */
+  def packCte: String =
+    s"""d AS (SELECT doc_id AS id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |${packFromCounts("d")}""".stripMargin
 
   /** Exact double-precision L2 distance between two LIST(FLOAT) columns,
     * rounded to 4 dp — mirrors VectorFunctions.l2Dist + round. */

@@ -50,10 +50,6 @@ object Corpus {
         col("n_emails") + col("n_ips") + col("n_ids") > 0)
   }
 
-  /** Canonical text normalization (the CCNet-style pre-dedup pass):
-    * lowercase, non-alphanumerics to spaces, whitespace collapsed, ends
-    * trimmed. Map-only. (Unicode NFC is a no-op on the ASCII testdata and
-    * DuckDB/JVM agree on it; the contract here is the ASCII pipeline.) */
   /** The canonical-form column itself — shared by [[normalizeText]] and
     * pipeline compositions that keep working on the normalized text. */
   def normCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -62,6 +58,10 @@ object Corpus {
         regexp_replace(lower(text), "[^a-z0-9 ]", " "),
         " +", " "))
 
+  /** Canonical text normalization (the CCNet-style pre-dedup pass):
+    * lowercase, non-alphanumerics to spaces, whitespace collapsed, ends
+    * trimmed. Map-only. (Unicode NFC is a no-op on the ASCII testdata and
+    * DuckDB/JVM agree on it; the contract here is the ASCII pipeline.) */
   def normalizeText(docs: DataFrame): DataFrame = {
     val norm = normCol(col("text"))
     docs.select(

@@ -34,13 +34,22 @@ object Packing {
     * (concat-and-chunk splits documents across block boundaries, unlike
     * first-fit padding packers).
     */
-  def packChunks(docs: DataFrame, blockTokens: Long): DataFrame = {
+  def packChunks(docs: DataFrame, blockTokens: Long): DataFrame =
+    packCounts(
+      docs.select(col("id").cast("long"),
+        size(split(col("text"), " ")).cast("long").as("n")),
+      blockTokens)
+
+  /** [[packChunks]] over precomputed token counts (id, n). Callers whose
+    * counts are the tail of an expensive pipeline should localCheckpoint
+    * the input: the range partitioner's SAMPLING pass plus the two sweep
+    * passes otherwise each re-run the upstream plan. */
+  def packCounts(tokenCounts: DataFrame, blockTokens: Long): DataFrame = {
     require(blockTokens > 0, s"blockTokens must be positive: $blockTokens")
-    val spark = docs.sparkSession
+    val spark = tokenCounts.sparkSession
     import spark.implicits._
-    val counts = docs
-      .select(col("id").cast("long"),
-        size(split(col("text"), " ")).cast("long").as("n"))
+    val counts = tokenCounts
+      .select(col("id").cast("long"), col("n").cast("long"))
       .repartitionByRange(col("id"))
       .sortWithinPartitions(col("id"))
     // pass 1: per-partition token totals -> exclusive prefix offsets

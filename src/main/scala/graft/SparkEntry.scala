@@ -978,6 +978,29 @@ object SparkEntry {
   val pinnedRddIds: java.util.Set[Integer] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
 
+  /** Build every cross-query memo up front (Bench warm-up). The memo
+    * builders are index-BUILD work (K-Means fit, KANNDI rounds, PQ encode,
+    * stat tables) that otherwise lands inside whichever timed pass first
+    * touches its consumer — on this box a background storm spanning that
+    * first pass then poisons all per-query minima with build cost that is
+    * not search cost. Driver-side memos materialize on access; the
+    * checkpoint-backed ones (KANNDI, PQ codes) materialize eagerly inside
+    * pinLocalCheckpoint. Keep in sync with the memo accessors below. */
+  def prebuildMemos(s: SparkSession, dir: String): Unit = {
+    centroidArrMemo(s, dir)                                  // q05-q09 fit
+    bloomWordsMemo(s, dir)                                   // q75 bitmap
+    sqRangesMemo(s, dir)                                     // q51 ranges
+    ksMemoDf(s, dir)                                         // q13/q17/q20
+    vifMemoDf(s, dir)                                        // q16/q18/q20
+    kanndiMemoRes(s, dir, m = 4, sampleSize = 200)           // q10/q41/q85
+    kanndiMemoRes(s, dir, m = 4, sampleSize = 200,
+      distScale = 0.25, adaptive = true)                     // q11
+    queryBatchMemoArr(s, dir)                                // search probes
+    pqCbMemo(s, dir)                                         // q43-q45/q50
+    pqCodesWideMemoDf(s, dir)
+    ivfCodesMemoDf(s, dir)
+  }
+
   /** localCheckpoint + pin the materialized blocks (see [[pinnedRddIds]]). */
   private def pinLocalCheckpoint(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
@@ -2509,7 +2532,13 @@ object Oracles {
 
   /** Packing prefix-sum + block-span fragment over ANY counts CTE
     * `(id, n_tokens)` — the single source of truth mirroring
-    * Packing.packCounts (q79/q86/q95/q96 all build on it). */
+    * Packing.packCounts (q79/q86/q95/q96 all build on it). The
+    * n_tokens = 0 CASE matches packCounts' zero-token guard
+    * (block_last = block_first): without it a zero-token row at a block
+    * boundary would floor-divide start_off - 1 into the PREVIOUS block
+    * (-1 // b = -1 at offset 0) and the two sides would diverge on
+    * arbitrary public-API counts even though whitespace-split text never
+    * produces one. */
   def packFromCounts(src: String): String = {
     val b = SparkEntry.Params.blockTokens
     s"""pk AS (SELECT id, n_tokens,
@@ -2519,9 +2548,12 @@ object Oracles {
        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $b
        |      AS BIGINT) AS block_first,
-       |    CAST((coalesce(sum(n_tokens) OVER (ORDER BY id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |      + n_tokens - 1) // $b AS BIGINT) AS block_last
+       |    CAST(CASE WHEN n_tokens = 0
+       |      THEN coalesce(sum(n_tokens) OVER (ORDER BY id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $b
+       |      ELSE (coalesce(sum(n_tokens) OVER (ORDER BY id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        + n_tokens - 1) // $b END AS BIGINT) AS block_last
        |  FROM $src)""".stripMargin
   }
 

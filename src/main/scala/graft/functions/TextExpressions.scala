@@ -82,11 +82,20 @@ object MinHashSignature {
     sb.toString
   }
 
-  /** Shared kernel for interpreted + codegen paths. One reused MessageDigest,
-    * raw-digest minima (hex order == unsigned byte order), hex only at the
-    * end — identical results to md5Hex-per-pair, far fewer allocations. */
+  /** Per-thread MessageDigest — getInstance per ROW would add an
+    * allocation + provider lookup in the q25/q59 hot map stage (same
+    * rationale as SimHash32.mdLocal). */
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Shared kernel for interpreted + codegen paths. One thread-cached
+    * MessageDigest, raw-digest minima (hex order == unsigned byte order),
+    * hex only at the end — identical results to md5Hex-per-pair, far fewer
+    * allocations. */
   def compute(arr: ArrayData, numHashes: Int): GenericArrayData = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val pfx = prefixes(numHashes)
     val n = arr.numElements()
     val mins = new Array[Array[Byte]](numHashes)

@@ -325,10 +325,29 @@ object Dedup {
     *
     * Lifecycle: intermediate checkpoints (edges, superseded rounds) are
     * freed before returning; the RETURNED frame is backed by the final
-    * round's localCheckpoint — a long-lived caller that is done with it
-    * can free those blocks via `result.rdd.unpersist()` (Bench's
-    * between-query sweep does exactly that). */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    * round's localCheckpoint. A long-lived caller that is done with the
+    * result should use [[nearDupClustersTracked]], whose handle frees
+    * exactly those backing blocks — `result.rdd.unpersist()` would NOT
+    * work (it targets a derived projection RDD, not the persisted
+    * checkpoint). Short-lived sessions and Bench rely on the
+    * between-query BlockManager sweep instead. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    nearDupClustersTracked(pairs, maxIters).df
+
+  /** A frame backed by localCheckpoint blocks plus the handle that frees
+    * them. After `cleanup()` the frame must not be used again (its lineage
+    * is truncated at the freed checkpoint). */
+  final case class Tracked(df: DataFrame, backingRddIds: Set[Int]) {
+    def cleanup(): Unit = {
+      val sc = df.sparkSession.sparkContext
+      backingRddIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
+    }
+  }
+
+  /** [[nearDupClusters]] with the final round's checkpoint blocks exposed
+    * for deterministic cleanup by long-lived callers (notebooks, servers). */
+  def nearDupClustersTracked(pairs: DataFrame, maxIters: Int = 50): Tracked = {
     val sc = pairs.sparkSession.sparkContext
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
@@ -377,7 +396,7 @@ object Dedup {
     // checkpoint is no longer reachable from the result
     free(edgeIds)
     require(converged, s"label propagation did not converge in $maxIters rounds")
-    labels.select(col("id"), col("label").as("keeper_id"))
+    Tracked(labels.select(col("id"), col("label").as("keeper_id")), prevIds)
   }
 
   /** [[nearDupClusters]] + per-cluster size — the keeper/drop report. */

@@ -269,13 +269,22 @@ object Intervals {
       .unionByName(spark.createDataFrame(spanning.toSeq).toDF("begin", "end"))
   }
 
-  /** (begin, end) → half-open +1/-1 boundary events. */
-  private def hoEvents(ivs: DataFrame, endShift: Long = 0L): DataFrame =
-    ivs
+  /** (begin, end) → half-open +1/-1 boundary events. Degenerate rows
+    * (begin + endShift-adjusted end do not satisfy begin < end) are EMPTY
+    * SETS and filtered here — emitting their cancelling +1/−1 pair would
+    * let the −1 land in the same minus bucket as a real interval's end and
+    * push the strict sweep's mid-coverage below zero, silently gluing two
+    * touching neighbours the empty set should never bridge
+    * (IntervalsSpec "degenerate [a,a)"). */
+  private def hoEvents(ivs: DataFrame, endShift: Long = 0L): DataFrame = {
+    val live = ivs.where(col("begin").cast("long") <
+      col("end").cast("long") + endShift)
+    live
       .select(col("begin").cast("long").as("b"),
         lit(0L).as("minus"), lit(1L).as("plus"))
-      .unionByName(ivs.select((col("end").cast("long") + endShift).as("b"),
+      .unionByName(live.select((col("end").cast("long") + endShift).as("b"),
         lit(1L).as("minus"), lit(0L).as("plus")))
+  }
 
   /** split_overlaps (intervaltree.py:622-644): split every interval along
     * ALL boundary points, so the result's intervals either match exactly or
@@ -346,9 +355,10 @@ object Intervals {
     * distributed sweep, no global window).
     *
     * Degenerate (zero-length) half-open intervals `[a, a)` are EMPTY SETS
-    * under half-open semantics and are dropped: their +1/−1 events cancel
-    * at one boundary, so they neither appear in the output nor bridge two
-    * touching neighbours. (The reference's intervaltree raises ValueError
+    * under half-open semantics and are dropped at the event builder
+    * ([[hoEvents]]): they neither appear in the output nor bridge two
+    * touching neighbours — in either strictness mode (IntervalsSpec
+    * "degenerate [a,a)"). (The reference's intervaltree raises ValueError
     * on null intervals outright, intervaltree.py:261-264,323-325; no
     * in-repo producer emits them — islands output always has
     * end+1 > begin.) */

@@ -140,15 +140,24 @@ object BinFormat {
     * — ids never pass through float32. */
   def writeIbin(df: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.functions._
-    val dim = df.select(size(col("ivec"))).head().getInt(0)
-    val nvecs = df.count().toInt
+    // min == max row width in ONE aggregate: a ragged ivec column would
+    // otherwise silently write a payload that disagrees with the header
+    val head = df.agg(min(size(col("ivec"))), max(size(col("ivec"))),
+      count(lit(1))).head()
+    val nvecs = head.getLong(2)
+    require(nvecs > 0, s"writeIbin: empty input — a .ibin file needs >= 1 row ($path)")
+    val (dimMin, dimMax) = (head.getInt(0), head.getInt(1))
+    require(dimMin == dimMax,
+      s"writeIbin: ragged ivec widths (min $dimMin, max $dimMax) — " +
+        s"every row must have the same dimension ($path)")
+    val dim = dimMax
     val os = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try {
       def le32(v: Int): Unit = {
         os.write(v & 0xff); os.write((v >> 8) & 0xff)
         os.write((v >> 16) & 0xff); os.write((v >> 24) & 0xff)
       }
-      le32(nvecs); le32(dim)
+      le32(nvecs.toInt); le32(dim)
       val it = df.orderBy(col("id")).select(col("ivec")).toLocalIterator()
       while (it.hasNext) {
         val ids = it.next().getSeq[Int](0)

@@ -28,4 +28,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(3L) === None) // left ts before all right rows
     assert(out(4L) === None) // no right rows for the key
   }
+
+  test("asof rejects inputs whose columns collide with reserved names") {
+    val r = Seq((10L, 90L, 900L)).toDF("k", "ts", "rid")
+    // output column `matched` on the left side
+    val lMatched = Seq((10L, 100L, 1L)).toDF("k", "ts", "matched")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(lMatched, r, key = "k", ts = "ts")
+    }
+    assert(e1.getMessage.contains("matched"))
+    // internal union-tag column on either side
+    val lTag = Seq((10L, 100L, 1L)).toDF("k", "ts", "__tag")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(lTag, r, key = "k", ts = "ts")
+    }
+    assert(e2.getMessage.contains("__tag"))
+    // `matched` on the RIGHT side is fine — only the left output collides
+    val rMatched = Seq((10L, 90L, 900L)).toDF("k", "ts", "matched")
+    val l = Seq((10L, 100L, 1L)).toDF("k", "ts", "event_id")
+    val ok = AsOfJoin.asof(l, rMatched, key = "k", ts = "ts")
+      .select(col("event_id"), col("matched.matched").as("m")).collect()
+    assert(ok.map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq === Seq((1L, 900L)))
+  }
 }

@@ -137,6 +137,24 @@ class DedupSpec extends SparkSpec {
     assert(r.forall(_.getLong(1) === 0L))
   }
 
+  test("nearDupClustersTracked: cleanup frees every block the call persisted") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = sc.getPersistentRDDs.keySet
+    val tracked = Dedup.nearDupClustersTracked(pairs)
+    // the result is usable while tracked...
+    assert(tracked.df.count() === 51L)
+    // ...the backing blocks are among the persisted set...
+    assert(tracked.backingRddIds.nonEmpty)
+    assert(tracked.backingRddIds.forall(sc.getPersistentRDDs.keySet.contains))
+    tracked.cleanup()
+    // ...and after cleanup the session holds NO persisted RDD this call
+    // created (intermediate rounds were already freed inside the call)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDD ids: $leaked")
+  }
+
   test("semantic near-dups: planted copy lands in the same cluster, cosine 1.0") {
     val pts = Tables.points(spark, sf0)
     val cents = graft.operators.Sharding.fitCentroids(spark, pts, k = 4, iters = 2)

@@ -118,4 +118,25 @@ class IntervalsSpec extends SparkSpec {
     assert(ivSet(Intervals.removeOverlap(r, 5L, 13L)) === Set((15L, 25L)))
     assert(ivSet(Intervals.removeEnvelop(r, 5L, 20L)) === Set((0L, 10L), (15L, 25L)))
   }
+
+  test("degenerate [a,a) half-open intervals are empty sets: dropped, never bridge") {
+    // [5,5) alone -> empty output (the reference's intervaltree refuses
+    // null intervals outright; the documented contract here is the
+    // half-open reading: an empty set contributes nothing)
+    assert(Intervals.mergeOverlapsHO(
+      Seq((5L, 5L)).toDF("begin", "end"), strict = false).count() === 0L)
+    // [0,5) [5,5) [5,9): the empty set at the touch point must NOT glue
+    // the strict merge (its +1/-1 cancel at one boundary)...
+    val touch = Seq((0L, 5L), (5L, 5L), (5L, 9L)).toDF("begin", "end")
+    assert(ivSet(Intervals.mergeOverlapsHO(touch, strict = true)) ===
+      Set((0L, 5L), (5L, 9L)))
+    // ...while the lenient merge bridges the touch exactly as it would
+    // without the degenerate row
+    assert(ivSet(Intervals.mergeOverlapsHO(touch, strict = false)) ===
+      Set((0L, 9L)))
+    // an isolated degenerate row between real intervals also vanishes
+    assert(ivSet(Intervals.mergeOverlapsHO(
+      Seq((0L, 2L), (3L, 3L), (4L, 6L)).toDF("begin", "end"),
+      strict = false)) === Set((0L, 2L), (4L, 6L)))
+  }
 }

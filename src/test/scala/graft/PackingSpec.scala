@@ -52,6 +52,18 @@ class PackingSpec extends SparkSpec {
     assert(got === Array((1L, 0L, 0L, 0L), (2L, 8L, 1L, 3L), (3L, 28L, 3L, 3L)))
   }
 
+  test("packCounts: zero-token rows occupy their start block (block_last == block_first)") {
+    import spark.implicits._
+    // row 2 has n=0 AT a block boundary (start_off=8): floor((8+0-1)/8)=0
+    // would put block_last in the PREVIOUS block; the contract (mirrored in
+    // the Oracles.packFromCounts CASE) is block_last = block_first = 1
+    val counts = Seq((1L, 8L), (2L, 0L), (3L, 3L)).toDF("id", "n")
+    val got = Packing.packCounts(counts, 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got === Array((1L, 0L, 0L, 0L), (2L, 8L, 1L, 1L), (3L, 8L, 1L, 1L)))
+  }
+
   test("blockSummary counts contained vs spanning docs") {
     val rows = Seq(
       1L -> Seq.fill(4)("a").mkString(" "),

@@ -383,15 +383,7 @@ object SparkEntry {
     // DSv2): export -> format("fbin") read with id-range pushdown + norm
     "q48_fbin_source" -> ((s, dir) => {
       import graft.functions.VectorFunctions._
-      val tmp = s"/tmp/graft_fbin_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.fbin"
-      // write-once PER JVM (not per file existence): a leftover file from a
-      // previous round could hold stale data if the testdata regenerated
-      fileOnce.computeIfAbsent(tmp, _ => {
-        graft.sources.BinFormat.write(
-          Tables.points(s, dir).where(col("id") < 500), tmp, graft.sources.BinFormat.F32)
-        true
-      })
-      s.read.format("fbin").load(tmp)
+      s.read.format("fbin").load(fbinArtifact(s, dir))
         .where(col("id") >= 100 && col("id") < 200)
         .select(col("id"), round(norm2(col("vec")), 4).as("norm"))
     }),
@@ -788,6 +780,38 @@ object SparkEntry {
       Dedup.fuzzyWordPairs(planted)
     }),
 
+    // ---- TSV export end-to-end (S6 into the hard signal; S1 via the
+    // header cross-check): fbin_to_tsv's %.18e lines (utils.py:179-182)
+    // are written to a local file via writeTsv, re-read as text, and
+    // integer-checksummed; the DuckDB oracle re-reads the SAME file
+    // (read_text) and replays the parse — a lossy %.18e or a dropped line
+    // breaks the hash. The .fbin header's (nvecs, dim) is returned from
+    // readHeader while the oracle DERIVES both from the raw byte length
+    // (read_blob) and the TSV line shape — a header that disagrees with
+    // the payload breaks the hash too.
+    "q98_tsv_export" -> ((s, dir) => {
+      val tsv = tmpArtifact("tsv", dir, ".tsv")
+      fileOnce.computeIfAbsent(tsv, _ => {
+        graft.sources.BinFormat.writeTsv(
+          Tables.points(s, dir).where(col("id") < 500), tsv)
+        true
+      })
+      val (nv, dm) = graft.sources.BinFormat.readHeader(fbinArtifact(s, dir))
+      s.read.text(tsv)
+        .select(split(col("value"), "\t").as("vs"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(size(col("vs")).cast("long")).as("n_vals"),
+          // order-independent integer checksum: floor(v * 1e6) is the same
+          // double op on both engines (both parse %.18e to the nearest
+          // double), so the sum is exact — no float-order sensitivity
+          sum(aggregate(col("vs"), lit(0L),
+            (acc, x) => acc + floor(x.cast("double") * lit(1e6)).cast("long")))
+            .as("checksum"))
+        .select(col("n_lines"), col("n_vals"), col("checksum"),
+          lit(nv).as("nvecs_hdr"), lit(dm).as("dim_hdr"))
+    }),
+
     // ---- the full corpus-prep pipeline composed in ONE plan:
     // mess/dup plant -> normalize -> Gopher quality filter -> exact-dup
     // keeper (messy variants collapse to one survivor via the canonical
@@ -968,6 +992,26 @@ object SparkEntry {
     * leave a stale artifact behind. */
   private val fileOnce =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Dir-keyed /tmp artifact path — ONE formula shared by the query side
+    * and the DuckDB oracle side ([[oracleSqlFor]]), so both always name
+    * the same file. */
+  private def tmpArtifact(prefix: String, dir: String, ext: String): String =
+    s"/tmp/graft_${prefix}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}$ext"
+
+  /** The first-500-points .fbin artifact — written once per JVM (not per
+    * file existence: a leftover file from a previous round could hold
+    * stale data if the testdata regenerated). Shared by q48 (DSv2 read
+    * path) and q98 (header cross-check). */
+  private def fbinArtifact(s: SparkSession, dir: String): String = {
+    val tmp = tmpArtifact("fbin", dir, ".fbin")
+    fileOnce.computeIfAbsent(tmp, _ => {
+      graft.sources.BinFormat.write(
+        Tables.points(s, dir).where(col("id") < 500), tmp, graft.sources.BinFormat.F32)
+      true
+    })
+    tmp
+  }
 
   /** RDD ids backing cross-query memos (KANNDI assignment, PQ codes).
     * Bench clears persisted state between queries so timings don't pay
@@ -1197,7 +1241,12 @@ object SparkEntry {
           "li", "##ne", "cu", "##stomer", "so", "##rt")
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** Driver contract entry point — the driver's gate runs Verify at
+    * sf0.01, so the no-arg form binds the file-artifact oracles (q98) to
+    * that dir; Verify itself dumps [[oracleSqlFor]] with its actual dir. */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  def oracleSqlFor(dir: String): Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -2355,6 +2404,27 @@ object SparkEntry {
          |  FROM kd a JOIN kd b ON a.key = b.key AND a.w < b.w)
          |SELECT w_a, w_b, CAST(levenshtein(w_a, w_b) AS BIGINT) AS dist
          |FROM pr WHERE levenshtein(w_a, w_b) <= 1""".stripMargin,
+
+    // re-reads the very file writeTsv produced and replays the parse +
+    // checksum; header (nvecs, dim) derived INDEPENDENTLY from the .fbin
+    // byte length and the TSV line shape (see the q98 query comment)
+    "q98_tsv_export" ->
+      s"""WITH raw AS (SELECT content FROM read_text('${tmpArtifact("tsv", dir, ".tsv")}')),
+         |lines AS (SELECT unnest(string_split(rtrim(content, chr(10)), chr(10))) AS line
+         |  FROM raw),
+         |vals AS (SELECT string_split(line, chr(9)) AS vs FROM lines),
+         |agg AS (SELECT count(*) AS n_lines,
+         |    CAST(sum(len(vs)) AS BIGINT) AS n_vals,
+         |    CAST(sum(list_sum(list_transform(vs, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))) AS BIGINT)
+         |      AS checksum,
+         |    max(len(vs)) AS dmax FROM vals),
+         |hdr AS (SELECT octet_length(content) AS sz
+         |  FROM read_blob('${tmpArtifact("fbin", dir, ".fbin")}'))
+         |SELECT n_lines, n_vals, checksum,
+         |  CAST((sz - 8) // (4 * dmax) AS INT) AS nvecs_hdr,
+         |  CAST(dmax AS INT) AS dim_hdr
+         |FROM agg, hdr""".stripMargin,
 
     // stage chain mirrors q83 (normalize) + q64 (gopher) + q24 (keeper) +
     // q79 (pack) fragments verbatim over the planted messy/dup corpus

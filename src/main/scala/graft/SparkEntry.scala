@@ -812,6 +812,16 @@ object SparkEntry {
           lit(nv).as("nvecs_hdr"), lit(dm).as("dim_hdr"))
     }),
 
+    // ---- M9: REAL WAV codec (RIFF/PCM16 in pure byte math, the audio
+    // twin of q66's BMP): deterministic signal -> WAV encode -> chunk-walk
+    // decode -> all-integer amplitude stats over the DECODED samples +
+    // format-defined file size. The oracle replays the signal formula —
+    // any header, endianness, or two's-complement bug breaks the hash.
+    // Audio thereby leaves the stub; only video remains declared-stub.
+    "q99_wav_codec" -> ((s, dir) =>
+      Multimodal.wavRoundTripStats(s,
+        Tables.documents(s, dir).select(col("doc_id").as("id")))),
+
     // ---- the full corpus-prep pipeline composed in ONE plan:
     // mess/dup plant -> normalize -> Gopher quality filter -> exact-dup
     // keeper (messy variants collapse to one survivor via the canonical
@@ -2425,6 +2435,29 @@ object SparkEntry {
          |  CAST((sz - 8) // (4 * dmax) AS INT) AS nvecs_hdr,
          |  CAST(dmax AS INT) AS dim_hdr
          |FROM agg, hdr""".stripMargin,
+
+    // pure-integer replay of the synthetic PCM signal (syntheticPcm):
+    // interleaved sample i = (id*7919 + i*2663) % 65536 - 32768; the
+    // engine's output came off a real encode->decode round trip, so
+    // equality here proves the codec, not just the formula
+    "q99_wav_codec" ->
+      s"""WITH sig AS (SELECT doc_id AS id,
+         |    8000 + (doc_id % 3) * 4000 AS rate,
+         |    1 + doc_id % 2 AS ch,
+         |    (200 + doc_id % 57) * (1 + doc_id % 2) AS n
+         |  FROM documents),
+         |sm AS (SELECT id, rate, ch, n,
+         |    list_transform(generate_series(0, n - 1), i ->
+         |      (id * 7919 + i * 2663) % 65536 - 32768) AS s
+         |  FROM sig)
+         |SELECT id, CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+         |  CAST(n // ch AS BIGINT) AS n_frames,
+         |  CAST(44 + 2 * n AS INT) AS n_bytes,
+         |  CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak,
+         |  CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT) AS sum_abs,
+         |  CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq,
+         |  CAST((n // ch) * 1000 // rate AS BIGINT) AS dur_ms
+         |FROM sm""".stripMargin,
 
     // stage chain mirrors q83 (normalize) + q64 (gopher) + q24 (keeper) +
     // q79 (pack) fragments verbatim over the planted messy/dup corpus

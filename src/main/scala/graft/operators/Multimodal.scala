@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * byte math (encodeBmp / decodeBmp — oracle-checked end-to-end by q66)
   * and PNG/JPEG through the pure-JDK ImageIO (encodePng / decodeImage —
   * javax.imageio ships with the JRE, no native libraries; q74
-  * oracle-checks the PNG round trip). Audio/video formats (WAV/MP4) would
-  * need codec libraries this container doesn't ship, so `fakeDecode`
-  * remains a clearly-marked DETERMINISTIC STUB for those — it derives
+  * oracle-checks the PNG round trip). Audio has a REAL codec too: RIFF/
+  * WAVE PCM16 is pure byte math like BMP (encodeWav / decodeWav —
+  * oracle-checked end-to-end by q99). Only VIDEO (MP4) would need codec
+  * libraries this container doesn't ship, so `fakeDecode` remains a
+  * clearly-marked DETERMINISTIC STUB for that one format — it derives
   * "metadata" from real bytes of the payload. Everything around the codec
   * boundary (binary schema, typed Dataset kernel, partition-wise batching,
   * feature vectors, frame sampling) is the real Spark plumbing a
@@ -214,12 +216,24 @@ object Multimodal {
 
   /** Dispatching decoder: real BMP parse for image/bmp, real ImageIO
     * decode for image/png and image/jpeg (header width/height, channels=3,
-    * checksum over DECODED pixels); the declared stub only for audio/video
-    * formats the JDK has no codec for. A payload that CLAIMS to be an
-    * image but fails decoding degrades to the stub path instead of killing
-    * the job — one corrupt asset must not fail a partition. */
+    * checksum over DECODED pixels), real RIFF/PCM16 parse for audio/wav
+    * (width = frames, height = sample rate, checksum over DECODED
+    * samples); the declared stub only for video formats the JDK has no
+    * codec for. A payload that CLAIMS to be a decodable type but fails
+    * parsing degrades to the stub path instead of killing the job — one
+    * corrupt asset must not fail a partition. */
   def decodeAsset(a: Asset): Decoded =
-    if (a.media_type == "image/bmp") {
+    if (a.media_type == "audio/wav") {
+      try {
+        val (rate, ch, samples) = decodeWav(a.content)
+        Decoded(a.id, a.media_type, a.content.length,
+          width = samples.length / ch, height = rate, channels = ch,
+          checksum = pcmCrc(samples))
+      } catch {
+        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+          fakeDecode(a)
+      }
+    } else if (a.media_type == "image/bmp") {
       try {
         val (w, h, rgb) = decodeBmp(a.content)
         Decoded(a.id, a.media_type, a.content.length, w, h, 3, pixelCrc(rgb))
@@ -372,8 +386,167 @@ object Multimodal {
     }.toDF("id", "width", "height", "pix_sum")
   }
 
-  /** STUB decoder — stands in for an image/audio codec. Reads real bytes,
-    * produces deterministic pseudo-metadata. */
+  // --------------------------------------------------------------------
+  // REAL codec #3: WAV (RIFF/WAVE, 16-bit PCM) in pure byte math — the
+  // reference's binary-codec family (utils.py:91-193) applied to audio:
+  // a fixed little-endian header + raw samples, no library needed. The
+  // canonical encoder emits the minimal 44-byte header; the decoder walks
+  // the chunk list (tolerating extra chunks such as LIST/INFO before
+  // `data`, with RIFF's odd-size pad byte) so reference-produced files
+  // parse too.
+  // --------------------------------------------------------------------
+
+  private def le16(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = (v & 0xff).toByte
+    out(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def wr4cc(out: Array[Byte], off: Int, cc: String): Unit = {
+    var i = 0
+    while (i < 4) { out(off + i) = cc.charAt(i).toByte; i += 1 }
+  }
+  private def is4cc(b: Array[Byte], off: Int, cc: String): Boolean =
+    b(off) == cc.charAt(0).toByte && b(off + 1) == cc.charAt(1).toByte &&
+      b(off + 2) == cc.charAt(2).toByte && b(off + 3) == cc.charAt(3).toByte
+
+  /** Encode interleaved 16-bit PCM samples as a canonical RIFF/WAVE file:
+    * 44-byte header (RIFF + fmt(16) + data) followed by little-endian
+    * samples. Output size is format-defined (44 + 2·n) and part of the
+    * oracle contract, like the BMP encoder's. */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, "sampleRate and channels must be positive")
+    require(samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of channels=$channels")
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    wr4cc(out, 0, "RIFF"); le32(out, 4, 36 + dataSize); wr4cc(out, 8, "WAVE")
+    wr4cc(out, 12, "fmt "); le32(out, 16, 16)
+    le16(out, 20, 1) // PCM
+    le16(out, 22, channels)
+    le32(out, 24, sampleRate)
+    le32(out, 28, sampleRate * channels * 2) // byte rate
+    le16(out, 32, channels * 2) // block align
+    le16(out, 34, 16) // bits per sample
+    wr4cc(out, 36, "data"); le32(out, 40, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      le16(out, 44 + i * 2, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Decode a RIFF/WAVE PCM16 payload back to (sampleRate, channels,
+    * interleaved samples). Walks the chunk list — `fmt ` and `data` may be
+    * separated by other chunks (LIST/INFO/fact), each padded to an even
+    * boundary per the RIFF spec. Header fields are untrusted: validated
+    * and bounded before any allocation. */
+  def decodeWav(wav: Array[Byte]): (Int, Int, Array[Short]) = {
+    require(wav.length >= 44 && is4cc(wav, 0, "RIFF") && is4cc(wav, 8, "WAVE"),
+      "not a RIFF/WAVE file")
+    var off = 12
+    var sampleRate = 0
+    var channels = 0
+    var haveFmt = false
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= wav.length && (dataOff < 0 || !haveFmt)) {
+      val size = rd32(wav, off + 4)
+      require(size >= 0 && off + 8 + size.toLong <= wav.length,
+        s"chunk at $off exceeds payload (size=$size)")
+      if (is4cc(wav, off, "fmt ")) {
+        require(size >= 16, "fmt chunk too short")
+        require(rd16(wav, off + 8) == 1, "only PCM (format 1) supported")
+        channels = rd16(wav, off + 10)
+        sampleRate = rd32(wav, off + 12)
+        require(rd16(wav, off + 22) == 16, "only 16-bit PCM supported")
+        require(channels > 0 && channels <= 64, s"implausible channel count $channels")
+        require(sampleRate > 0 && sampleRate <= (1 << 20),
+          s"implausible sample rate $sampleRate")
+        haveFmt = true
+      } else if (is4cc(wav, off, "data")) {
+        dataOff = off + 8
+        dataLen = size
+      }
+      off += 8 + size + (size & 1) // RIFF pads odd chunks to even length
+    }
+    require(haveFmt, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    require(dataLen % 2 == 0, s"odd PCM16 data length $dataLen")
+    val n = dataLen / 2
+    require(n % channels == 0, s"data not frame-aligned: $n samples, $channels channels")
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((wav(dataOff + i * 2) & 0xff) |
+        ((wav(dataOff + i * 2 + 1) & 0xff) << 8)).toShort
+      i += 1
+    }
+    (sampleRate, channels, samples)
+  }
+
+  /** Masked rolling checksum over decoded samples (the PCM twin of
+    * [[pixelCrc]] — unsigned 16-bit view of each sample). */
+  private def pcmCrc(samples: Array[Short]): Long = {
+    var crc = 0L
+    var i = 0
+    while (i < samples.length) { crc = (crc * 31 + (samples(i) & 0xffff)) & 0xffffffffL; i += 1 }
+    crc
+  }
+
+  /** Deterministic PCM16 test signal for id: interleaved sample i =
+    * ((id·7919 + i·2663) mod 65536) − 32768 (full 16-bit swing, negative
+    * values exercise two's-complement LE encoding); 200 + id%57 frames,
+    * 8000 + (id%3)·4000 Hz, 1 + id%2 channels (stereo rows exercise
+    * blockAlign). Pure integer math — the DuckDB oracle replays it
+    * exactly. */
+  def syntheticPcm(id: Long): (Int, Int, Array[Short]) = {
+    val rate = (8000 + (id % 3) * 4000).toInt
+    val channels = (1 + id % 2).toInt
+    val n = (200 + id % 57).toInt * channels
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      s(i) = (((id * 7919 + i * 2663) % 65536) - 32768).toShort
+      i += 1
+    }
+    (rate, channels, s)
+  }
+
+  /** End-to-end WAV round trip as a distributed kernel: per id, build the
+    * deterministic signal, ENCODE to real RIFF/PCM16 bytes, DECODE back,
+    * and report amplitude stats over the DECODED samples plus the
+    * format-defined file size. All-integer outputs (peak / sum of |s| /
+    * sum of s² / floor-div duration) — no float order sensitivity; the
+    * oracle recomputes everything straight from the signal formula, so any
+    * header, endianness, or sign bug changes the output. */
+  def wavRoundTripStats(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("id")).as[Long].map { id =>
+      val (rate, ch, samples) = syntheticPcm(id)
+      val wav = encodeWav(rate, ch, samples)
+      val (dRate, dCh, back) = decodeWav(wav)
+      require(dRate == rate && dCh == ch && back.length == samples.length,
+        s"wav round-trip shape mismatch for $id")
+      var sumAbs = 0L
+      var sumSq = 0L
+      var peak = 0
+      back.foreach { sVal =>
+        val v = sVal.toInt
+        val a = math.abs(v)
+        sumAbs += a
+        sumSq += v.toLong * v
+        if (a > peak) peak = a
+      }
+      val frames = back.length / dCh
+      (id, dRate, dCh, frames.toLong, wav.length, peak, sumAbs, sumSq,
+        frames.toLong * 1000L / dRate)
+    }.toDF("id", "sample_rate", "channels", "n_frames", "n_bytes", "peak",
+      "sum_abs", "sum_sq", "dur_ms")
+  }
+
+  /** STUB decoder — stands in for a video codec (and the degrade path for
+    * payloads that claim a decodable type but fail parsing). Reads real
+    * bytes, produces deterministic pseudo-metadata. */
   def fakeDecode(a: Asset): Decoded = {
     val n = a.content.length
     val b0 = if (n > 0) a.content(0) & 0xff else 0

@@ -72,6 +72,41 @@ class TextStreamSpec extends SparkSpec {
     assert(dec.width === w0 && dec.height === h0 && dec.channels === 3)
   }
 
+  test("WAV codec: exact round-trip; chunk walk tolerates extra chunks; corrupt falls back") {
+    // round-trip identity across mono/stereo and all three sample rates
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L)) {
+      val (rate, ch, samples) = Multimodal.syntheticPcm(id)
+      val wav = Multimodal.encodeWav(rate, ch, samples)
+      assert(wav.length === 44 + 2 * samples.length)
+      val (dRate, dCh, back) = Multimodal.decodeWav(wav)
+      assert(dRate === rate && dCh === ch)
+      assert(back.toSeq === samples.toSeq, s"round-trip mismatch for id=$id")
+    }
+    // a LIST chunk (odd size -> pad byte) between fmt and data must not
+    // confuse the chunk walk — reference-produced WAVs carry INFO chunks
+    val (rate, ch, samples) = Multimodal.syntheticPcm(7L)
+    val plain = Multimodal.encodeWav(rate, ch, samples)
+    val info = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 'I', 'N', 'F', 'O', 'x', 0)
+    val withList = plain.take(36) ++ info ++ plain.drop(36)
+    // fix RIFF size field (bytes 4-7) for the inserted chunk
+    val riffSize = withList.length - 8
+    for (i <- 0 until 4) withList(4 + i) = ((riffSize >> (8 * i)) & 0xff).toByte
+    val (r2, c2, back2) = Multimodal.decodeWav(withList)
+    assert(r2 === rate && c2 === ch && back2.toSeq === samples.toSeq)
+    // dispatching decoder: real WAV metadata (frames, rate, channels)
+    val dec = Multimodal.decodeAsset(Multimodal.Asset(7L, "audio/wav", plain))
+    assert(dec.width === samples.length / ch && dec.height === rate &&
+      dec.channels === ch)
+    // corrupt payload degrades to the stub instead of failing
+    val junk = Array.fill[Byte](64)(42)
+    val fake = Multimodal.decodeAsset(Multimodal.Asset(8L, "audio/wav", junk))
+    assert(fake === Multimodal.fakeDecode(Multimodal.Asset(8L, "audio/wav", junk)))
+    // truncated data chunk is rejected, not silently mis-decoded
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(plain.take(plain.length - 3))
+    }
+  }
+
   test("imageDHash: hash matches a hand computation; bucket sizes consistent") {
     import graft.operators.Multimodal
     val ids = Seq(3L, 12L, 3L + 63L).toDF("id") // 3 and 66 share (w,h) dims

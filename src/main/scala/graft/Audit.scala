@@ -200,6 +200,19 @@ object Audit {
     audit("q96_prep_pipeline")(
       ("packing tail is RDD two-phase (pinned counts)", p =>
         p.contains("SerializeFromObject") && !p.contains("Exchange")))
+    audit("q100_graph_ann")(
+      // driver-known route set -> literal isin over the partitionBy
+      // layout: the probe path reads ONLY routed shards' files
+      ("routed-shard partition pruning on index scans", p =>
+        p.contains("PartitionFilters: [shard_id") && p.contains(" IN (")),
+      // every beam expansion keys on (shard_id, id) — a nested loop would
+      // mean the traversal degenerated to frontier x shard
+      ("adjacency expansion equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      // per-round beam cut (ef) and the final top-k both run as partial
+      // per-partition limits before their shuffles
+      ("beam + final top-k partial limits", p =>
+        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4))
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Corpus, Dedup, Intervals, Kanndi, Knn, Multimodal, Packing, Pq, Sharding, ShardedSearch, Sketches, Skew, Sq, Stats, Streaming, TextStats}
+import graft.operators.{AsOfJoin, Corpus, Dedup, GraphAnn, Intervals, Kanndi, Knn, Multimodal, Packing, Pq, Sharding, ShardedSearch, Sketches, Skew, Sq, Stats, Streaming, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -270,17 +270,10 @@ object SparkEntry {
 
     // ---- index-on-disk end-to-end: writeSharded partitionBy(shard_id)
     // layout -> pruned read -> routed search (same result set as q08)
-    "q53_sharded_layout" -> ((s, dir) => {
-      val path = s"/tmp/graft_shards_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val cents = fitCentroidsMemo(s, dir)
-      fileOnce.computeIfAbsent(path, _ => {
-        val pts = Tables.points(s, dir)
-        Sharding.writeSharded(pts, Sharding.assign(pts, cents), path)
-        true
-      })
+    "q53_sharded_layout" -> ((s, dir) =>
       ShardedSearch.search(
-        s.read.parquet(path), Tables.queryPoints(s, dir), cents, k = 10, t = Params.t)
-    }),
+        s.read.parquet(shardedLayoutPath(s, dir)), Tables.queryPoints(s, dir),
+        fitCentroidsMemo(s, dir), k = 10, t = Params.t)),
 
     // ---- M8: winnowing (MOSS) fingerprint over rolling char-k-gram hashes
     "q49_winnowing" -> ((s, dir) =>
@@ -822,6 +815,36 @@ object SparkEntry {
       Multimodal.wavRoundTripStats(s,
         Tables.documents(s, dir).select(col("doc_id").as("id")))),
 
+    // ---- graph-index ANN (the reference's per-shard HNSW probe,
+    // utils.py:271-304 + kanndi_search.py:51): beam search over persisted
+    // per-shard neighbor lists, reading ONLY the routed shards' partitions
+    // (driver-known route set -> isin partition filter; Audit asserts).
+    // The oracle replays the ENTIRE traversal — graph build, entry
+    // points, every beam round — as an unrolled CTE chain, so the hash
+    // proves the distributed operator computes its sequential semantics.
+    "q100_graph_ann" -> ((s, dir) => graphAnnResult(s, dir)),
+
+    // ---- the graph probe scored on BOTH axes (recall.py:34-83):
+    // recall_vs_exact bundles router loss + beam loss (q09 measures the
+    // router alone: 0.58 at t=2 — the deliberate t-knob trade); the
+    // probe's OWN contract is recall_vs_scan — what the beam kept of the
+    // exhaustive scan over the SAME routed shards — and that carries the
+    // >= target flag. Both replayed by the oracle.
+    "q101_graph_recall" -> ((s, dir) => {
+      val graph = graphAnnResult(s, dir)
+      val exact = Knn.knnExact(Tables.points(s, dir), queryBatchDf(s, dir), 10)
+      val scan = ShardedSearch.search(
+        s.read.parquet(shardedLayoutPath(s, dir)), queryBatchDf(s, dir),
+        fitCentroidsMemo(s, dir), k = 10, t = Params.t)
+      ShardedSearch.recallAtK(exact, graph, 10)
+        .select(col("n_queries"), col("recall").as("recall_vs_exact"))
+        .crossJoin(
+          ShardedSearch.recallAtK(scan, graph, 10)
+            .select(col("recall").as("recall_vs_scan")))
+        .withColumn("meets_target",
+          col("recall_vs_scan") >= Params.graphRecallTarget)
+    }),
+
     // ---- the full corpus-prep pipeline composed in ONE plan:
     // mess/dup plant -> normalize -> Gopher quality filter -> exact-dup
     // keeper (messy variants collapse to one survivor via the canonical
@@ -1021,6 +1044,75 @@ object SparkEntry {
       true
     })
     tmp
+  }
+
+  /** The partitionBy(shard_id) point layout on disk (S8) — shared by q53
+    * (routed search over the layout) and the graph index (q100/q101, whose
+    * adjacency lives NEXT TO this layout). */
+  private def shardedLayoutPath(s: SparkSession, dir: String): String = {
+    val path = tmpArtifact("shards", dir, "")
+    fileOnce.computeIfAbsent(path, _ => {
+      val pts = Tables.points(s, dir)
+      Sharding.writeSharded(pts, Sharding.assign(pts, fitCentroidsMemo(s, dir)), path)
+      true
+    })
+    path
+  }
+
+  /** The persisted graph index beside the shard layout: `adj` = per-point
+    * neighbor lists (partitionBy(shard_id) — a probe reads only routed
+    * shards' lists), `ep` = per-shard entry points (tiny). Building it is
+    * index-build work, like the PQ codes or the KANNDI rounds. */
+  private def graphIndexDir(s: SparkSession, dir: String): String = {
+    val base = tmpArtifact("graphidx", dir, "")
+    fileOnce.computeIfAbsent(base, _ => {
+      val sharded = s.read.parquet(shardedLayoutPath(s, dir))
+      GraphAnn.buildShardGraph(sharded, Params.graphDegree)
+        .repartition(col("shard_id"))
+        .sortWithinPartitions(col("shard_id"), col("src"))
+        .write.mode("overwrite").partitionBy("shard_id").parquet(s"$base/adj")
+      GraphAnn.entryPoints(sharded, fitCentroidsMemo(s, dir), Params.graphEntries)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/ep")
+      true
+    })
+    base
+  }
+
+  /** Driver-computed (qid, qvec, shard_id) route pairs as a tiny
+    * single-partition frame — the graph probe's broadcast side. Routing on
+    * the driver (vs ShardedSearch.route) makes the routed shard SET a plan
+    * literal, so the layout + adjacency scans get a partition-pruning
+    * `isin` filter (the Audit-asserted "probe reads only routed shards"). */
+  private def graphRoutesDf(s: SparkSession, dir: String): DataFrame = {
+    val qb = queryBatchMemoArr(s, dir)
+    val qv = qb.toMap
+    val routes = Pq.routeLit(qb, centroidArrMemo(s, dir), t = Params.t)
+    import org.apache.spark.sql.types._
+    val rows = routes.map { case (qid, sid) =>
+      org.apache.spark.sql.Row(qid, qv(qid).toSeq, sid)
+    }
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("qid", LongType, false),
+        StructField("qvec", ArrayType(FloatType, false), false),
+        StructField("shard_id", IntegerType, false))))
+  }
+
+  /** The graph-ANN probe over the persisted index (q100; q101 scores it):
+    * prune every index artifact to the driver-known routed shards, then
+    * run the fixed-round beam. */
+  private def graphAnnResult(s: SparkSession, dir: String): DataFrame = {
+    val base = graphIndexDir(s, dir)
+    val routedShards = Pq.routeLit(queryBatchMemoArr(s, dir),
+      centroidArrMemo(s, dir), t = Params.t).map(_._2).distinct.sorted.toSeq
+    val layout = s.read.parquet(shardedLayoutPath(s, dir))
+      .where(col("shard_id").isin(routedShards: _*))
+    val adj = s.read.parquet(s"$base/adj")
+      .where(col("shard_id").isin(routedShards: _*))
+    val ep = s.read.parquet(s"$base/ep")
+    GraphAnn.beamSearch(layout, adj, ep, graphRoutesDf(s, dir),
+      k = 10, ef = Params.beamEf, rounds = Params.beamRounds)
   }
 
   /** RDD ids backing cross-query memos (KANNDI assignment, PQ codes).
@@ -1239,6 +1331,19 @@ object SparkEntry {
     /** Training-sequence length for the q79/q86 packing queries (docs
       * average ~30 tokens, so blocks mix 2-3 documents). */
     val blockTokens = 64L
+    /** Graph-index knobs (q100/q101): neighbor-list degree (reference HNSW
+      * M=16, utils.py:284 — scaled to testdata shard sizes), entry points
+      * per shard, beam width (HNSW ef), and fixed expansion rounds (the
+      * bounded stand-in for HNSW's converge loop; E + rounds·ef·degree
+      * bounds the per-probe work). */
+    val graphDegree = 8
+    val graphEntries = 4
+    val beamEf = 8
+    val beamRounds = 3
+    /** q101's recall floor for the graph probe vs the exhaustive scan of
+      * the SAME routed shards — the loss the beam itself is responsible
+      * for (router loss is q09's number, bought deliberately with t). */
+    val graphRecallTarget = 0.9
     /** WordPiece vocab for q91: single-char starters + continuations give
       * a total fallback (no word can hit [UNK] except by design), and the
       * multi-char pieces exercise the longest-match-wins path. */
@@ -2459,6 +2564,50 @@ object SparkEntry {
          |  CAST((n // ch) * 1000 // rate AS BIGINT) AS dur_ms
          |FROM sm""".stripMargin,
 
+    // the full graph-ANN traversal — build, entries, every beam round —
+    // replayed sequentially; hash equality proves the distributed beam
+    // computes exactly these rows
+    "q100_graph_ann" ->
+      s"""WITH ${Oracles.graphAnnCtes(Params.k, Params.iters, 25, 10, Params.t,
+           Params.graphDegree, Params.graphEntries, Params.beamEf, Params.beamRounds)}
+         |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM gres""".stripMargin,
+
+    // both recall axes replayed: vs global exact kNN (router + beam loss)
+    // and vs the `routed` exhaustive scan of the same shards (beam loss
+    // alone — the axis that carries the target flag)
+    "q101_graph_recall" ->
+      s"""WITH ${Oracles.graphAnnCtes(Params.k, Params.iters, 25, 10, Params.t,
+           Params.graphDegree, Params.graphEntries, Params.beamEf, Params.beamRounds)},
+         |exact_p AS (
+         |  SELECT qs.qid, pts.id AS neighbor_id,
+         |    round(${Oracles.l2("qs.qvec", "pts.vec")}, 4) AS dist
+         |  FROM qs CROSS JOIN pts
+         |),
+         |exact AS (SELECT qid, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rn
+         |  FROM exact_p) WHERE rn <= 10),
+         |hits_e AS (
+         |  SELECT g.qid, count(*) AS n_hits
+         |  FROM gres g JOIN exact e ON e.qid = g.qid AND e.neighbor_id = g.neighbor_id
+         |  GROUP BY g.qid),
+         |allq_e AS (SELECT DISTINCT qid FROM exact),
+         |rec_e AS (SELECT count(*) AS n_queries,
+         |    round(avg(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10), 6) AS recall
+         |  FROM allq_e LEFT JOIN hits_e h USING (qid)),
+         |hits_s AS (
+         |  SELECT g.qid, count(*) AS n_hits
+         |  FROM gres g JOIN routed r ON r.qid = g.qid AND r.neighbor_id = g.neighbor_id
+         |  GROUP BY g.qid),
+         |allq_s AS (SELECT DISTINCT qid FROM routed),
+         |rec_s AS (SELECT
+         |    round(avg(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10), 6) AS recall
+         |  FROM allq_s LEFT JOIN hits_s h USING (qid))
+         |SELECT rec_e.n_queries, rec_e.recall AS recall_vs_exact,
+         |  rec_s.recall AS recall_vs_scan,
+         |  rec_s.recall >= ${Params.graphRecallTarget} AS meets_target
+         |FROM rec_e, rec_s""".stripMargin,
+
     // stage chain mirrors q83 (normalize) + q64 (gopher) + q24 (keeper) +
     // q79 (pack) fragments verbatim over the planted messy/dup corpus
     "q96_prep_pipeline" -> {
@@ -2744,6 +2893,62 @@ object Oracles {
        |rkd AS (SELECT qid, id AS neighbor_id, shard_id, dist,
        |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk FROM cand),
        |routed AS (SELECT * FROM rkd WHERE rnk <= $topK)""".stripMargin
+
+  /** Graph-index ANN CTEs on top of [[routedCtes]] (whose `sp`, `routes`,
+    * `cfin` relations feed the build): `gadj` = exact degree-G per-shard
+    * adjacency, `gep` = per-shard entry points, `gv0..gvR` = the unrolled
+    * beam rounds (frontier = top-ef of everything evaluated, expand
+    * neighbor lists, dedup), final `gres` (qid, rnk, neighbor_id, dist,
+    * shard_id) — the sequential semantics GraphAnn.beamSearch must
+    * reproduce exactly. */
+  def graphAnnCtes(k: Int, iters: Int, stride: Int, topK: Int, t: Int,
+      degree: Int, entries: Int, ef: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(routedCtes(k, iters, stride, topK, t))
+    sb.append(",\n")
+    sb.append(
+      s"""gap AS (SELECT a.shard_id, a.id AS src, b.id AS dst,
+         |    round(${l2("a.vec", "b.vec")}, 4) AS d
+         |  FROM sp a JOIN sp b ON a.shard_id = b.shard_id AND a.id <> b.id),
+         |gadj AS (SELECT shard_id, src, dst FROM (
+         |  SELECT shard_id, src, dst,
+         |    row_number() OVER (PARTITION BY shard_id, src ORDER BY d, dst) AS rn
+         |  FROM gap) WHERE rn <= $degree),
+         |gep AS (SELECT shard_id, id FROM (
+         |  SELECT s.shard_id, s.id,
+         |    row_number() OVER (PARTITION BY s.shard_id
+         |      ORDER BY round(${l2("s.vec", "c.centroid")}, 4), s.id) AS rn
+         |  FROM sp s JOIN cfin c ON c.shard_id = s.shard_id) WHERE rn <= $entries),
+         |gv0 AS (SELECT r.qid, r.shard_id, e.id,
+         |    round(${l2("r.qvec", "p.vec")}, 4) AS dist
+         |  FROM routes r JOIN gep e ON e.shard_id = r.shard_id
+         |  JOIN sp p ON p.shard_id = e.shard_id AND p.id = e.id),
+         |""".stripMargin)
+    for (r <- 1 to rounds) {
+      val prev = s"gv${r - 1}"
+      sb.append(
+        s"""gf$r AS (SELECT qid, shard_id, id FROM (
+           |  SELECT qid, shard_id, id,
+           |    row_number() OVER (PARTITION BY qid, shard_id ORDER BY dist, id) AS rn
+           |  FROM $prev) WHERE rn <= $ef),
+           |gn$r AS (SELECT DISTINCT f.qid, f.shard_id, a.dst AS id
+           |  FROM gf$r f JOIN gadj a ON a.shard_id = f.shard_id AND a.src = f.id),
+           |gv$r AS (SELECT DISTINCT qid, shard_id, id, dist FROM (
+           |  SELECT qid, shard_id, id, dist FROM $prev
+           |  UNION ALL
+           |  SELECT n.qid, n.shard_id, n.id,
+           |    round(${l2("r.qvec", "p.vec")}, 4) AS dist
+           |  FROM gn$r n JOIN routes r ON r.qid = n.qid AND r.shard_id = n.shard_id
+           |  JOIN sp p ON p.shard_id = n.shard_id AND p.id = n.id)),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""gres AS (SELECT qid, rnk, neighbor_id, dist, shard_id FROM (
+         |  SELECT qid, id AS neighbor_id, shard_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+         |  FROM gv$rounds) WHERE rnk <= $topK)""".stripMargin)
+    sb.toString
+  }
 
   /** Unrolled fixed-d KANNDI (mirrors Kanndi.shardAuto with adaptive=false):
     * d = rounded sample median, capacity = N/m, m greedy rounds of

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Graph-index ANN: per-shard neighbor lists + fixed-round beam search —
+  * the engine's sub-linear in-shard probe, replacing the exact in-shard
+  * scan the same way the reference's per-shard HNSW does
+  * (src/util/utils.py:271-304, M=16 efConstruction=200;
+  * kanndi_search.py:51 opens ONE routed shard and queries its index).
+  *
+  * Index = two artifacts persisted NEXT TO the sharded point layout
+  * (both partitioned by shard_id, so a probe reads only routed shards):
+  *   - adjacency: per point, its `degree` nearest same-shard neighbors
+  *     (the graph HNSW's layer-0 approximates);
+  *   - entry points: the `e` points nearest each shard's centroid (the
+  *     deterministic stand-in for HNSW's top-layer descent).
+  *
+  * Search = `rounds` SYNCHRONOUS beam expansions per (query, routed
+  * shard): frontier := top-ef of everything evaluated so far; evaluate
+  * the frontier's neighbor lists; finish with a global per-query top-k
+  * across the routed shards. A fixed round count instead of HNSW's
+  * converge-while loop keeps every step a bounded relational operator —
+  * each round is one equi-join against the adjacency (|Q|·t·ef rows vs
+  * the shard-pruned lists) + one distance map + one distinct — and makes
+  * the whole search replayable as an unrolled SQL CTE chain, which is how
+  * the DuckDB oracle hash-checks it end-to-end (q100). Every ranking is
+  * on the 4-dp-rounded distance with id tie-break (FIXTURES.md), so the
+  * traversal is deterministic across engines and partitionings.
+  *
+  * Scale: per probe the work is E + rounds·ef·degree distance kernels
+  * per routed shard — O(ef·degree·rounds), independent of shard size —
+  * vs the exact scan's O(shard). The adjacency join keys on
+  * (shard_id, id); nothing is all-pairs at query time. The BUILD step
+  * ([[buildShardGraph]]) is within-shard O(s²) here — exact, so the
+  * oracle can replay it; at 100 TB substitute [[Knn.knnGraph]] run per
+  * shard (the SRP-bucketed approximate builder, q87) — the search
+  * operator only consumes (shard_id, src, dst) and is builder-agnostic,
+  * exactly as HNSW search is agnostic to construction heuristics.
+  */
+object GraphAnn {
+
+  /** Exact degree-`degree` kNN adjacency per shard (shard_id, src, dst):
+    * within-shard equi-join + per-src WindowGroupLimit — the index-BUILD
+    * pass (run once, persisted partitionBy(shard_id)). Ties broken by
+    * dst id on the rounded distance, mirroring the exact-kNN convention,
+    * so the graph is byte-identical to the oracle's replay. */
+  def buildShardGraph(sharded: DataFrame, degree: Int): DataFrame = {
+    val a = sharded.select(col("shard_id"), col("id").as("src"), col("vec").as("svec"))
+    val b = sharded.select(col("shard_id"), col("id").as("dst"), col("vec").as("dvec"))
+    val w = Window.partitionBy(col("shard_id"), col("src"))
+      .orderBy(col("dist"), col("dst"))
+    a.join(b, Seq("shard_id"))
+      .where(col("src") =!= col("dst"))
+      .withColumn("dist", round(l2Dist(col("svec"), col("dvec")), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= degree)
+      .select(col("shard_id"), col("src"), col("dst"))
+  }
+
+  /** Per-shard entry points: the `e` points nearest the shard centroid
+    * (rounded dist, id tie-break) — the deterministic replacement for
+    * HNSW's upper-layer descent, computed once at build time. */
+  def entryPoints(sharded: DataFrame, centroids: DataFrame, e: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("dc"), col("id"))
+    sharded.join(broadcast(centroids), "shard_id")
+      .withColumn("dc", round(l2Dist(col("vec"), col("centroid")), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= e)
+      .select(col("shard_id"), col("id"))
+  }
+
+  /** Beam search over the persisted graph index.
+    *
+    * @param shardedPoints (shard_id, id, vec) — the point layout, pruned
+    *   to routed shards by the caller (an `isin` over the driver-known
+    *   route set hits the parquet partition filter)
+    * @param adjacency (shard_id, src, dst) — [[buildShardGraph]] output,
+    *   same pruning
+    * @param entries (shard_id, id) — [[entryPoints]] output
+    * @param routes (qid, qvec, shard_id) — one row per (query, routed
+    *   shard); tiny (bounded by the MAXIMUM_QUERIES contract × t), rides
+    *   as a broadcast
+    * @return (qid, rank, neighbor_id, dist, shard_id), rank <= k — the
+    *   same shape as ShardedSearch.search, so recall tooling composes
+    */
+  def beamSearch(
+      shardedPoints: DataFrame,
+      adjacency: DataFrame,
+      entries: DataFrame,
+      routes: DataFrame,
+      k: Int,
+      ef: Int,
+      rounds: Int): DataFrame = {
+    val vecs = shardedPoints.select(col("shard_id"), col("id"), col("vec"))
+    val routesB = broadcast(routes.select(col("qid"), col("qvec"), col("shard_id")))
+    // distance-annotate a (qid, shard_id, id) node set: one equi-join to
+    // the (pruned) vectors + the broadcast route pair for qvec
+    def annotate(nodes: DataFrame): DataFrame =
+      nodes
+        .join(vecs, Seq("shard_id", "id"))
+        .join(routesB, Seq("qid", "shard_id"))
+        .withColumn("dist", round(l2Dist(col("qvec"), col("vec")), 4))
+        .select(col("qid"), col("shard_id"), col("id"), col("dist"))
+    var visited = annotate(
+      routes.select(col("qid"), col("shard_id"))
+        .join(entries, "shard_id")
+        .select(col("qid"), col("shard_id"), col("id")))
+    val wBeam = Window.partitionBy(col("qid"), col("shard_id"))
+      .orderBy(col("dist"), col("id"))
+    for (_ <- 1 to rounds) {
+      // frontier = best ef of everything evaluated so far (best-first
+      // beam); WindowGroupLimit keeps the per-partition sort partial
+      val frontier = visited
+        .withColumn("rn", row_number().over(wBeam))
+        .where(col("rn") <= ef)
+        .select(col("qid"), col("shard_id"), col("id"))
+      val nbrs = frontier
+        .join(adjacency.withColumnRenamed("src", "id"), Seq("shard_id", "id"))
+        .select(col("qid"), col("shard_id"), col("dst").as("id"))
+        .distinct()
+      // distinct after the union dedups re-discovered nodes; dist is a
+      // pure function of (qid, id) so the row set stays well-defined. At
+      // cluster scale each round's visited would be checkpointed; at
+      // bounded `rounds` the composed plan is fine as one DAG.
+      visited = visited.unionByName(annotate(nbrs)).distinct()
+    }
+    val wFin = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    visited
+      .withColumn("rank", row_number().over(wFin))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        col("dist"), col("shard_id"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphAnn, Sharding, ShardedSearch}
+
+class GraphAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // small fixture: the beam operator composes `rounds` join+distinct
+  // stages into ONE plan, so a saturated-ef test over the full table
+  // would spend minutes in planning alone
+  private lazy val pts = Tables.points(spark, sf0).where(col("id") < 150)
+    .localCheckpoint()
+  private lazy val cents = Sharding.fitCentroids(spark, pts, k = 3, iters = 2)
+    .localCheckpoint()
+  private lazy val sharded = pts
+    .join(Sharding.assign(pts, cents).select("id", "shard_id"), "id")
+    .select(col("shard_id"), col("id"), col("vec"))
+    .localCheckpoint()
+  private lazy val queries = Tables.queryPoints(spark, sf0, stride = 25)
+    .where(col("qid") < 150).localCheckpoint()
+
+  test("buildShardGraph: adjacency is the exact per-shard kNN with id tie-break") {
+    val deg = 3
+    val adj = GraphAnn.buildShardGraph(sharded, deg).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // brute-force replay on the driver
+    val all = sharded.select(col("shard_id"), col("id"), col("vec")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    def d(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      for (i <- a.indices) { val v = a(i).toDouble - b(i).toDouble; s += v * v }
+      math.rint(math.sqrt(s) * 1e4) / 1e4
+    }
+    val expected = all.flatMap { case (sid, id, v) =>
+      all.filter(o => o._1 == sid && o._2 != id)
+        .map(o => (d(v, o._3), o._2))
+        .sorted.take(deg)
+        .map { case (_, nbr) => (sid, id, nbr) }
+    }
+    assert(adj.toSet === expected.toSet)
+    // every node has exactly min(deg, shardSize-1) out-edges
+    val shardSizes = all.groupBy(_._1).map { case (sid, xs) => sid -> xs.length }
+    val outDeg = adj.groupBy(x => (x._1, x._2)).map { case (k, xs) => k -> xs.length }
+    outDeg.foreach { case ((sid, _), n) =>
+      assert(n === math.min(deg, shardSizes(sid) - 1))
+    }
+  }
+
+  test("beamSearch visits only routed shards and equals the exhaustive scan when the beam covers the shard") {
+    val adj = GraphAnn.buildShardGraph(sharded, degree = 8)
+    val ep = GraphAnn.entryPoints(sharded, cents, e = 4)
+    val routes = ShardedSearch.route(queries, cents, t = 2)
+      .select(col("qid"), col("qvec"), col("shard_id"))
+    // ef larger than any shard and enough rounds: the beam must become the
+    // exhaustive routed scan IF the graph is connected enough; with ef >=
+    // shard size the frontier IS the whole visited set, so after enough
+    // rounds everything reachable from the entries is evaluated
+    val maxShard = sharded.groupBy("shard_id").count()
+      .agg(max("count")).head().getLong(0).toInt
+    val beam = GraphAnn.beamSearch(sharded, adj, ep, routes,
+      k = 10, ef = maxShard, rounds = 5)
+    val scan = ShardedSearch.search(sharded, queries, cents, k = 10, t = 2)
+    val b = beam.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val sc = scan.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // graph reachability can in principle drop isolated points; on this
+    // data the saturated beam reproduces the scan exactly
+    assert(b === sc)
+    // routed-shard containment: no result may come from an un-routed shard
+    val routedSet = routes.select("qid", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    GraphAnn.beamSearch(sharded, adj, ep, routes, k = 10, ef = 4, rounds = 2)
+      .select(col("qid"), col("shard_id")).collect()
+      .foreach(r => assert(routedSet.contains((r.getLong(0), r.getInt(1)))))
+  }
+
+  test("beamSearch is deterministic and ranks (rounded dist, id)") {
+    val adj = GraphAnn.buildShardGraph(sharded, degree = 4)
+    val ep = GraphAnn.entryPoints(sharded, cents, e = 2)
+    val routes = ShardedSearch.route(queries, cents, t = 2)
+      .select(col("qid"), col("qvec"), col("shard_id"))
+    def run() = GraphAnn.beamSearch(sharded, adj, ep, routes,
+      k = 5, ef = 4, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val a = run()
+    assert(a === run())
+    // ranks are dense 1..k' per query and ordered by (dist, id)
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.toSeq.sortBy(_._2)
+      assert(byRank.map(_._2) === (1 to byRank.size))
+      val sorted = byRank.sortBy(x => (x._4, x._3))
+      assert(sorted.map(_._2) === (1 to byRank.size))
+    }
+  }
+
+  test("entryPoints: e nearest the shard centroid, id tie-break") {
+    val e = 3
+    val got = GraphAnn.entryPoints(sharded, cents, e).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val cm = cents.collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val all = sharded.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val expected = all.groupBy(_._1).toSeq.flatMap { case (sid, xs) =>
+      val c = cm(sid)
+      xs.map { case (_, id, v) =>
+        var s = 0.0
+        for (i <- v.indices) { val d = v(i).toDouble - c(i); s += d * d }
+        (math.rint(math.sqrt(s) * 1e4) / 1e4, id)
+      }.sorted.take(e).map { case (_, id) => (sid, id) }
+    }.toSet
+    assert(got === expected)
+  }
+}

@@ -1145,6 +1145,9 @@ object SparkEntry {
     pqCbMemo(s, dir)                                         // q43-q45/q50
     pqCodesWideMemoDf(s, dir)
     ivfCodesMemoDf(s, dir)
+    fbinArtifact(s, dir)                                     // q48/q98 file
+    shardedLayoutPath(s, dir)                                // q53 layout
+    graphIndexDir(s, dir)                                    // q100/q101 index
   }
 
   /** localCheckpoint + pin the materialized blocks (see [[pinnedRddIds]]). */

@@ -213,6 +213,12 @@ object Audit {
       // per-partition limits before their shuffles
       ("beam + final top-k partial limits", p =>
         p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4))
+    audit("q102_graph_insert")(
+      // incremental merge: batch-keyed equi-joins + the per-src re-cut —
+      // a nested loop would mean old x union degenerated to all-pairs
+      ("batch equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("per-src re-cut partial limit", _.contains("WindowGroupLimit")))
     spark.stop()
   }
 }

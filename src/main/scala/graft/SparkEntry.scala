@@ -824,6 +824,22 @@ object SparkEntry {
     // proves the distributed operator computes its sequential semantics.
     "q100_graph_ann" -> ((s, dir) => graphAnnResult(s, dir)),
 
+    // ---- incremental index maintenance: a new batch spliced into the
+    // persisted per-shard graph by MERGING old lists with batch distances
+    // only (|old|·|batch| kernels, linear in the batch) — the oracle
+    // rebuilds the whole graph over the union from scratch, so the hash
+    // proves the incremental path is EXACTLY the rebuild
+    "q102_graph_insert" -> ((s, dir) => {
+      val sharded = s.read.parquet(shardedLayoutPath(s, dir))
+        .select(col("shard_id"), col("id"), col("vec"))
+      val adj = s.read.parquet(s"${graphIndexDir(s, dir)}/adj")
+      val batch = Tables.points(s, dir).where(col("id") % 10 === 0)
+        .select((col("id") + 100000).as("id"), col("vec"))
+      val assigned = Sharding.assignLit(batch, centroidArrMemo(s, dir), keepVec = true)
+        .select(col("shard_id"), col("id"), col("vec"))
+      GraphAnn.insertBatch(sharded, adj, assigned, Params.graphDegree)
+    }),
+
     // ---- the graph probe scored on BOTH axes (recall.py:34-83):
     // recall_vs_exact bundles router loss + beam loss (q09 measures the
     // router alone: 0.58 at t=2 — the deliberate t-knob trade); the
@@ -2610,6 +2626,30 @@ object SparkEntry {
          |  rec_s.recall AS recall_vs_scan,
          |  rec_s.recall >= ${Params.graphRecallTarget} AS meets_target
          |FROM rec_e, rec_s""".stripMargin,
+
+    // from-scratch rebuild over old ∪ batch — the incremental merge must
+    // hash-equal it edge for edge (batch assigned with the engine ranking
+    // convention, rounded dist + shard_id tie, as in q78)
+    "q102_graph_insert" ->
+      s"""WITH ${Oracles.assignCtes(Params.k, Params.iters)},
+         |sp AS (SELECT p.id, p.vec, a.shard_id FROM pts p JOIN asg a USING (id)),
+         |nb AS (SELECT id + 100000 AS id, vec FROM pts WHERE id % 10 = 0),
+         |fa2 AS (SELECT n.id, n.vec, c.shard_id,
+         |    round(${Oracles.l2("n.vec", "c.centroid")}, 4) AS d
+         |  FROM nb n CROSS JOIN cfin c),
+         |nba AS (SELECT id, vec, shard_id FROM (
+         |  SELECT id, vec, shard_id,
+         |    row_number() OVER (PARTITION BY id ORDER BY d, shard_id) AS rn FROM fa2)
+         |  WHERE rn = 1),
+         |u AS (SELECT id, vec, shard_id FROM sp
+         |  UNION ALL SELECT id, vec, shard_id FROM nba),
+         |gap2 AS (SELECT a.shard_id, a.id AS src, b.id AS dst,
+         |    round(${Oracles.l2("a.vec", "b.vec")}, 4) AS dist
+         |  FROM u a JOIN u b ON a.shard_id = b.shard_id AND a.id <> b.id)
+         |SELECT shard_id, src, dst, dist FROM (
+         |  SELECT shard_id, src, dst, dist,
+         |    row_number() OVER (PARTITION BY shard_id, src ORDER BY dist, dst) AS rn
+         |  FROM gap2) WHERE rn <= ${Params.graphDegree}""".stripMargin,
 
     // stage chain mirrors q83 (normalize) + q64 (gopher) + q24 (keeper) +
     // q79 (pack) fragments verbatim over the planted messy/dup corpus

@@ -43,11 +43,13 @@ import graft.functions.VectorFunctions._
   */
 object GraphAnn {
 
-  /** Exact degree-`degree` kNN adjacency per shard (shard_id, src, dst):
-    * within-shard equi-join + per-src WindowGroupLimit — the index-BUILD
-    * pass (run once, persisted partitionBy(shard_id)). Ties broken by
-    * dst id on the rounded distance, mirroring the exact-kNN convention,
-    * so the graph is byte-identical to the oracle's replay. */
+  /** Exact degree-`degree` kNN adjacency per shard (shard_id, src, dst,
+    * dist): within-shard equi-join + per-src WindowGroupLimit — the
+    * index-BUILD pass (run once, persisted partitionBy(shard_id)). Ties
+    * broken by dst id on the rounded distance, mirroring the exact-kNN
+    * convention, so the graph is byte-identical to the oracle's replay.
+    * The edge distance is persisted with the edge: [[insertBatch]] merges
+    * against it without re-running the build's distance kernels. */
   def buildShardGraph(sharded: DataFrame, degree: Int): DataFrame = {
     val a = sharded.select(col("shard_id"), col("id").as("src"), col("vec").as("svec"))
     val b = sharded.select(col("shard_id"), col("id").as("dst"), col("vec").as("dvec"))
@@ -58,7 +60,56 @@ object GraphAnn {
       .withColumn("dist", round(l2Dist(col("svec"), col("dvec")), 4))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= degree)
-      .select(col("shard_id"), col("src"), col("dst"))
+      .select(col("shard_id"), col("src"), col("dst"), col("dist"))
+  }
+
+  /** Incremental index maintenance: splice a batch of NEW points into an
+    * existing per-shard graph WITHOUT a rebuild — the daily reality of a
+    * 100 TB corpus that grows. Each new point gets its exact top-`degree`
+    * list over its whole shard; each EXISTING point's list is its old
+    * list MERGED with its distances to the new batch only, re-cut at
+    * `degree`. That merge is EXACT, not approximate: the old list is
+    * already the top-`degree` among old members, so no old edge outside
+    * it can enter the union's top-`degree` — GraphAnnSpec asserts
+    * byte-equality with a from-scratch rebuild over the union, and the
+    * q102 oracle replays the rebuild independently.
+    *
+    * Cost per shard: |old|·|batch| + |batch|·|shard| distance kernels vs
+    * the rebuild's |shard|² — linear in the batch, which is what makes
+    * daily ingest viable. All joins key on shard_id (the batch side is
+    * the small one); the re-cut is the same per-src WindowGroupLimit as
+    * the build.
+    *
+    * @param sharded   existing points (shard_id, id, vec)
+    * @param adjacency existing lists (shard_id, src, dst, dist) —
+    *                  [[buildShardGraph]] output
+    * @param batch     new points, already assigned (shard_id, id, vec);
+    *                  ids must be disjoint from `sharded`'s
+    * @return the updated adjacency (shard_id, src, dst, dist)
+    */
+  def insertBatch(
+      sharded: DataFrame,
+      adjacency: DataFrame,
+      batch: DataFrame,
+      degree: Int): DataFrame = {
+    val oldPts = sharded.select(col("shard_id"), col("id"), col("vec"))
+    val newPts = batch.select(col("shard_id"), col("id"), col("vec"))
+    val allPts = oldPts.unionByName(newPts)
+    def edges(src: DataFrame, dst: DataFrame): DataFrame =
+      src.select(col("shard_id"), col("id").as("src"), col("vec").as("svec"))
+        .join(dst.select(col("shard_id"), col("id").as("dst"), col("vec").as("dvec")),
+          Seq("shard_id"))
+        .where(col("src") =!= col("dst"))
+        .withColumn("dist", round(l2Dist(col("svec"), col("dvec")), 4))
+        .select(col("shard_id"), col("src"), col("dst"), col("dist"))
+    val w = Window.partitionBy(col("shard_id"), col("src"))
+      .orderBy(col("dist"), col("dst"))
+    edges(newPts, allPts) // new srcs: full shard candidates
+      .unionByName(edges(oldPts, newPts)) // old srcs: batch candidates only
+      .unionByName(adjacency.select(col("shard_id"), col("src"), col("dst"), col("dist")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= degree)
+      .select(col("shard_id"), col("src"), col("dst"), col("dist"))
   }
 
   /** Per-shard entry points: the `e` points nearest the shard centroid

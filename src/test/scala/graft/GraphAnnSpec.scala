@@ -94,6 +94,25 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("insertBatch is byte-identical to a from-scratch rebuild over the union") {
+    val deg = 5
+    val centArr = cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val batch = pts.where(col("id") % 7 === 0)
+      .select((col("id") + 10000).as("id"), col("vec"))
+    val aB = Sharding.assignLit(batch, centArr, keepVec = true)
+      .select(col("shard_id"), col("id"), col("vec")).localCheckpoint()
+    val adj = GraphAnn.buildShardGraph(sharded, deg)
+    val inc = GraphAnn.insertBatch(sharded, adj, aB, deg).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = GraphAnn.buildShardGraph(sharded.unionByName(aB), deg).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(inc === full)
+    // and the batch really changed the graph (old lists were re-cut)
+    val old = adj.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(old.exists(e => !inc.contains(e)), "no old edge was displaced — vacuous test")
+  }
+
   test("entryPoints: e nearest the shard centroid, id tie-break") {
     val e = 3
     val got = GraphAnn.entryPoints(sharded, cents, e).collect()

@@ -213,6 +213,15 @@ object Audit {
       // per-partition limits before their shuffles
       ("beam + final top-k partial limits", p =>
         p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4))
+    audit("q103_graph_pq_probe")(
+      // DiskANN shape: the WALK prices nodes by PQ codes; raw vectors are
+      // scanned exactly once, by the exact-refine tail
+      ("raw vectors scanned once (refine only)", p =>
+        p.linesIterator.count(l => l.contains("FileScan") && l.contains("vec:array")) == 1),
+      ("no nested-loop join", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("routed-shard partition pruning", p =>
+        p.contains("PartitionFilters: [shard_id") && p.contains(" IN (")))
     audit("q102_graph_insert")(
       // incremental merge: batch-keyed equi-joins + the per-src re-cut —
       // a nested loop would mean old x union degenerated to all-pairs

@@ -840,6 +840,53 @@ object SparkEntry {
       GraphAnn.insertBatch(sharded, adj, assigned, Params.graphDegree)
     }),
 
+    // ---- the DiskANN-shaped probe: graph traversal priced by PQ codes
+    // (LUT literal — no raw vectors touched during the walk), exact
+    // re-rank only for the top k·refine survivors. The beam core is
+    // q100's; only the annotator changes. Oracle replays the ADC matrix +
+    // the same unrolled traversal + the exact refine.
+    "q103_graph_pq_probe" -> ((s, dir) => {
+      val base = graphIndexDir(s, dir)
+      val qb = queryBatchMemoArr(s, dir)
+      val cb = pqCbMemo(s, dir)
+      val routesArr = Pq.routeLit(qb, centroidArrMemo(s, dir), t = Params.t)
+      val routedShards = routesArr.map(_._2).distinct.sorted.toSeq
+      val adj = s.read.parquet(s"$base/adj")
+        .where(col("shard_id").isin(routedShards: _*))
+      val ep = s.read.parquet(s"$base/ep")
+      val codes = ivfCodesMemoDf(s, dir)
+      val lut = Pq.lutMapLit(qb, cb)
+      val annot = (nodes: DataFrame) => nodes
+        .join(codes.select(col("id"), col("codes")), "id")
+        .select(col("qid"), col("shard_id"), col("id"),
+          Pq.adcDist(col("codes"), element_at(lut, col("qid")), cb).as("dist"))
+      val visited = GraphAnn.beamVisit(annot, adj, ep,
+        graphRoutesDf(s, dir).select(col("qid"), col("shard_id")),
+        ef = Params.beamEf, rounds = Params.beamRounds)
+      // exact refine: raw vectors touched ONLY for the k·refine survivors
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+      val cand = visited
+        .withColumn("rn", row_number().over(wA))
+        .where(col("rn") <= 10 * Params.graphRefine)
+        .select(col("qid"), col("shard_id"), col("id"))
+      val qvecMap = typedLit(qb.map { case (qid, qv) => qid -> qv.toSeq }.toMap)
+      val layout = s.read.parquet(shardedLayoutPath(s, dir))
+        .where(col("shard_id").isin(routedShards: _*))
+        .select(col("shard_id"), col("id"), col("vec"))
+      val wE = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+      cand
+        .join(layout, Seq("shard_id", "id"))
+        .withColumn("dist",
+          round(graft.functions.VectorFunctions.l2Dist(
+            element_at(qvecMap, col("qid")), col("vec")), 4))
+        .withColumn("rank", row_number().over(wE))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+          col("dist"), col("shard_id"))
+    }),
+
     // ---- the graph probe scored on BOTH axes (recall.py:34-83):
     // recall_vs_exact bundles router loss + beam loss (q09 measures the
     // router alone: 0.58 at t=2 — the deliberate t-knob trade); the
@@ -1363,6 +1410,9 @@ object SparkEntry {
       * the SAME routed shards — the loss the beam itself is responsible
       * for (router loss is q09's number, bought deliberately with t). */
     val graphRecallTarget = 0.9
+    /** q103's exact-refine multiplier (DiskANN-style: re-rank the top
+      * k·refine approximate survivors with full-precision distances). */
+    val graphRefine = 3
     /** WordPiece vocab for q91: single-char starters + continuations give
       * a total fallback (no word can hit [UNK] except by design), and the
       * multi-char pieces exercise the longest-match-wins path. */
@@ -2651,6 +2701,14 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY shard_id, src ORDER BY dist, dst) AS rn
          |  FROM gap2) WHERE rn <= ${Params.graphDegree}""".stripMargin,
 
+    // graph walk priced by the replayed ADC matrix + exact re-rank of the
+    // top k·refine — the engine touched raw vectors only in the refine
+    "q103_graph_pq_probe" ->
+      s"""WITH ${Oracles.graphPqCtes(Params.k, Params.iters, 25, 10, Params.t,
+           Params.graphDegree, Params.graphEntries, Params.beamEf, Params.beamRounds,
+           m = 8, dsub = 8, kCode = 16, refine = Params.graphRefine)}
+         |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM pqres""".stripMargin,
+
     // stage chain mirrors q83 (normalize) + q64 (gopher) + q24 (keeper) +
     // q79 (pack) fragments verbatim over the planted messy/dup corpus
     "q96_prep_pipeline" -> {
@@ -2944,25 +3002,32 @@ object Oracles {
     * neighbor lists, dedup), final `gres` (qid, rnk, neighbor_id, dist,
     * shard_id) — the sequential semantics GraphAnn.beamSearch must
     * reproduce exactly. */
+  /** Shared graph-BUILD fragment (`gap`/`gadj`/`gep`) over routedCtes'
+    * `sp`/`cfin` — the exact per-shard adjacency + entry points both the
+    * exact probe (q100) and the PQ probe (q103) traverse. */
+  private def graphBuildFrag(degree: Int, entries: Int): String =
+    s"""gap AS (SELECT a.shard_id, a.id AS src, b.id AS dst,
+       |    round(${l2("a.vec", "b.vec")}, 4) AS d
+       |  FROM sp a JOIN sp b ON a.shard_id = b.shard_id AND a.id <> b.id),
+       |gadj AS (SELECT shard_id, src, dst FROM (
+       |  SELECT shard_id, src, dst,
+       |    row_number() OVER (PARTITION BY shard_id, src ORDER BY d, dst) AS rn
+       |  FROM gap) WHERE rn <= $degree),
+       |gep AS (SELECT shard_id, id FROM (
+       |  SELECT s.shard_id, s.id,
+       |    row_number() OVER (PARTITION BY s.shard_id
+       |      ORDER BY round(${l2("s.vec", "c.centroid")}, 4), s.id) AS rn
+       |  FROM sp s JOIN cfin c ON c.shard_id = s.shard_id) WHERE rn <= $entries)""".stripMargin
+
   def graphAnnCtes(k: Int, iters: Int, stride: Int, topK: Int, t: Int,
       degree: Int, entries: Int, ef: Int, rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(routedCtes(k, iters, stride, topK, t))
     sb.append(",\n")
+    sb.append(graphBuildFrag(degree, entries))
+    sb.append(",\n")
     sb.append(
-      s"""gap AS (SELECT a.shard_id, a.id AS src, b.id AS dst,
-         |    round(${l2("a.vec", "b.vec")}, 4) AS d
-         |  FROM sp a JOIN sp b ON a.shard_id = b.shard_id AND a.id <> b.id),
-         |gadj AS (SELECT shard_id, src, dst FROM (
-         |  SELECT shard_id, src, dst,
-         |    row_number() OVER (PARTITION BY shard_id, src ORDER BY d, dst) AS rn
-         |  FROM gap) WHERE rn <= $degree),
-         |gep AS (SELECT shard_id, id FROM (
-         |  SELECT s.shard_id, s.id,
-         |    row_number() OVER (PARTITION BY s.shard_id
-         |      ORDER BY round(${l2("s.vec", "c.centroid")}, 4), s.id) AS rn
-         |  FROM sp s JOIN cfin c ON c.shard_id = s.shard_id) WHERE rn <= $entries),
-         |gv0 AS (SELECT r.qid, r.shard_id, e.id,
+      s"""gv0 AS (SELECT r.qid, r.shard_id, e.id,
          |    round(${l2("r.qvec", "p.vec")}, 4) AS dist
          |  FROM routes r JOIN gep e ON e.shard_id = r.shard_id
          |  JOIN sp p ON p.shard_id = e.shard_id AND p.id = e.id),
@@ -2990,6 +3055,67 @@ object Oracles {
          |  SELECT qid, id AS neighbor_id, shard_id, dist,
          |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
          |  FROM gv$rounds) WHERE rnk <= $topK)""".stripMargin)
+    sb.toString
+  }
+
+  /** The DiskANN-shaped probe replayed sequentially (q103): the SAME graph
+    * build as [[graphAnnCtes]], the beam priced by the full ADC matrix
+    * (`gadist`, from pqCtes' codebooks + codes), exact re-rank of the
+    * top-(topK·refine) survivors. Final relation `pqres`. */
+  def graphPqCtes(k: Int, iters: Int, stride: Int, topK: Int, t: Int,
+      degree: Int, entries: Int, ef: Int, rounds: Int,
+      m: Int, dsub: Int, kCode: Int, refine: Int): String = {
+    val sb = new StringBuilder
+    sb.append(routedCtes(k, iters, stride, topK, t))
+    sb.append(",\n")
+    sb.append(pqCtes(m, dsub, kCode, withPts = false))
+    sb.append(",\n")
+    sb.append(graphBuildFrag(degree, entries))
+    sb.append(",\n")
+    val qsubU = (0 until m).map { s0 =>
+      val lo = s0 * dsub + 1
+      val hi = s0 * dsub + dsub
+      s"SELECT id AS qid, $s0 AS sub, vec[$lo:$hi] AS qsv FROM pts WHERE id % $stride = 0"
+    }.mkString("\nUNION ALL ")
+    sb.append(
+      s"""pqsub AS ($qsubU),
+         |glut AS (SELECT q.qid, q.sub, c.code, ${l2sqFrag("q.qsv", "c.centroid", dsub)} AS pd
+         |  FROM pqsub q JOIN cb c ON c.sub = q.sub),
+         |gadist AS (SELECT l.qid, e.id, round(sqrt(sum(l.pd)), 4) AS dist
+         |  FROM encall e JOIN glut l ON l.sub = e.sub AND l.code = e.code
+         |  GROUP BY l.qid, e.id),
+         |pv0 AS (SELECT r.qid, r.shard_id, e.id, d.dist
+         |  FROM routes r JOIN gep e ON e.shard_id = r.shard_id
+         |  JOIN gadist d ON d.qid = r.qid AND d.id = e.id),
+         |""".stripMargin)
+    for (r <- 1 to rounds) {
+      val prev = s"pv${r - 1}"
+      sb.append(
+        s"""pf$r AS (SELECT qid, shard_id, id FROM (
+           |  SELECT qid, shard_id, id,
+           |    row_number() OVER (PARTITION BY qid, shard_id ORDER BY dist, id) AS rn
+           |  FROM $prev) WHERE rn <= $ef),
+           |pn$r AS (SELECT DISTINCT f.qid, f.shard_id, a.dst AS id
+           |  FROM pf$r f JOIN gadj a ON a.shard_id = f.shard_id AND a.src = f.id),
+           |pv$r AS (SELECT DISTINCT qid, shard_id, id, dist FROM (
+           |  SELECT qid, shard_id, id, dist FROM $prev
+           |  UNION ALL
+           |  SELECT n.qid, n.shard_id, n.id, d.dist
+           |  FROM pn$r n JOIN gadist d ON d.qid = n.qid AND d.id = n.id)),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""pcand AS (SELECT qid, shard_id, id FROM (
+         |  SELECT qid, shard_id, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+         |  FROM pv$rounds) WHERE rn <= ${topK * refine}),
+         |pex AS (SELECT c.qid, c.shard_id, c.id,
+         |    round(${l2("q.qvec", "p.vec")}, 4) AS dist
+         |  FROM pcand c JOIN qs q ON q.qid = c.qid JOIN pts p ON p.id = c.id),
+         |pqres AS (SELECT qid, rnk, neighbor_id, dist, shard_id FROM (
+         |  SELECT qid, id AS neighbor_id, shard_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+         |  FROM pex) WHERE rnk <= $topK)""".stripMargin)
     sb.toString
   }
 

@@ -156,8 +156,36 @@ object GraphAnn {
         .join(routesB, Seq("qid", "shard_id"))
         .withColumn("dist", round(l2Dist(col("qvec"), col("vec")), 4))
         .select(col("qid"), col("shard_id"), col("id"), col("dist"))
+    val visited = beamVisit(annotate,
+      adjacency, entries, routes.select(col("qid"), col("shard_id")), ef, rounds)
+    val wFin = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    visited
+      .withColumn("rank", row_number().over(wFin))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        col("dist"), col("shard_id"))
+  }
+
+  /** The beam CORE with a caller-supplied distance annotator — the knob
+    * that turns the exact probe into the DiskANN-shaped one (traverse on
+    * PQ approximate distances, annotator = LUT lookup against the codes
+    * table; see SparkEntry q103). Returns the full VISITED set
+    * (qid, shard_id, id, dist); callers cut their own final ranking.
+    *
+    * @param annotate maps a (qid, shard_id, id) node set to the same set
+    *   plus a deterministic `dist` column — MUST be a pure function of
+    *   (qid, id) or the visited-set dedup is ill-defined
+    * @param routePairs (qid, shard_id) — the routed pairs; seeds the beam
+    *   with each routed shard's entry points */
+  def beamVisit(
+      annotate: DataFrame => DataFrame,
+      adjacency: DataFrame,
+      entries: DataFrame,
+      routePairs: DataFrame,
+      ef: Int,
+      rounds: Int): DataFrame = {
     var visited = annotate(
-      routes.select(col("qid"), col("shard_id"))
+      routePairs.select(col("qid"), col("shard_id"))
         .join(entries, "shard_id")
         .select(col("qid"), col("shard_id"), col("id")))
     val wBeam = Window.partitionBy(col("qid"), col("shard_id"))
@@ -179,11 +207,6 @@ object GraphAnn {
       // bounded `rounds` the composed plan is fine as one DAG.
       visited = visited.unionByName(annotate(nbrs)).distinct()
     }
-    val wFin = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
     visited
-      .withColumn("rank", row_number().over(wFin))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
-        col("dist"), col("shard_id"))
   }
 }

@@ -259,6 +259,18 @@ object Pq {
       element_at(lut, lit(s * k + 1) + element_at(codes, s + 1))
     }.reduce(_ + _)), 4)
 
+  /** The literal qid -> flat-LUT map for a driver query batch — the
+    * composition surface other operators (GraphAnn's PQ-probe annotator,
+    * SparkEntry q103) use to price a codes row for a query:
+    * `adcDist(codes, element_at(lutMapLit(qs, cb), qid), cb)`. */
+  def lutMapLit(queries: Array[(Long, Array[Float])], cb: CodebookLit): Column =
+    typedLit(queries.map { case (qid, qvec) => qid -> lutFlat(qvec, cb).toSeq }.toMap)
+
+  /** Public face of [[adcDistCol]] for composition with a [[lutMapLit]]
+    * lookup. */
+  def adcDist(codes: Column, lut: Column, cb: CodebookLit): Column =
+    adcDistCol(codes, lut, cb.m, cb.k)
+
   /** Per-query (qid, lut) literal structs, qid-sorted for determinism. */
   private def qlutLits(queries: Array[(Long, Array[Float])], cb: CodebookLit) =
     queries.sortBy(_._1).map { case (qid, qvec) =>

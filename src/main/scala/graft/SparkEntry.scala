@@ -887,6 +887,37 @@ object SparkEntry {
           col("dist"), col("shard_id"))
     }),
 
+    // ---- streaming ANN SERVING end to end: queries arrive as a real
+    // Structured Streaming source, each micro-batch probes the STATIC
+    // graph index (foreachBatch -> routed beam -> append), and the
+    // accumulated results are hash-checked to be ROW-IDENTICAL to the
+    // batch probe — serving ≡ batch, like q60's ingest ≡ batch build
+    "q104_stream_serving" -> ((s, dir) => {
+      val base = tmpArtifact("servann", dir, "")
+      val idx = graphIndexDir(s, dir)
+      fileOnce.computeIfAbsent(base, _ => {
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(del)
+          f.delete()
+        }
+        val root = new java.io.File(base)
+        if (root.exists) del(root)
+        val qs = queryBatchDf(s, dir)
+        qs.write.parquet(s"$base/incoming")
+        val stream = s.readStream.schema(qs.schema).parquet(s"$base/incoming")
+        val q = Streaming.serveGraphAnn(stream,
+          shardedLayoutPath(s, dir), s"$idx/adj", s"$idx/ep",
+          centroidArrMemo(s, dir), k = 10, t = Params.t,
+          ef = Params.beamEf, rounds = Params.beamRounds,
+          s"$base/results", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        true
+      })
+      s.read.parquet(s"$base/results")
+        .select(col("qid"), col("rank"), col("neighbor_id"), col("dist"),
+          col("shard_id"))
+    }),
+
     // ---- the graph probe scored on BOTH axes (recall.py:34-83):
     // recall_vs_exact bundles router loss + beam loss (q09 measures the
     // router alone: 0.58 at t=2 — the deliberate t-knob trade); the
@@ -2708,6 +2739,14 @@ object SparkEntry {
            Params.graphDegree, Params.graphEntries, Params.beamEf, Params.beamRounds,
            m = 8, dsub = 8, kCode = 16, refine = Params.graphRefine)}
          |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM pqres""".stripMargin,
+
+    // serving ≡ batch: the streamed results must hash-equal the q100
+    // replay (every query's answer depends only on its routes + the
+    // static index, so micro-batching cannot change a row)
+    "q104_stream_serving" ->
+      s"""WITH ${Oracles.graphAnnCtes(Params.k, Params.iters, 25, 10, Params.t,
+           Params.graphDegree, Params.graphEntries, Params.beamEf, Params.beamRounds)}
+         |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM gres""".stripMargin,
 
     // stage chain mirrors q83 (normalize) + q64 (gopher) + q24 (keeper) +
     // q79 (pack) fragments verbatim over the planted messy/dup corpus

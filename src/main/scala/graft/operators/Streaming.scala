@@ -66,6 +66,58 @@ object Streaming {
       }
       .start()
 
+  /** Streaming ANN SERVING: a stream of queries probed per micro-batch
+    * against the STATIC persisted graph index (layout + adjacency + entry
+    * points — the q100 artifacts), results appended to `outPath`. The
+    * per-batch workload is collected to route on the driver (the
+    * reference's MAXIMUM_QUERIES contract bounds a serving batch, exactly
+    * as for the literal-LUT searches), which makes the routed shard set a
+    * plan literal per batch — the same isin partition pruning as the
+    * batch probe. Each query's result depends only on its own routes and
+    * the static index, so the union over micro-batches is row-identical
+    * to the batch probe over the union of workloads (q104's oracle IS the
+    * q100 replay). */
+  def serveGraphAnn(
+      queryStream: DataFrame, // streaming (qid, qvec)
+      layoutPath: String,
+      adjPath: String,
+      epPath: String,
+      centroids: Array[(Int, Array[Double])],
+      k: Int, t: Int, ef: Int, rounds: Int,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val qb = batch.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        if (qb.nonEmpty) {
+          val qv = qb.toMap
+          val routes = Pq.routeLit(qb, centroids, t)
+          val shards = routes.map(_._2).distinct.sorted.toSeq
+          import org.apache.spark.sql.types._
+          val routesDf = s.createDataFrame(
+            s.sparkContext.parallelize(
+              routes.toIndexedSeq.map { case (qid, sid) =>
+                org.apache.spark.sql.Row(qid, qv(qid).toSeq, sid)
+              }, 1),
+            StructType(Seq(
+              StructField("qid", LongType, false),
+              StructField("qvec", ArrayType(FloatType, false), false),
+              StructField("shard_id", IntegerType, false))))
+          val layout = s.read.parquet(layoutPath)
+            .where(col("shard_id").isin(shards: _*))
+          val adj = s.read.parquet(adjPath)
+            .where(col("shard_id").isin(shards: _*))
+          val ep = s.read.parquet(epPath)
+          GraphAnn.beamSearch(layout, adj, ep, routesDf, k, ef, rounds)
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(n: Long, sum: Double)
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)

@@ -935,6 +935,18 @@ object SparkEntry {
           col("shard_id"))
     }),
 
+    // ---- filtered (hybrid) graph-ANN: the q71 document predicate applied
+    // as a POST-FILTER over the beam's visited set — the walk ignores the
+    // predicate, the final cut applies it (filtered-DiskANN's baseline
+    // strategy; the trade is fewer-than-k results when the filter is
+    // selective, which the oracle replays identically)
+    "q105_graph_filtered" -> ((s, dir) => {
+      val keep = Tables.documents(s, dir)
+        .where(col("lang") === "en" && col("n_chars") >= 300)
+        .select(col("doc_id").as("id"))
+      GraphAnn.topK(graphVisited(s, dir).join(keep, "id"), k = 10)
+    }),
+
     // ---- the graph probe scored on BOTH axes (recall.py:34-83):
     // recall_vs_exact bundles router loss + beam loss (q09 measures the
     // router alone: 0.58 at t=2 — the deliberate t-knob trade); the
@@ -1220,10 +1232,11 @@ object SparkEntry {
     graphResMemo.computeIfAbsent(dir, _ =>
       pinLocalCheckpoint(graphAnnResult(s, dir).coalesce(1)))
 
-  /** The graph-ANN probe over the persisted index (q100; q101 scores it):
-    * prune every index artifact to the driver-known routed shards, then
-    * run the fixed-round beam. */
-  private def graphAnnResult(s: SparkSession, dir: String): DataFrame = {
+  /** The graph probe's VISITED set over the persisted index: prune every
+    * index artifact to the driver-known routed shards, run the
+    * fixed-round beam. q100 cuts plain top-k from it; q105 post-filters
+    * it first (the filtered-ANN pattern). */
+  private def graphVisited(s: SparkSession, dir: String): DataFrame = {
     val base = graphIndexDir(s, dir)
     val routedShards = Pq.routeLit(queryBatchMemoArr(s, dir),
       centroidArrMemo(s, dir), t = Params.t).map(_._2).distinct.sorted.toSeq
@@ -1232,9 +1245,13 @@ object SparkEntry {
     val adj = s.read.parquet(s"$base/adj")
       .where(col("shard_id").isin(routedShards: _*))
     val ep = s.read.parquet(s"$base/ep")
-    GraphAnn.beamSearch(layout, adj, ep, graphRoutesDf(s, dir),
-      k = 10, ef = Params.beamEf, rounds = Params.beamRounds)
+    GraphAnn.beamVisitExact(layout, adj, ep, graphRoutesDf(s, dir),
+      ef = Params.beamEf, rounds = Params.beamRounds)
   }
+
+  /** The graph-ANN probe over the persisted index (q100; q101 scores it). */
+  private def graphAnnResult(s: SparkSession, dir: String): DataFrame =
+    GraphAnn.topK(graphVisited(s, dir), k = 10)
 
   /** RDD ids backing cross-query memos (KANNDI assignment, PQ codes).
     * Bench clears persisted state between queries so timings don't pay
@@ -2776,6 +2793,18 @@ object SparkEntry {
            Params.graphDegree, Params.graphEntries, Params.beamEf, Params.beamRounds)}
          |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM gres""".stripMargin,
 
+    // post-filter over the replayed visited set (gvis), then the rank cut
+    // — same predicate as q71
+    "q105_graph_filtered" ->
+      s"""WITH ${Oracles.graphAnnCtes(Params.k, Params.iters, 25, 10, Params.t,
+           Params.graphDegree, Params.graphEntries, Params.beamEf, Params.beamRounds)},
+         |keep AS (SELECT doc_id AS id FROM documents
+         |  WHERE lang = 'en' AND n_chars >= 300)
+         |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM (
+         |  SELECT v.qid, v.id AS neighbor_id, v.shard_id, v.dist,
+         |    row_number() OVER (PARTITION BY v.qid ORDER BY v.dist, v.id) AS rnk
+         |  FROM gvis v JOIN keep k ON k.id = v.id) WHERE rnk <= 10""".stripMargin,
+
     // stage chain mirrors q83 (normalize) + q64 (gopher) + q24 (keeper) +
     // q79 (pack) fragments verbatim over the planted messy/dup corpus
     "q96_prep_pipeline" -> {
@@ -3118,10 +3147,11 @@ object Oracles {
            |""".stripMargin)
     }
     sb.append(
-      s"""gres AS (SELECT qid, rnk, neighbor_id, dist, shard_id FROM (
+      s"""gvis AS (SELECT * FROM gv$rounds),
+         |gres AS (SELECT qid, rnk, neighbor_id, dist, shard_id FROM (
          |  SELECT qid, id AS neighbor_id, shard_id, dist,
          |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
-         |  FROM gv$rounds) WHERE rnk <= $topK)""".stripMargin)
+         |  FROM gvis) WHERE rnk <= $topK)""".stripMargin)
     sb.toString
   }
 

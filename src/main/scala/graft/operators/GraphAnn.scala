@@ -145,6 +145,31 @@ object GraphAnn {
       routes: DataFrame,
       k: Int,
       ef: Int,
+      rounds: Int): DataFrame =
+    topK(beamVisitExact(shardedPoints, adjacency, entries, routes, ef, rounds), k)
+
+  /** Per-query top-k cut over a visited set — shared by the plain probe
+    * and its post-filtered variants. */
+  def topK(visited: DataFrame, k: Int): DataFrame = {
+    val wFin = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    visited
+      .withColumn("rank", row_number().over(wFin))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        col("dist"), col("shard_id"))
+  }
+
+  /** [[beamVisit]] with the exact-distance annotator — the full visited
+    * set, exposed so consumers can apply their own final cut (plain
+    * top-k, or a POST-FILTER for predicate-constrained retrieval: filter
+    * the visited set, then rank — the filtered-ANN pattern where the
+    * walk ignores the predicate and the cut applies it; see q105). */
+  def beamVisitExact(
+      shardedPoints: DataFrame,
+      adjacency: DataFrame,
+      entries: DataFrame,
+      routes: DataFrame,
+      ef: Int,
       rounds: Int): DataFrame = {
     val vecs = shardedPoints.select(col("shard_id"), col("id"), col("vec"))
     val routesB = broadcast(routes.select(col("qid"), col("qvec"), col("shard_id")))
@@ -156,14 +181,8 @@ object GraphAnn {
         .join(routesB, Seq("qid", "shard_id"))
         .withColumn("dist", round(l2Dist(col("qvec"), col("vec")), 4))
         .select(col("qid"), col("shard_id"), col("id"), col("dist"))
-    val visited = beamVisit(annotate,
+    beamVisit(annotate,
       adjacency, entries, routes.select(col("qid"), col("shard_id")), ef, rounds)
-    val wFin = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
-    visited
-      .withColumn("rank", row_number().over(wFin))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
-        col("dist"), col("shard_id"))
   }
 
   /** The beam CORE with a caller-supplied distance annotator — the knob

@@ -113,6 +113,41 @@ class GraphAnnSpec extends SparkSpec {
     assert(old.exists(e => !inc.contains(e)), "no old edge was displaced — vacuous test")
   }
 
+  test("serveGraphAnn: results across MULTIPLE micro-batches equal the batch probe") {
+    import graft.operators.Streaming
+    val base = java.nio.file.Files.createTempDirectory("graft_serv_spec").toString
+    // persist a tiny index for the serving query to probe
+    val layoutP = s"$base/layout"
+    sharded.write.partitionBy("shard_id").parquet(layoutP)
+    GraphAnn.buildShardGraph(sharded, degree = 4)
+      .write.partitionBy("shard_id").parquet(s"$base/adj")
+    GraphAnn.entryPoints(sharded, cents, e = 2).write.parquet(s"$base/ep")
+    val centArr = cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // the workload arrives as TWO files -> the file source feeds them as
+    // separate micro-batches (maxFilesPerTrigger=1)
+    val qs = queries.select(col("qid"), col("qvec"))
+    qs.where(col("qid") % 50 === 0).write.parquet(s"$base/incoming/a")
+    qs.where(col("qid") % 50 =!= 0).write.parquet(s"$base/incoming/b")
+    val stream = spark.readStream.schema(qs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/incoming/*")
+    val q = Streaming.serveGraphAnn(stream, layoutP, s"$base/adj", s"$base/ep",
+      centArr, k = 5, t = 2, ef = 4, rounds = 2,
+      s"$base/results", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val served = spark.read.parquet(s"$base/results").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // batch reference over the SAME artifacts and workload
+    val routes = ShardedSearch.route(qs, cents, t = 2)
+      .select(col("qid"), col("qvec"), col("shard_id"))
+    val batchRes = GraphAnn.beamSearch(
+      spark.read.parquet(layoutP), spark.read.parquet(s"$base/adj"),
+      spark.read.parquet(s"$base/ep"), routes, k = 5, ef = 4, rounds = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(served === batchRes)
+  }
+
   test("entryPoints: e nearest the shard centroid, id tie-break") {
     val e = 3
     val got = GraphAnn.entryPoints(sharded, cents, e).collect()

@@ -935,6 +935,16 @@ object SparkEntry {
           col("shard_id"))
     }),
 
+    // ---- BPE merge-rule learning (the train half of the tokenizer
+    // story; q91 is the apply half): pair-merge rounds over the
+    // vocab-sized distinct-word table — corpus-size-independent after
+    // the first count. The oracle replays every round, padded-replace
+    // overlap semantics included.
+    "q106_bpe_train" -> ((s, dir) =>
+      Corpus.bpeTrain(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+        numMerges = Params.bpeMerges)),
+
     // ---- filtered (hybrid) graph-ANN: the q71 document predicate applied
     // as a POST-FILTER over the beam's visited set — the walk ignores the
     // predicate, the final cut applies it (filtered-DiskANN's baseline
@@ -1489,6 +1499,10 @@ object SparkEntry {
     /** q103's exact-refine multiplier (DiskANN-style: re-rank the top
       * k·refine approximate survivors with full-precision distances). */
     val graphRefine = 3
+    /** q106 merge rounds (reference BPE vocabularies run to 30k+ merges;
+      * 8 keeps the unrolled oracle CTE chain readable while exercising
+      * multi-char merge composition). */
+    val bpeMerges = 8
     /** WordPiece vocab for q91: single-char starters + continuations give
       * a total fallback (no word can hit [UNK] except by design), and the
       * multi-char pieces exercise the longest-match-wins path. */
@@ -2793,6 +2807,12 @@ object SparkEntry {
            Params.graphDegree, Params.graphEntries, Params.beamEf, Params.beamRounds)}
          |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM gres""".stripMargin,
 
+    // every training round replayed: weighted pair counts, argmax with
+    // the identical tie-break, the identical 5-pass padded replace
+    "q106_bpe_train" ->
+      s"""WITH ${Oracles.bpeCtes(Params.bpeMerges)}
+         |SELECT step, lhs, rhs, merged, pair_count FROM bpe""".stripMargin,
+
     // post-filter over the replayed visited set (gvis), then the rank cut
     // — same predicate as q71
     "q105_graph_filtered" ->
@@ -3213,6 +3233,48 @@ object Oracles {
          |  SELECT qid, id AS neighbor_id, shard_id, dist,
          |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
          |  FROM pex) WHERE rnk <= $topK)""".stripMargin)
+    sb.toString
+  }
+
+  /** Unrolled BPE training rounds (mirrors Corpus.bpeTrain): distinct-word
+    * counts -> char symbols + `</w>` -> per round, weighted adjacent-pair
+    * counts, argmax by (count DESC, "l r" string ASC), and the merge
+    * applied as the SAME 5-pass padded replace the engine runs. Final
+    * relation `bpe` (step, lhs, rhs, merged, pair_count). */
+  def bpeCtes(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""bw AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word),
+         |w0 AS (SELECT word, cnt,
+         |    array_to_string(list_transform(generate_series(1, len(word)),
+         |      i -> word[i]), ' ') || ' </w>' AS sym
+         |  FROM bw),
+         |""".stripMargin)
+    for (s0 <- 1 to numMerges) {
+      val prev = s"w${s0 - 1}"
+      // 5-pass padded replace of ' l r ' -> ' lr ' (same fixpoint bound
+      // as the engine: words are <= 32 symbols)
+      val rep = (1 to 5).foldLeft(s"' ' || $prev.sym || ' '") { (acc, _) =>
+        s"replace($acc, ' ' || b$s0.pair || ' ', ' ' || replace(b$s0.pair, ' ', '') || ' ')"
+      }
+      sb.append(
+        s"""p$s0 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+           |    SELECT cnt, unnest(list_transform(generate_series(1, len(a) - 1),
+           |      i -> a[i] || ' ' || a[i + 1])) AS pair
+           |    FROM (SELECT cnt, string_split(sym, ' ') AS a FROM $prev))
+           |  GROUP BY pair),
+           |b$s0 AS (SELECT pair, c FROM p$s0 ORDER BY c DESC, pair ASC LIMIT 1),
+           |w$s0 AS (SELECT word, cnt, trim($rep) AS sym FROM $prev, b$s0),
+           |""".stripMargin)
+    }
+    val u = (1 to numMerges).map { s0 =>
+      s"""SELECT CAST($s0 AS INT) AS step, split_part(pair, ' ', 1) AS lhs,
+         |  split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged,
+         |  c AS pair_count FROM b$s0""".stripMargin
+    }.mkString("\nUNION ALL ")
+    sb.append(s"bpe AS ($u)")
     sb.toString
   }
 

@@ -77,6 +77,94 @@ object Corpus {
     * TakeOrdered (per-partition top-N, driver merge of N rows) — the
     * rank window runs AFTER the limit, over at most topN rows, so no
     * full-vocabulary single-partition sort ever happens. */
+  /** BPE merge-rule LEARNING (Sennrich et al.'s pair-merge loop) — the
+    * missing half of the tokenizer story next to
+    * [[wordpieceTokenize]]'s apply-a-vocab path.
+    *
+    * Classic BPE trains on the distinct-WORD frequency table, not the
+    * corpus: after one distributed word count, every round is a
+    * vocab-sized job — at 100 TB training cost is independent of corpus
+    * size. Each round: explode adjacent symbol pairs weighted by word
+    * count (map + small-key agg), take the argmax pair via TakeOrdered
+    * (count desc, then the `"l r"` pair string asc — symbols never
+    * contain spaces or control chars, so the string order equals the
+    * (l, r) tuple order in both engines), and apply the merge as a pure
+    * map: the symbol string is padded with spaces and `" l r "` is
+    * replaced by `" lr "` FIVE times — replace is leftmost-first
+    * non-overlapping, and a run of n identical symbols needs
+    * ceil(log2(n)) passes, so 5 passes are a fixpoint for any word of
+    * <= 32 symbols (require()d). The DuckDB oracle replays the identical
+    * padded-replace chain, so the hash pins the exact merge semantics,
+    * overlaps included.
+    *
+    * Rounds are driver-orchestrated like Lloyd's: one tiny argmax collect
+    * per round; the mutated symbol table is localCheckpoint'ed per round
+    * (vocab-sized) to keep lineage flat, superseded rounds freed.
+    *
+    * @return one row per learned rule: (step, lhs, rhs, merged,
+    *         pair_count), step 1-based in merge order */
+  def bpeTrain(docs: DataFrame, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val sc = spark.sparkContext
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // seed: one symbol per character + the word-end marker
+    var (syms, prevIds) = tracked(words.select(col("word"), col("cnt"),
+      concat(
+        array_join(
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          " "),
+        lit(" </w>")).as("sym")))
+    require(syms.where(length(col("word")) > 31).isEmpty,
+      "bpeTrain: a word exceeds 31 symbols — raise the replace-pass count")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (step <- 1 to numMerges) {
+      val best = syms
+        .select(col("cnt"), split(col("sym"), " ").as("a"))
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> concat(a[i - 1], ' ', a[i]))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        val c = best(0).getLong(1)
+        val Array(l, r) = pair.split(" ", 2)
+        merges += ((step, l, r, l + r, c))
+        var merged: org.apache.spark.sql.Column = concat(lit(" "), col("sym"), lit(" "))
+        for (_ <- 1 to 5)
+          merged = call_function("replace", merged, lit(s" $l $r "), lit(s" $l$r "))
+        val (next, ids) = tracked(
+          syms.select(col("word"), col("cnt"), trim(merged).as("sym")))
+        free(prevIds)
+        prevIds = ids
+        syms = next
+      }
+    }
+    free(prevIds)
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      sc.parallelize(merges.toIndexedSeq.map { case (s, l, r, m, c) =>
+        org.apache.spark.sql.Row(s, l, r, m, c)
+      }, 1),
+      StructType(Seq(
+        StructField("step", IntegerType, false),
+        StructField("lhs", StringType, false),
+        StructField("rhs", StringType, false),
+        StructField("merged", StringType, false),
+        StructField("pair_count", LongType, false))))
+  }
+
   def vocabulary(docs: DataFrame, minCount: Long, topN: Int): DataFrame = {
     val counts = docs
       .select(explode(split(col("text"), " ")).as("tok"))

@@ -128,4 +128,19 @@ class CorpusSpec extends SparkSpec {
       .where(col("id") === 4L).collect()(0)
     assert(r.getLong(2) === 1L) // kept in s2 (df=1 there)
   }
+
+  test("bpeTrain: hand-replayed rounds incl. overlapping runs and tie-breaks") {
+    import spark.implicits._
+    // 'aaaa' x3 exercises the overlap case: greedy left-to-right (a,a)
+    // merge must yield (aa)(aa), not (aa)a a — the padded 5-pass replace
+    // semantics the oracle also replays
+    val docs = Seq((1L, "aaaa aaaa ab"), (2L, "aaaa")).toDF("id", "text")
+    val got = Corpus.bpeTrain(docs, numMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // round 1: (a,a) weighted 3 words x 3 adjacent pairs = 9
+    assert(got(0) === ((1, "a", "a", "aa", 9L)))
+    // round 2: 'aa aa </w>' gives (aa,aa)=3 and (aa,</w>)=3 — the tie
+    // breaks on the "l r" string, '<' < 'a', so (aa,</w>) wins
+    assert(got(1) === ((2, "aa", "</w>", "aa</w>", 3L)))
+  }
 }

@@ -222,6 +222,12 @@ object Audit {
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
       ("routed-shard partition pruning", p =>
         p.contains("PartitionFilters: [shard_id") && p.contains(" IN (")))
+    audit("q107_bm25")(
+      // inverted-index shape: every join keys on term/id — a nested loop
+      // would mean query x corpus
+      ("term equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("top-k partial limit", _.contains("WindowGroupLimit")))
     audit("q102_graph_insert")(
       // incremental merge: batch-keyed equi-joins + the per-src re-cut —
       // a nested loop would mean old x union degenerated to all-pairs

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Corpus, Dedup, GraphAnn, Intervals, Kanndi, Knn, Multimodal, Packing, Pq, Sharding, ShardedSearch, Sketches, Skew, Sq, Stats, Streaming, TextStats}
+import graft.operators.{AsOfJoin, Corpus, Dedup, GraphAnn, Intervals, Kanndi, Knn, Multimodal, Packing, Pq, Retrieval, Sharding, ShardedSearch, Sketches, Skew, Sq, Stats, Streaming, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -944,6 +944,35 @@ object SparkEntry {
       Corpus.bpeTrain(
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
         numMerges = Params.bpeMerges)),
+
+    // ---- BM25 keyword retrieval (the lexical counterpart of the vector
+    // stack): queries are each 100th doc's first 3 words; scoring is
+    // term-equi-joins over the (tf, df, dl) stats — the inverted-index
+    // shape as joins, no cross product
+    "q107_bm25" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val queries = docs.where(col("id") % 100 === 0)
+        .select(col("id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+      Retrieval.bm25TopK(docs, queries, k = 10)
+    }),
+
+    // ---- hybrid retrieval: integer reciprocal-rank fusion of the BM25
+    // list and the exact vector list for the SAME query docs (text and
+    // embedding of each 100th doc) — the eval-set recall combo
+    "q108_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val queries = docs.where(col("id") % 100 === 0)
+        .select(col("id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+      val bm25 = Retrieval.bm25TopK(docs, queries, k = 10)
+        .select(col("qid"), col("rank"), col("id"))
+      val qvecs = Tables.points(s, dir).where(col("id") % 100 === 0)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val ann = Knn.knnExact(Tables.points(s, dir), qvecs, 10)
+        .select(col("qid"), col("rank"), col("neighbor_id").as("id"))
+      Retrieval.rrfFuse(Seq(bm25, ann), k = 10)
+    }),
 
     // ---- filtered (hybrid) graph-ANN: the q71 document predicate applied
     // as a POST-FILTER over the beam's visited set — the walk ignores the
@@ -2813,6 +2842,34 @@ object SparkEntry {
       s"""WITH ${Oracles.bpeCtes(Params.bpeMerges)}
          |SELECT step, lhs, rhs, merged, pair_count FROM bpe""".stripMargin,
 
+    // same stats joins, same operation order in the score
+    "q107_bm25" ->
+      s"""WITH ${Oracles.bm25Ctes(100)}
+         |SELECT qid, rnk AS "rank", id, score FROM bm25rk WHERE rnk <= 10""".stripMargin,
+
+    // integer RRF of the replayed BM25 list + the replayed exact vector
+    // list over the same query docs — fused scores are exact BIGINTs
+    "q108_hybrid_rrf" ->
+      s"""WITH ${Oracles.bm25Ctes(100)},
+         |hv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+         |  WHERE vec_id % 100 = 0),
+         |hpts AS (${Oracles.points}),
+         |hp AS (SELECT qs.qid, p.id,
+         |    round(${Oracles.l2("qs.qvec", "p.vec")}, 4) AS dist
+         |  FROM hv qs CROSS JOIN hpts p),
+         |hann AS (SELECT qid, id, rnk FROM (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+         |  FROM hp) WHERE rnk <= 10),
+         |hu AS (SELECT qid, id, 1000000000000 // (60 + rnk) AS rr FROM hann
+         |  UNION ALL
+         |  SELECT qid, id, 1000000000000 // (60 + rnk) AS rr FROM bm25rk WHERE rnk <= 10),
+         |hf AS (SELECT qid, id, CAST(sum(rr) AS BIGINT) AS fused
+         |  FROM hu GROUP BY qid, id)
+         |SELECT qid, rnk AS "rank", id, fused FROM (
+         |  SELECT qid, id, fused,
+         |    row_number() OVER (PARTITION BY qid ORDER BY fused DESC, id) AS rnk
+         |  FROM hf) WHERE rnk <= 10""".stripMargin,
+
     // post-filter over the replayed visited set (gvis), then the rank cut
     // — same predicate as q71
     "q105_graph_filtered" ->
@@ -3235,6 +3292,36 @@ object Oracles {
          |  FROM pex) WHERE rnk <= $topK)""".stripMargin)
     sb.toString
   }
+
+  /** BM25 CTEs (mirror Retrieval.bm25TopK with the q107 query derivation:
+    * each `stride`-th doc's first 3 words). Final relation `bm25rk`
+    * (qid, id, score, rnk) with rnk unbounded — cut at use. Arithmetic
+    * is written in the engine's exact operation order. */
+  def bm25Ctes(stride: Int, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""bd AS (SELECT doc_id AS id, text FROM documents),
+       |btoks AS (SELECT id, term FROM (
+       |    SELECT id, unnest(string_split(text, ' ')) AS term FROM bd)
+       |  WHERE len(term) > 0),
+       |btf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM btoks GROUP BY id, term),
+       |bdl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM btoks GROUP BY id),
+       |bn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bd),
+       |bavg AS (SELECT avg(dl) AS avgdl FROM bdl),
+       |bdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY term),
+       |bidf AS (SELECT term, ln(1 + (bn.n - df + 0.5) / (df + 0.5)) AS idf FROM bdf, bn),
+       |bq AS (SELECT DISTINCT qid, term FROM (
+       |    SELECT id AS qid, unnest((string_split(text, ' '))[1:3]) AS term
+       |    FROM bd WHERE id % $stride = 0)
+       |  WHERE len(term) > 0),
+       |bsc AS (SELECT q.qid, t.id,
+       |    round(sum(i.idf * t.tf * ${k1 + 1.0} /
+       |      (t.tf + $k1 * (${1.0 - b} + $b * d.dl / bavg.avgdl))), 4) AS score
+       |  FROM bq q JOIN bidf i ON i.term = q.term
+       |  JOIN btf t ON t.term = q.term
+       |  JOIN bdl d ON d.id = t.id, bavg
+       |  GROUP BY q.qid, t.id),
+       |bm25rk AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
+       |  FROM bsc)""".stripMargin
 
   /** Unrolled BPE training rounds (mirrors Corpus.bpeTrain): distinct-word
     * counts -> char symbols + `</w>` -> per round, weighted adjacent-pair

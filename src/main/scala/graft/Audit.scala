@@ -228,6 +228,26 @@ object Audit {
       ("term equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
       ("top-k partial limit", _.contains("WindowGroupLimit")))
+    audit("q110_dup_spans")(
+      // anchor matching is a hash-keyed equi-join back from the df>=2
+      // hash set — duplicate PAIRS are never materialized
+      ("hash equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      // winnowing min + islands sweep run in id-partitioned windows only
+      ("no global-order sort", p =>
+        !p.linesIterator.exists(l => l.contains("Sort [") && l.contains("], true"))))
+    audit("q111_bpe_encode")(
+      // distinct-words-then-join: the corpus side pays one vocab-keyed
+      // equi-join; the rule chain is a map over the distinct-word table
+      ("vocab equi-join only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("per-doc reassembly, no global sort", p =>
+        !p.linesIterator.exists(l => l.contains("Sort [") && l.contains("], true"))))
+    audit("q112_quality_classifier")(
+      // the model table is tiny by construction: pricing tokens must be a
+      // broadcast hash join, never a shuffle of the corpus on bucket
+      ("weight table broadcast", _.contains("BroadcastHashJoin")),
+      ("no nested-loop join", p => !p.contains("BroadcastNestedLoopJoin")))
     audit("q102_graph_insert")(
       // incremental merge: batch-keyed equi-joins + the per-src re-cut —
       // a nested loop would mean old x union degenerated to all-pairs

@@ -956,6 +956,39 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
         numMerges = Params.bpeMerges)),
 
+    // ---- BPE ENCODE (the apply half over q106's learned rules — together
+    // they close the tokenizer train -> apply loop). The rules are the
+    // operator's INPUT (pinned memo, q107-index discipline); the timed
+    // work is the composed rule chain over distinct words + the
+    // vocab-keyed corpus join + per-doc reassembly. The oracle replays
+    // training AND application, so a drift in either half breaks the hash.
+    "q111_bpe_encode" -> ((s, dir) =>
+      Corpus.bpeEncode(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+        bpeRulesMemo(s, dir))),
+
+    // ---- exact duplicated-substring spans (Lee et al. exact-substring
+    // dedup, winnowing-sampled): cross-doc verbatim char ranges found via
+    // winnowed Karp-Rabin anchors, merged per doc by the islands sweep —
+    // per-doc duplicated fraction out. All int64 arithmetic; the oracle
+    // replays hash, winnowing selection, and span merge exactly.
+    "q110_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
+
+    // ---- hashed-feature linear classifier inference (the fastText/DCLM
+    // quality-gate scoring pass): Karp-Rabin token hash -> bucket,
+    // broadcast weight-table join, per-doc integer score + keep decision.
+    "q112_quality_classifier" -> ((s, dir) =>
+      TextStats.hashedClassifierScore(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
+
+    // ---- RAG-style overlapping chunking: 32-token windows every 24
+    // tokens; map-only posexplode, chunk text pinned by md5.
+    "q113_chunk_windows" -> ((s, dir) =>
+      Corpus.chunkWindows(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -1380,7 +1413,24 @@ object SparkEntry {
     bm25IndexMemo(s, dir)                                    // q107 index
     bm25ListPinned(s, dir)                                   // q108 inputs
     annListPinned(s, dir)
+    bpeRulesMemo(s, dir)                                     // q111 rules
   }
+
+  /** q106's learned merge rules pinned for q111's encode — training is
+    * the encode's INPUT, not its work (the q107-index discipline). Tiny:
+    * bpeMerges (lhs, rhs) pairs on the driver; q106 stays the live
+    * measurement of training itself. */
+  private val bpeRulesMemoMap =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def bpeRulesMemo(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeRulesMemoMap.computeIfAbsent(dir, _ =>
+      Corpus.bpeTrain(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+        numMerges = Params.bpeMerges)
+        .orderBy(col("step"))
+        .collect().toSeq
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))))
 
   /** localCheckpoint + pin the materialized blocks (see [[pinnedRddIds]]). */
   private def pinLocalCheckpoint(df: DataFrame): DataFrame = {
@@ -2928,6 +2978,98 @@ object SparkEntry {
     "q106_bpe_train" ->
       s"""WITH ${Oracles.bpeCtes(Params.bpeMerges)}
          |SELECT step, lhs, rhs, merged, pair_count FROM bpe""".stripMargin,
+
+    // the training rounds AND the application replayed: w{N} is the final
+    // symbol table after all merges; each doc reassembles position-ordered
+    "q111_bpe_encode" ->
+      s"""WITH ${Oracles.bpeCtes(Params.bpeMerges)},
+         |dtok AS (SELECT id, pos, a[pos] AS word FROM (
+         |    SELECT doc_id AS id, string_split(text, ' ') AS a,
+         |      unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         |    FROM documents)
+         |  WHERE len(a[pos]) > 0),
+         |enc AS (SELECT d.id,
+         |    CAST(sum(len(string_split(w.sym, ' '))) AS BIGINT) AS n_tokens,
+         |    md5(string_agg(w.sym, ' ' ORDER BY d.pos)) AS m
+         |  FROM dtok d JOIN w${Params.bpeMerges} w USING (word)
+         |  GROUP BY d.id)
+         |SELECT doc_id AS id, CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  coalesce(e.m, md5('')) AS toks_md5
+         |FROM documents LEFT JOIN enc e ON e.id = doc_id""".stripMargin,
+
+    // hash, winnowing selection (min over the h*2^20+pos key), cross-doc
+    // df>=2, and the islands merge all replayed in exact int64 arithmetic
+    "q110_dup_spans" -> {
+      val k = 8; val w = 4
+      val pows = Array.iterate(1L, k)(p => p * 257L % 1000000007L).reverse
+      s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
+         |pos AS (SELECT id, i,
+         |    list_sum(list_transform(generate_series(0, ${k - 1}),
+         |      j -> CAST(ord(substr(text, i + j, 1)) AS BIGINT) *
+         |        (list_value(${pows.mkString(",")}))[j + 1])) % 1000000007 AS h
+         |  FROM (SELECT id, text, unnest(generate_series(1, length(text) - ${k - 1})) AS i
+         |        FROM d WHERE length(text) >= $k)),
+         |wm AS (SELECT id, i, min(h * 1048576 + (i - 1)) OVER (PARTITION BY id ORDER BY i
+         |    ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mk FROM pos),
+         |anch AS (SELECT DISTINCT id, mk // 1048576 AS h, mk % 1048576 AS s
+         |  FROM wm WHERE i >= $w),
+         |duph AS (SELECT h FROM (SELECT DISTINCT id, h FROM anch)
+         |  GROUP BY h HAVING count(*) >= 2),
+         |da AS (SELECT a.id, a.s, a.s + $k AS e FROM anch a JOIN duph USING (h)),
+         |im AS (SELECT id, s, e, max(e) OVER (PARTITION BY id ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM da),
+         |si AS (SELECT id, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM im),
+         |sp AS (SELECT id, isl, min(s) AS ss, max(e) AS ee, count(*) AS na
+         |  FROM si GROUP BY id, isl),
+         |pd AS (SELECT id, CAST(sum(na) AS BIGINT) AS n_anchors,
+         |    CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(ee - ss) AS BIGINT) AS dup_chars
+         |  FROM sp GROUP BY id)
+         |SELECT d.id, CAST(coalesce(pd.n_anchors, 0) AS BIGINT) AS n_anchors,
+         |  CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(pd.dup_chars, 0) AS BIGINT) AS dup_chars,
+         |  ${Oracles.rHU("coalesce(pd.dup_chars, 0) / length(d.text)", 4)} AS dup_frac
+         |FROM d LEFT JOIN pd USING (id)""".stripMargin
+    },
+
+    // same Karp-Rabin fold (seeded list_reduce), same synthetic weight
+    // formula — the decision boundary is exact integer arithmetic
+    "q112_quality_classifier" ->
+      s"""WITH wts AS (SELECT CAST(b AS BIGINT) AS bucket,
+         |    (b * 2654435761) % 4097 - 2048 AS wgt
+         |  FROM (SELECT unnest(generate_series(0, 1023)) AS b)),
+         |tk AS (SELECT id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(generate_series(1, len(word)),
+         |        i -> CAST(ord(word[i]) AS BIGINT))),
+         |      (acc, x) -> (acc * 257 + x) % 1000000007) % 1024 AS bucket
+         |  FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  WHERE len(word) > 0),
+         |sc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_toks,
+         |    CAST(sum(w.wgt) AS BIGINT) AS score
+         |  FROM tk JOIN wts w USING (bucket) GROUP BY id)
+         |SELECT doc_id AS id, CAST(coalesce(sc.n_toks, 0) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+         |  coalesce(sc.score, 0) >= 0 AS keep
+         |FROM documents LEFT JOIN sc ON sc.id = doc_id""".stripMargin,
+
+    // chunk grid replayed with the same integer start/ceil formulas;
+    // chunk text pinned by md5
+    "q113_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS a
+         |  FROM documents),
+         |n AS (SELECT id, a, len(a) AS n,
+         |    CASE WHEN len(a) <= 32 THEN 1 ELSE 1 + (len(a) - 32 + 23) // 24 END AS nc
+         |  FROM t),
+         |e AS (SELECT id, a, n, unnest(generate_series(0, nc - 1)) AS ci FROM n)
+         |SELECT id, CAST(ci AS INT) AS chunk_idx,
+         |  CAST(len(a[ci * 24 + 1 : least(n, ci * 24 + 32)]) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(a[ci * 24 + 1 : least(n, ci * 24 + 32)], ' ')) AS chunk_md5
+         |FROM e""".stripMargin,
 
     // same stats joins, same operation order in the score
     "q107_bm25" ->

@@ -165,6 +165,84 @@ object Corpus {
         StructField("pair_count", LongType, false))))
   }
 
+  /** BPE ENCODE — apply learned merge rules to tokenize a corpus (the
+    * missing apply-half next to [[bpeTrain]]'s learn-half; together they
+    * close the tokenizer train -> apply loop).
+    *
+    * The corpus-scale shape is distinct-words-then-join (the same
+    * discipline as `wordpieceTokenize`): the rule chain runs once per
+    * DISTINCT word — all `rules.size * 5` padded replaces compose into one
+    * whole-stage-codegen'd map over the vocab-sized table (identical
+    * 5-pass ` l r ` -> ` lr ` fixpoint semantics as training; words must
+    * be <= 31 symbols, which [[bpeTrain]] enforced on the same corpus) —
+    * and the corpus-sized side only pays a vocab-keyed equi-join (AQE
+    * broadcasts the dictionary side when it fits). Per-doc reassembly is a
+    * per-id aggregate ordered by token position — bounded by doc length,
+    * never a global window.
+    *
+    * @param rules (lhs, rhs) merge pairs IN LEARNED ORDER
+    * @return one row per doc: (id, n_tokens, toks_md5) where toks_md5
+    *         hashes the space-joined symbol sequence of the whole doc */
+  def bpeEncode(docs: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0).distinct()
+    val seed = concat(
+      array_join(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        " "),
+      lit(" </w>"))
+    var merged: org.apache.spark.sql.Column = concat(lit(" "), seed, lit(" "))
+    rules.foreach { case (l, r) =>
+      for (_ <- 1 to 5)
+        merged = call_function("replace", merged, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    val wsym = words.select(col("word"), trim(merged).as("sym"))
+    val enc = docs
+      .select(col("id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+      .join(wsym, Seq("word"))
+      .groupBy(col("id"))
+      .agg(
+        sum(size(split(col("sym"), " "))).cast("long").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
+            x => x.getField("sym")),
+          " ")).as("toks_md5"))
+    docs.select(col("id")).join(enc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("toks_md5"), md5(lit(""))).as("toks_md5"))
+  }
+
+  /** RAG-style document chunking: overlapping token windows of `chunkSize`
+    * tokens every `stride` tokens (overlap = chunkSize - stride), the
+    * split every retrieval pipeline runs before embedding. Chunk starts
+    * are i*stride for i in 0..nc-1 with nc = 1 if n <= chunkSize else
+    * 1 + ceil((n - chunkSize) / stride) — the last chunk may be short,
+    * every token is covered, empty docs produce one empty chunk. Map-only:
+    * the token array never leaves its row; chunks posexplode from one
+    * `transform` over the start sequence. */
+  def chunkWindows(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"chunkWindows: need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    docs
+      .select(col("id"), toks.as("a"), size(toks).as("n"))
+      // exact integer chunk count (DIV, not float division)
+      .withColumn("nc", expr(
+        s"CASE WHEN n <= $chunkSize THEN 1 ELSE 1 + (n - $chunkSize + ${stride - 1}) DIV $stride END"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), col("nc").cast("int") - 1), i =>
+          struct(
+            size(slice(col("a"), i * stride + 1, lit(chunkSize))).as("nt"),
+            array_join(slice(col("a"), i * stride + 1, lit(chunkSize)), " ").as("ct"))))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("id"), col("chunk_idx"),
+        col("c.nt").cast("long").as("n_chunk_tokens"),
+        md5(col("c.ct")).as("chunk_md5"))
+  }
+
   def vocabulary(docs: DataFrame, minCount: Long, topN: Int): DataFrame = {
     val counts = docs
       .select(explode(split(col("text"), " ")).as("tok"))

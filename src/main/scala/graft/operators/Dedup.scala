@@ -547,6 +547,87 @@ object Dedup {
           lit("1")).otherwise(lit("0"))),
       "")
 
+  /** Exact duplicated-SUBSTRING spans (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" problem, in its
+    * winnowing-sampled form): find the character ranges of each document
+    * that verbatim recur in OTHER documents, merge overlapping/adjacent
+    * ranges per doc, and report the duplicated fraction — the signal an
+    * exact-substring dedup pass removes.
+    *
+    * Suffix automata don't distribute; the scale-honest shape is the MOSS
+    * one already proven by `TextStats.winnowingFingerprint`: Karp–Rabin
+    * k-gram hashes at every position (pure int64 arithmetic), winnowing
+    * selection of one anchor per w-window — the selected (hash, position)
+    * pair is encoded into ONE int64 key `h * 2^20 + pos` so the sliding
+    * `min` picks (min hash, leftmost tie) identically in both engines
+    * (documents must be < 2^20 chars; longer docs would need a wider
+    * position field). Winnowing guarantees any shared run of >= k+w-1
+    * chars shares an anchor, so long verbatim duplicates are always
+    * caught; the anchor table is the ~2/(w+1)-density sample, never the
+    * full position set. Cross-doc duplicate anchors come from one
+    * hash-keyed count (df >= 2 over distinct docs — a one-row-per-hash
+    * join back, no pair materialization), and per-doc span merging is the
+    * gaps-and-islands sweep over id-partitioned windows — never global.
+    *
+    * @return one row per input doc: (id, n_anchors, n_spans, dup_chars,
+    *         dup_frac) — zeros for docs with no cross-doc duplicate. */
+  def dupSpans(docs: DataFrame /* (id, text) */, k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 257L
+    val M = 1000000007L
+    val posShift = 1L << 20
+    val pows = Array.iterate(1L, k)(p => p * B % M).reverse // B^(k-1-j) mod M
+    val powCol = array(pows.map(lit): _*)
+    val positions = docs.select(col("id"),
+      posexplode(
+        when(length(col("text")) >= k,
+          transform(sequence(lit(1), length(col("text")) - (k - 1)), i =>
+            aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
+              (acc, j) => acc + ascii(col("text").substr(i + j, lit(1))) *
+                element_at(powCol, j + 1)) % M))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    val anchors = positions
+      .withColumn("key", min(col("h") * posShift + col("pos")).over(win))
+      .where(col("pos") >= w - 1) // full windows only (pos is 0-based)
+      .select(col("id"), col("key")).distinct()
+      .select(col("id"),
+        expr(s"key DIV $posShift").as("h"),
+        (col("key") % posShift).as("start"))
+    val dupH = anchors.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") >= 2)
+      .select(col("h"))
+    val ordW = Window.partitionBy(col("id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val prevW = Window.partitionBy(col("id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = anchors.join(dupH, Seq("h"))
+      .select(col("id"), col("start"), (col("start") + k).as("end"))
+      .withColumn("pmax", max(col("end")).over(prevW))
+      // merge overlapping AND touching spans: a new island only when this
+      // anchor starts strictly past everything seen so far
+      .withColumn("isl",
+        sum(when(col("pmax").isNull || col("start") > col("pmax"), 1)
+          .otherwise(0)).over(ordW))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("start")).as("s"), max(col("end")).as("e"),
+        count(lit(1)).as("na"))
+    val perDoc = spans.groupBy(col("id"))
+      .agg(sum(col("na")).as("n_anchors"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("dup_chars"))
+    docs.select(col("id"), length(col("text")).cast("long").as("tlen"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_anchors"), lit(0L)).as("n_anchors"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        roundHU(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("tlen"), 4).as("dup_frac"))
+  }
+
   /** Embedding near-duplicate pairs: SRP bucket join + exact cosine verify.
     * At scale the bucket key is the shuffle key; the verify join touches
     * only same-bucket pairs. */

@@ -242,6 +242,47 @@ object TextStats {
       .select(col("id"), col("rank"), col("word"), col("score"))
   }
 
+  /** Hashed-feature linear classifier INFERENCE (the fastText /
+    * DCLM-style quality-classifier scoring pass every modern pretraining
+    * pipeline runs to keep or drop documents). The model is a weight
+    * vector over `nBuckets` hashed token features; scoring is
+    * tf-weighted: score(doc) = Σ_tokens weight[hash(token) mod nBuckets].
+    *
+    * Everything is exact int64 arithmetic so the decision boundary is
+    * bit-stable across engines: the token hash is the Karp–Rabin fold
+    * (acc*257 + code) mod 1e9+7 (the `winnowingFingerprint` family), and
+    * the weights here are a deterministic synthetic model
+    * w(b) = (b * 2654435761) mod 4097 - 2048 — a stand-in for trained
+    * parameters, which would arrive as exactly this (bucket, weight)
+    * table. Scale shape: one map over exploded tokens computes buckets; a
+    * BROADCAST equi-join against the nBuckets-row weight table prices
+    * them (the model is tiny by construction — broadcast is right at any
+    * corpus size); one per-id partial agg sums. No driver loop, no UDF.
+    *
+    * @return (id, n_toks, score, keep) — keep = score >= 0; empty docs
+    *         score 0 and are kept. */
+  def hashedClassifierScore(docs: DataFrame, nBuckets: Int = 1024): DataFrame = {
+    val M = 1000000007L
+    val weights = docs.sparkSession.range(nBuckets.toLong)
+      .select(col("id").as("bucket"),
+        ((col("id") * 2654435761L) % 4097L - 2048L).as("wgt"))
+    val toks = docs
+      .select(col("id"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .select(col("id"),
+        (aggregate(sequence(lit(1), length(col("word"))), lit(0L),
+          (acc, i) => (acc * 257L + ascii(col("word").substr(i, lit(1)))) % M)
+          % nBuckets).as("bucket"))
+    val scored = toks.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("wgt")).as("score"))
+    docs.select(col("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("keep", col("score") >= 0)
+  }
+
   /** Winnowing fingerprint (the MOSS algorithm) over ROLLING char-k-gram
     * hashes: Karp–Rabin polynomial hash h(i) = Σ_j ord(text[i+j])·B^(k-1-j)
     * mod M in pure 64-bit integer arithmetic (engine-portable, no floats),

@@ -143,4 +143,44 @@ class CorpusSpec extends SparkSpec {
     // breaks on the "l r" string, '<' < 'a', so (aa,</w>) wins
     assert(got(1) === ((2, "aa", "</w>", "aa</w>", 3L)))
   }
+
+  test("bpeEncode: hand-applied rules, position order, empty doc") {
+    import spark.implicits._
+    // rules learned by the bpeTrain test above on the same corpus:
+    // 'aaaa' -> 'a a a a </w>' -> (a,a) leftmost non-overlapping ->
+    // 'aa aa </w>' -> (aa,</w>) -> 'aa aa</w>' (2 tokens);
+    // 'ab' -> 'a b </w>' untouched (3 tokens)
+    val docs = Seq((1L, "aaaa aaaa ab"), (2L, "aaaa"), (3L, "")).toDF("id", "text")
+    val r = Corpus.bpeEncode(docs, Seq(("a", "a"), ("aa", "</w>")))
+      .orderBy("id").collect()
+    def m(s: String) =
+      Seq(Tuple1(s)).toDF("t").select(md5(col("t"))).as[String].head()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getString(2))) === Array(
+      (1L, 7L, m("aa aa</w> aa aa</w> a b </w>")),
+      (2L, 2L, m("aa aa</w>")),
+      (3L, 0L, m(""))))
+  }
+
+  test("chunkWindows: overlap grid, short tail, single chunk, empty doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), // n=6: starts 0,2,4 -> abc, cde, ef
+      (2L, "x y"),         // n=2 <= size: one chunk
+      (3L, "")             // one empty chunk
+    ).toDF("id", "text")
+    val r = Corpus.chunkWindows(docs, chunkSize = 3, stride = 2)
+      .orderBy("id", "chunk_idx").collect()
+    def m(s: String) =
+      Seq(Tuple1(s)).toDF("t").select(md5(col("t"))).as[String].head()
+    assert(r.map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getString(3))) === Array(
+      (1L, 0, 3L, m("a b c")),
+      (1L, 1, 3L, m("c d e")),
+      (1L, 2, 2L, m("e f")),
+      (2L, 0, 2L, m("x y")),
+      (3L, 0, 0L, m(""))))
+    // every token covered: union of chunks at stride=chunkSize partitions
+    val cover = Corpus.chunkWindows(docs, chunkSize = 2, stride = 2)
+      .agg(sum(col("n_chunk_tokens"))).as[Long].head()
+    assert(cover === 8L) // 6 + 2 + 0
+  }
 }

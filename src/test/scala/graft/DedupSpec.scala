@@ -200,6 +200,41 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("dupSpans: winnowing guarantee, span merge, identical docs, unique doc") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over it" // 33 chars >= k+w-1
+    val same = "this exact document repeats verbatim in the corpus twice over"
+    val docs = Seq(
+      (1L, s"AAAA $shared BBBBBBBB"),
+      (2L, s"CCCCCCCCCC $shared DD"),
+      (3L, "totally unique text with no twin anywhere at all"),
+      (4L, same),
+      (5L, same)).toDF("id", "text")
+    val r = Dedup.dupSpans(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))))
+      .toMap
+    // the winnowing guarantee: a shared run of >= k+w-1 chars always
+    // shares at least one anchor -> docs 1/2 must report a dup span
+    // bounded by the shared region's length
+    for (id <- Seq(1L, 2L)) {
+      val (na, ns, dc, frac) = r(id)
+      assert(na >= 1L && ns >= 1L, s"doc $id missed the planted shared run")
+      // the true shared run includes the flanking spaces both docs have
+      assert(dc >= 8L && dc <= shared.length.toLong + 2, s"doc $id dup_chars=$dc")
+      assert(frac > 0.0 && frac < 1.0)
+    }
+    // a doc with no cross-doc twin reports zeros
+    assert(r(3L) === ((0L, 0L, 0L, 0.0)))
+    // identical docs: anchors tile the whole text (consecutive winnowed
+    // starts are <= w apart < k, so spans all merge into ONE) and cover
+    // all but the < w-char head and tail slack
+    for (id <- Seq(4L, 5L)) {
+      val (_, ns, dc, frac) = r(id)
+      assert(ns === 1L, s"doc $id spans did not merge: $ns")
+      assert(dc >= same.length.toLong - 6 && frac > 0.85, s"doc $id dc=$dc frac=$frac")
+    }
+  }
+
   test("embedding near-dups: planted copy found with cosine 1.0") {
     val pts = Tables.points(spark, sf0)
     val planted = pts.unionByName(

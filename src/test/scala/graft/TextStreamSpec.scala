@@ -403,6 +403,18 @@ class TextStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hashedClassifierScore: hand-computed buckets and weights; empty doc kept") {
+    // hash('hi') = (0*257+104)*257+105 mod 1e9+7 = 26833 -> bucket 209,
+    // w(209) = (209*2654435761) mod 4097 - 2048 = -513; 'yo' -> bucket 488,
+    // w = 752. 'hi yo hi' scores 2*(-513) + 752 = -274 -> dropped;
+    // 'yo yo' scores 1504 -> kept; an empty doc scores 0 -> kept.
+    val docs = Seq((1L, "hi yo hi"), (2L, "yo yo"), (3L, "")).toDF("id", "text")
+    val r = TextStats.hashedClassifierScore(docs).orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r === Array(
+      (1L, 3L, -274L, false), (2L, 2L, 1504L, true), (3L, 0L, 0L, true)))
+  }
+
   test("Y4M codec: exact round-trip; spec bytes; frame params tolerated; corrupt rejected") {
     // round-trip identity across the geometry grid (w, h, frame count)
     for (id <- Seq(0L, 1L, 2L, 3L, 4L, 7L, 11L)) {

@@ -248,6 +248,25 @@ object Audit {
       // broadcast hash join, never a shuffle of the corpus on bucket
       ("weight table broadcast", _.contains("BroadcastHashJoin")),
       ("no nested-loop join", p => !p.contains("BroadcastNestedLoopJoin")))
+    audit("q114_span_dedup")(
+      // keeper selection is one agg per segment VALUE + a hash join back —
+      // segment pairs are never materialized
+      ("hash equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("per-doc reassembly, no global sort", p =>
+        !p.linesIterator.exists(l => l.contains("Sort [") && l.contains("], true"))))
+    audit("q115_split_leakage")(
+      // q25's banded candidate generation stays the only join; the split
+      // is a map over the pair table
+      ("banded equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("no global-order sort", p =>
+        !p.linesIterator.exists(l => l.contains("Sort [") && l.contains("], true"))))
+    audit("q116_token_budget")(
+      // the only non-agg operator is the 1-row corpus-totals broadcast
+      // (the q84 scalar convention); sources agg is map-side partial
+      ("one-row totals broadcast", _.contains("BroadcastNestedLoopJoin")),
+      ("partial agg over sources", _.contains("HashAggregate")))
     audit("q102_graph_insert")(
       // incremental merge: batch-keyed equi-joins + the per-src re-cut —
       // a nested loop would mean old x union degenerated to all-pairs

@@ -989,6 +989,26 @@ object SparkEntry {
       Corpus.chunkWindows(
         Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")))),
 
+    // ---- C4-style duplicated-span removal over the planted-dup corpus:
+    // the +100000 copies lose every segment to their originals (global
+    // first occurrence keeps); the corpus rewrite is pinned by md5.
+    "q114_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(docsWithDups(s, dir))),
+
+    // ---- cross-split contamination audit: q25's MinHash-LSH pairs that
+    // straddle the deterministic 90/10 train/val hash split
+    "q115_split_leakage" -> ((s, dir) =>
+      Dedup.crossSplitLeakage(docsWithDups(s, dir), threshold = 0.8,
+        maxBandSize = Params.maxBandSize)),
+
+    // ---- token-budget epoch allocation: 3x-corpus budget split by the
+    // q84 mixture weights, repetition capped at 4 epochs per source
+    "q116_token_budget" -> ((s, dir) =>
+      Corpus.tokenBudgetPlan(
+        Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("source"), col("text")),
+        weight = substring(col("source"), 4, 10).cast("long") % 3 + 1)),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -3055,6 +3075,88 @@ object SparkEntry {
          |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
          |  coalesce(sc.score, 0) >= 0 AS keep
          |FROM documents LEFT JOIN sc ON sc.id = doc_id""".stripMargin,
+
+    // segment grid, dataset-wide occurrence count, int64 keeper key, and
+    // the cleaned-corpus md5 all replayed in exact integer arithmetic
+    "q114_span_dedup" ->
+      s"""WITH ${Oracles.dupDocsCte},
+         |t AS (SELECT id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS a
+         |  FROM ddocs),
+         |nn AS (SELECT id, a, len(a) AS n FROM t WHERE len(a) > 0),
+         |occ AS (SELECT id, si AS seg_idx,
+         |    array_to_string(a[si * 8 + 1 : least(n, si * 8 + 8)], ' ') AS seg,
+         |    CAST(len(a[si * 8 + 1 : least(n, si * 8 + 8)]) AS BIGINT) AS nt
+         |  FROM (SELECT id, a, n, unnest(generate_series(0, (n + 7) // 8 - 1)) AS si
+         |        FROM nn)),
+         |o2 AS (SELECT id, seg_idx, seg, nt, md5(seg) AS h,
+         |    id * 1048576 + seg_idx AS key FROM occ),
+         |kp AS (SELECT h, count(*) AS df, min(key) AS keeper_key FROM o2 GROUP BY h),
+         |fl AS (SELECT o.*, (kp.df = 1 OR o.key = kp.keeper_key) AS keep
+         |  FROM o2 o JOIN kp USING (h)),
+         |pd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_segs,
+         |    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         |    CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |    CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |    md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')) AS cleaned_md5
+         |  FROM fl GROUP BY id)
+         |SELECT d.id, coalesce(pd.n_segs, 0) AS n_segs,
+         |  coalesce(pd.n_dropped, 0) AS n_dropped,
+         |  coalesce(pd.total_tokens, 0) AS total_tokens,
+         |  coalesce(pd.kept_tokens, 0) AS kept_tokens,
+         |  coalesce(pd.cleaned_md5, md5('')) AS cleaned_md5,
+         |  coalesce(${Oracles.rHU("CAST(pd.kept_tokens AS DOUBLE) / pd.total_tokens", 4)}, 1.0)
+         |    AS retained_frac
+         |FROM ddocs d LEFT JOIN pd USING (id)""".stripMargin,
+
+    // q25's banded-candidate SQL plus the Knuth-hash split on each side;
+    // only straddling pairs survive
+    "q115_split_leakage" ->
+      s"""WITH ${Oracles.dupDocsCte},
+         |${Oracles.shinglesCte("ddocs")},
+         |sig AS (SELECT id, list_transform(generate_series(0, 15),
+         |    k -> list_min(list_transform(sh, s -> md5(k::VARCHAR || ':' || s)))) AS sig
+         |  FROM sh),
+         |bnd AS (SELECT id, unnest(list_transform(generate_series(0, 3),
+         |    b -> b::VARCHAR || '_' || md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band
+         |  FROM sig),
+         |bndk AS (SELECT * FROM bnd WHERE band IN (
+         |  SELECT band FROM bnd GROUP BY band HAVING count(*) <= ${Params.maxBandSize})),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bndk a JOIN bndk b ON a.band = b.band AND a.id < b.id),
+         |pj AS (SELECT c.id_a, c.id_b,
+         |    ${Oracles.rHU("CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(sa.sh, sb.sh)))", 4)} AS jaccard
+         |  FROM cand c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b),
+         |sp AS (SELECT id_a, id_b, jaccard,
+         |    CASE WHEN (id_a * 2654435761) % 100 < 90 THEN 'train' ELSE 'val' END AS split_a,
+         |    CASE WHEN (id_b * 2654435761) % 100 < 90 THEN 'train' ELSE 'val' END AS split_b
+         |  FROM pj WHERE jaccard >= 0.8)
+         |SELECT id_a, id_b, jaccard, split_a, split_b FROM sp
+         |WHERE split_a != split_b""".stripMargin,
+
+    // same integer budget/target/epoch formulas, same operand order
+    "q116_token_budget" ->
+      s"""WITH ps AS (SELECT source,
+         |    CAST(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT)
+         |      AS src_tokens
+         |  FROM documents GROUP BY source HAVING src_tokens > 0),
+         |w AS (SELECT source, src_tokens,
+         |    CAST(CAST(substr(source, 4, 10) AS BIGINT) % 3 + 1 AS BIGINT) AS weight
+         |  FROM ps),
+         |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
+         |    CAST(sum(weight) AS BIGINT) AS tot_w FROM w),
+         |p AS (SELECT source, src_tokens, weight,
+         |    tot_tokens * 300 // 100 * weight // tot_w AS target_tokens
+         |  FROM w CROSS JOIN t),
+         |e AS (SELECT *, least((target_tokens + src_tokens - 1) // src_tokens, 4) AS epochs
+         |  FROM p),
+         |a AS (SELECT *, least(target_tokens, epochs * src_tokens) AS alloc_tokens FROM e)
+         |SELECT source, src_tokens, weight,
+         |  CAST(target_tokens AS BIGINT) AS target_tokens,
+         |  CAST(epochs AS BIGINT) AS epochs,
+         |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+         |  CAST(target_tokens - alloc_tokens AS BIGINT) AS shortfall
+         |FROM a""".stripMargin,
 
     // chunk grid replayed with the same integer start/ceil formulas;
     // chunk text pinned by md5

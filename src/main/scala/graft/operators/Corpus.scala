@@ -243,6 +243,50 @@ object Corpus {
         md5(col("c.ct")).as("chunk_md5"))
   }
 
+  /** Token-budget epoch allocation (the LLaMA/DoReMi-style data-recipe
+    * planning step): given per-source token counts and mixture weights,
+    * split a total token budget across sources proportionally to weight,
+    * cap repetition at `maxEpochs` passes over a source, and report the
+    * shortfall the cap leaves unfilled. The budget is
+    * total_tokens·budgetPct/100 so the plan is self-contained on any
+    * corpus. All arithmetic is int64 (DIV/ceil-DIV) — the plan is
+    * bit-stable across engines; epochs counts partial passes as a full
+    * epoch number (ceil), alloc never exceeds epochs·available.
+    *
+    * Scale shape: one partial-agg over (source) — a handful of rows —
+    * then a 1-row broadcast of the corpus totals (the [[mixtureSample]]
+    * convention). Nothing else touches corpus-sized data.
+    *
+    * @param weight per-source mixture weight column (evaluated on the
+    *               one-row-per-source agg, the q84 convention)
+    * @return (source, src_tokens, weight, target_tokens, epochs,
+    *         alloc_tokens, shortfall) for sources with tokens */
+  def tokenBudgetPlan(
+      docs: DataFrame /* (id, source, text) */,
+      weight: org.apache.spark.sql.Column,
+      budgetPct: Int = 300,
+      maxEpochs: Int = 4): DataFrame = {
+    val perSrc = docs
+      .select(col("source"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("src_tokens"))
+      .where(col("src_tokens") > 0)
+      .withColumn("weight", weight.cast("long"))
+    val tot = perSrc.agg(sum(col("src_tokens")).as("tot_tokens"),
+      sum(col("weight")).as("tot_w"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("src_tokens"), col("weight"),
+        expr(s"tot_tokens * $budgetPct DIV 100 * weight DIV tot_w")
+          .as("target_tokens"))
+      .withColumn("epochs",
+        least(expr("(target_tokens + src_tokens - 1) DIV src_tokens"),
+          lit(maxEpochs.toLong)))
+      .withColumn("alloc_tokens",
+        least(col("target_tokens"), col("epochs") * col("src_tokens")))
+      .withColumn("shortfall", col("target_tokens") - col("alloc_tokens"))
+  }
+
   def vocabulary(docs: DataFrame, minCount: Long, topN: Int): DataFrame = {
     val counts = docs
       .select(explode(split(col("text"), " ")).as("tok"))

@@ -628,6 +628,94 @@ object Dedup {
           col("tlen"), 4).as("dup_frac"))
   }
 
+  /** C4-style duplicated-SPAN removal with keeper semantics (the "discard
+    * all but one of any three-sentence span occurring more than once"
+    * rule of the C4 dataset, realized over fixed `segTokens`-token
+    * segments because the synthetic corpus has no sentence punctuation):
+    * every doc is cut into non-overlapping segments, each segment's
+    * dataset-wide occurrence count is taken over ALL occurrences
+    * (within-doc repeats included, as C4 counts them), and only the
+    * globally-first occurrence — min over the int64 key id·2^20+seg_idx,
+    * the q110/dupSpans key convention (ids < 2^43, docs < 2^20 segments;
+    * wider corpora would widen the key) — survives. The corpus rewrite is
+    * reported per doc as the md5 of the kept segments joined in order.
+    *
+    * Scale shape: segment explode is a map; one hash-keyed agg produces
+    * (df, keeper_key) per distinct segment — one row per segment VALUE,
+    * never a pair table; the join back is a hash equi-join; reassembly is
+    * a per-id agg (bounded by doc length, no global window).
+    *
+    * @return one row per doc: (id, n_segs, n_dropped, total_tokens,
+    *         kept_tokens, cleaned_md5, retained_frac) — empty docs keep
+    *         retained_frac 1.0 and md5(''). */
+  def spanDedup(docs: DataFrame /* (id, text) */, segTokens: Int = 8): DataFrame = {
+    val keyShift = 1L << 20
+    val toks = filter(words(col("text")), t => length(t) > 0)
+    val occ = docs
+      .select(col("id"), toks.as("a"), size(toks).as("n"))
+      .where(col("n") > 0)
+      .select(col("id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(n + ${segTokens - 1}) DIV $segTokens - 1").cast("int")),
+          i => struct(
+            array_join(slice(col("a"), i * segTokens + 1, lit(segTokens)), " ").as("seg"),
+            size(slice(col("a"), i * segTokens + 1, lit(segTokens))).as("nt"))))
+          .as(Seq("seg_idx", "c")))
+      .select(col("id"), col("seg_idx"), col("c.seg").as("seg"),
+        col("c.nt").cast("long").as("nt"), md5(col("c.seg")).as("h"),
+        (col("id") * keyShift + col("seg_idx")).as("key"))
+    val keeper = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(col("key")).as("keeper_key"))
+    val perDoc = occ.join(keeper, Seq("h"))
+      .withColumn("keep", col("df") === 1 || col("key") === col("keeper_key"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(col("nt")).as("total_tokens"),
+        sum(when(col("keep"), col("nt")).otherwise(0L)).as("kept_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")),
+          " ")).as("cleaned_md5"))
+    docs.select(col("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"),
+        coalesce(
+          roundHU(col("kept_tokens").cast("double") / col("total_tokens"), 4),
+          lit(1.0)).as("retained_frac"))
+  }
+
+  /** Deterministic train/val split assignment: Knuth-hash bucket of the
+    * doc id into [0,100); integer-exact in both engines. */
+  def splitOf(idCol: Column, trainPct: Int): Column =
+    when((idCol * 2654435761L) % 100L < trainPct, lit("train"))
+      .otherwise(lit("val"))
+
+  /** Cross-split contamination audit: near-duplicate pairs (the
+    * [[minhashNearDups]] MinHash-LSH machinery, same knobs as q25) that
+    * STRADDLE a deterministic train/val split — the leakage every
+    * held-out evaluation silently suffers when dedup runs before
+    * splitting but not across the boundary. The split is a pure function
+    * of the id ([[splitOf]]), so the audit adds only a map stage over the
+    * pair table: banded candidate generation remains the only join.
+    *
+    * @return (id_a, id_b, jaccard, split_a, split_b) for crossing pairs */
+  def crossSplitLeakage(
+      docs: DataFrame /* (id, text) */,
+      threshold: Double,
+      trainPct: Int = 90,
+      maxBandSize: Int = 0): DataFrame =
+    minhashNearDups(docs, threshold, maxBandSize = maxBandSize)
+      .withColumn("split_a", splitOf(col("id_a"), trainPct))
+      .withColumn("split_b", splitOf(col("id_b"), trainPct))
+      .where(col("split_a") =!= col("split_b"))
+
   /** Embedding near-duplicate pairs: SRP bucket join + exact cosine verify.
     * At scale the bucket key is the shuffle key; the verify join touches
     * only same-bucket pairs. */

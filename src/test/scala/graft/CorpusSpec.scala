@@ -161,6 +161,28 @@ class CorpusSpec extends SparkSpec {
       (3L, 0L, m(""))))
   }
 
+  test("tokenBudgetPlan: hand-computed targets, epoch cap, shortfall") {
+    import spark.implicits._
+    // weights (suffix % 3 + 1): src1 -> 2, src2 -> 3, src3 -> 1
+    // tokens: 10 / 5 / 25; tot = 40, tot_w = 6, budget = 40*300 DIV 100 = 120
+    val docs = Seq(
+      (1L, "src1", Seq.fill(10)("w").mkString(" ")),
+      (2L, "src2", Seq.fill(5)("w").mkString(" ")),
+      (3L, "src3", Seq.fill(25)("w").mkString(" "))).toDF("id", "source", "text")
+    val r = Corpus.tokenBudgetPlan(docs,
+      weight = substring(col("source"), 4, 10).cast("long") % 3 + 1)
+      .orderBy("source").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+    assert(r === Array(
+      // src1: target 120*2/6 = 40 -> 4 epochs exactly fills it
+      ("src1", 10L, 2L, 40L, 4L, 40L, 0L),
+      // src2: target 60 wants 12 epochs; cap 4 allocates 20, shortfall 40
+      ("src2", 5L, 3L, 60L, 4L, 20L, 40L),
+      // src3: target 20 fits inside one pass over 25 tokens
+      ("src3", 25L, 1L, 20L, 1L, 20L, 0L)))
+  }
+
   test("chunkWindows: overlap grid, short tail, single chunk, empty doc") {
     import spark.implicits._
     val docs = Seq(

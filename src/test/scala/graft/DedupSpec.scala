@@ -235,6 +235,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanDedup: keeper semantics, within-doc repeats, empty doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // segs (W=2): "a b", "c d" — both global firsts
+      (2L, "a b x"),     // "a b" loses to doc1; tail "x" unique
+      (3L, "c d c d"),   // both segs lose to doc1's "c d" (in-doc repeat counted)
+      (4L, "")).toDF("id", "text")
+    val r = Dedup.spanDedup(docs, segTokens = 2).orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getString(5), x.getDouble(6)))
+    def m(s: String) =
+      Seq(Tuple1(s)).toDF("t").select(md5(col("t"))).as[String].head()
+    assert(r === Array(
+      (1L, 2L, 0L, 4L, 4L, m("a b c d"), 1.0),
+      (2L, 2L, 1L, 3L, 1L, m("x"), 0.3333),
+      (3L, 2L, 2L, 4L, 0L, m(""), 0.0),
+      (4L, 0L, 0L, 0L, 0L, m(""), 1.0)))
+  }
+
+  test("crossSplitLeakage: only straddling near-dup pairs survive") {
+    import spark.implicits._
+    // (id * 2654435761) % 100 = id * 61 % 100: 1 -> 61 (train),
+    // 2 -> 22 (train), 13 -> 93 (val) at trainPct = 90
+    val t = "the quick brown fox jumps over the lazy dog near a river bank"
+    val docs = Seq((1L, t), (2L, t), (13L, t)).toDF("id", "text")
+    val r = Dedup.crossSplitLeakage(docs, threshold = 0.8)
+      .orderBy("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getString(3), x.getString(4)))
+    // (1,2) is train-train and must be filtered; both pairs with 13 cross
+    assert(r === Array(
+      (1L, 13L, 1.0, "train", "val"),
+      (2L, 13L, 1.0, "train", "val")))
+  }
+
   test("embedding near-dups: planted copy found with cosine 1.0") {
     val pts = Tables.points(spark, sf0)
     val planted = pts.unionByName(

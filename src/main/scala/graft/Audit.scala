@@ -267,6 +267,19 @@ object Audit {
       // (the q84 scalar convention); sources agg is map-side partial
       ("one-row totals broadcast", _.contains("BroadcastNestedLoopJoin")),
       ("partial agg over sources", _.contains("HashAggregate")))
+    audit("q117_pagerank")(
+      // every round is a score-to-edge equi-join + per-node partial agg
+      // over the pinned edge frame — no nested loop, no driver state
+      ("equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("no global-order sort", p =>
+        !p.linesIterator.exists(l => l.contains("Sort [") && l.contains("], true"))))
+    audit("q118_max_passage")(
+      // sparse dot: chunk vectors equi-join the BROADCAST query vectors
+      // on bucket; the corpus never shuffles on a pair key
+      ("query vectors broadcast", _.contains("BroadcastHashJoin")),
+      ("no nested-loop join", p => !p.contains("BroadcastNestedLoopJoin")),
+      ("top-k partial limit", _.contains("WindowGroupLimit")))
     audit("q102_graph_insert")(
       // incremental merge: batch-keyed equi-joins + the per-src re-cut —
       // a nested loop would mean old x union degenerated to all-pairs

@@ -1009,6 +1009,25 @@ object SparkEntry {
           .select(col("doc_id").as("id"), col("source"), col("text")),
         weight = substring(col("source"), 4, 10).cast("long") % 3 + 1)),
 
+    // ---- integer PageRank over the q87 kNN graph (data-cartography
+    // importance for diversity-aware selection): 5 rounds of exact int64
+    // propagation over the PINNED edge list — q87 stays the live
+    // measurement of graph construction; this times the iteration
+    "q117_pagerank" -> ((s, dir) =>
+      Knn.pageRank(knnEdgesPinned(s, dir), rounds = 5)),
+
+    // ---- max-passage retrieval: each doc scored by its best RAG chunk
+    // (hashed-BOW chunk vectors, sparse bucket-join dot products); the
+    // q107 query batch (every 100th doc's first 3 words) probes a PINNED
+    // chunk index (the q107 build/probe split)
+    "q118_max_passage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val queries = docs.where(col("id") % 100 === 0)
+        .select(col("id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+      Retrieval.maxPassageWith(chunkIndexMemo(s, dir), queries, k = 10)
+    }),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -1434,7 +1453,36 @@ object SparkEntry {
     bm25ListPinned(s, dir)                                   // q108 inputs
     annListPinned(s, dir)
     bpeRulesMemo(s, dir)                                     // q111 rules
+    knnEdgesPinned(s, dir)                                   // q117 edges
+    chunkIndexMemo(s, dir)                                   // q118 index
   }
+
+  private val chunkIndexMemoMap =
+    new java.util.concurrent.ConcurrentHashMap[String, Retrieval.ChunkIndex]()
+
+  /** q118's chunk index (sparse hashed-BOW vectors + norms) pinned —
+    * index build is the probe's INPUT (the q107 BM25 split). */
+  private def chunkIndexMemo(s: SparkSession, dir: String): Retrieval.ChunkIndex =
+    chunkIndexMemoMap.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val idx = Retrieval.maxPassageIndex(docs)
+      Retrieval.ChunkIndex(
+        pinLocalCheckpoint(idx.cb.coalesce(1)),
+        pinLocalCheckpoint(idx.cn.coalesce(1)))
+    })
+
+  private val knnEdgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** q87's kNN-graph edges pinned for q117's PageRank — graph build is
+    * the iteration's INPUT, not its work (the q107-index discipline).
+    * Each PageRank round re-scans this frame, so pinning also keeps the
+    * 5-round plan from recomputing the bucketed self-join per round. */
+  private def knnEdgesPinned(s: SparkSession, dir: String): DataFrame =
+    knnEdgesMemo.computeIfAbsent(dir, _ =>
+      pinLocalCheckpoint(
+        Knn.knnGraph(Tables.points(s, dir), k = 5)
+          .select(col("src_id"), col("nbr_id")).coalesce(1)))
 
   /** q106's learned merge rules pinned for q111's encode — training is
     * the encode's INPUT, not its work (the q107-index discipline). Tiny:
@@ -2761,22 +2809,50 @@ object SparkEntry {
 
     // same SRP bucket integers as q28; rank by (rounded cosine desc, id)
     "q87_knn_graph" ->
-      s"""WITH p AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-         |bk AS (SELECT id, vec, array_to_string(list_transform(generate_series(0, 7), k ->
-         |    CASE WHEN list_sum(list_transform(generate_series(0, 63),
-         |      i -> CAST(vec[i+1] AS DOUBLE) * (((k*31 + i*7) % 13) - 6))) > 0
-         |    THEN '1' ELSE '0' END), '') AS bucket
-         |  FROM p),
-         |pr AS (SELECT a.id AS src_id, b.id AS nbr_id,
-         |    ${Oracles.rHU(s"${Oracles.dotp("a.vec", "b.vec")} / " +
-      s"(sqrt(${Oracles.dotp("a.vec", "a.vec")}) * sqrt(${Oracles.dotp("b.vec", "b.vec")}))", 4)} AS cosine
-         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id != b.id),
-         |rk AS (SELECT src_id, nbr_id, cosine,
-         |    row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id)
-         |      AS "rank"
-         |  FROM pr)
-         |SELECT src_id, "rank", nbr_id, cosine FROM rk
-         |WHERE "rank" <= 5""".stripMargin,
+      s"""WITH ${Oracles.knnGraphCtes}
+         |SELECT src_id, "rank", nbr_id, cosine FROM g""".stripMargin,
+
+    // graph edges replayed (the q87 chain), then 5 unrolled rounds of the
+    // same int64 base/damp/floor-DIV formulas
+    "q117_pagerank" ->
+      s"""WITH ${Oracles.knnGraphCtes},
+         |${Oracles.pageRankCtes(5)}
+         |SELECT id, score FROM s5""".stripMargin,
+
+    // chunk grid (q113 formulas), KR bucket fold (q112 formula), sparse
+    // bucket-join dot, rHU cosine BEFORE the per-doc max, same tie-break
+    "q118_max_passage" ->
+      s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
+         |q AS (SELECT doc_id AS qid,
+         |    array_to_string(string_split(text, ' ')[1:3], ' ') AS qtext
+         |  FROM documents WHERE doc_id % 100 = 0),
+         |ct AS (SELECT id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS a
+         |  FROM d),
+         |cg AS (SELECT id, a, len(a) AS n,
+         |    CASE WHEN len(a) <= 32 THEN 1 ELSE 1 + (len(a) - 32 + 23) // 24 END AS nc
+         |  FROM ct WHERE len(a) > 0),
+         |cw AS (SELECT id, ci, unnest(a[ci * 24 + 1 : least(n, ci * 24 + 32)]) AS w
+         |  FROM (SELECT id, a, n, unnest(generate_series(0, nc - 1)) AS ci FROM cg)),
+         |cb AS (SELECT id, ci, ${Oracles.krBucket("w", 64)} AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cc
+         |  FROM cw GROUP BY id, ci, bucket),
+         |cnr AS (SELECT id, ci, sqrt(sum(cc * cc)) AS cn FROM cb GROUP BY id, ci),
+         |qb AS (SELECT qid, ${Oracles.krBucket("w", 64)} AS bucket,
+         |    CAST(count(*) AS BIGINT) AS qc
+         |  FROM (SELECT qid, unnest(string_split(qtext, ' ')) AS w FROM q)
+         |  WHERE len(w) > 0 GROUP BY qid, bucket),
+         |qnr AS (SELECT qid, sqrt(sum(qc * qc)) AS qn FROM qb GROUP BY qid),
+         |dt AS (SELECT qb.qid, cb.id, cb.ci, sum(cb.cc * qb.qc) AS dot
+         |  FROM cb JOIN qb USING (bucket) GROUP BY qb.qid, cb.id, cb.ci),
+         |sc AS (SELECT qid, id,
+         |    ${Oracles.rHU("CAST(dot AS DOUBLE) / (qn * cn)", 4)} AS cs
+         |  FROM dt JOIN cnr USING (id, ci) JOIN qnr USING (qid)),
+         |bs AS (SELECT qid, id, max(cs) AS score FROM sc GROUP BY qid, id),
+         |rk AS (SELECT qid, id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS r
+         |  FROM bs)
+         |SELECT qid, CAST(r AS INT) AS "rank", id, score FROM rk
+         |WHERE r <= 10""".stripMargin,
 
     // greedy longest-match per DISTINCT word via a recursive CTE with a
     // LATERAL argmax (ORDER BY len DESC, v = the expression's tie-break);
@@ -3916,6 +3992,53 @@ object Oracles {
   def dotp(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, $dim), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** Karp–Rabin token-hash bucket (the q112 fold) of VARCHAR expr `w` —
+    * mirrors the (acc·257 + code) mod 1e9+7 kernel. */
+  def krBucket(w: String, nBuckets: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, len($w)), i -> CAST(ord($w[i]) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 257 + x) % 1000000007) % $nBuckets"
+
+  /** q87's kNN-graph CTE chain ending in g(src_id, "rank", nbr_id,
+    * cosine) — mirrors Knn.knnGraph(points, k = 5). */
+  def knnGraphCtes: String =
+    s"""p AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |bk AS (SELECT id, vec, array_to_string(list_transform(generate_series(0, 7), k ->
+       |    CASE WHEN list_sum(list_transform(generate_series(0, 63),
+       |      i -> CAST(vec[i+1] AS DOUBLE) * (((k*31 + i*7) % 13) - 6))) > 0
+       |    THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM p),
+       |pr AS (SELECT a.id AS src_id, b.id AS nbr_id,
+       |    ${rHU(s"${dotp("a.vec", "b.vec")} / " +
+      s"(sqrt(${dotp("a.vec", "a.vec")}) * sqrt(${dotp("b.vec", "b.vec")}))", 4)} AS cosine
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id != b.id),
+       |rk AS (SELECT src_id, nbr_id, cosine,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id)
+       |      AS "rank"
+       |  FROM pr),
+       |g AS (SELECT src_id, "rank", nbr_id, cosine FROM rk
+       |  WHERE "rank" <= 5)""".stripMargin
+
+  /** Unrolled integer-PageRank rounds over edge CTE `g(src_id, nbr_id)`,
+    * ending in s<rounds>(id, score) — mirrors Knn.pageRank(scale = 1e6,
+    * dampPct = 85). */
+  def pageRankCtes(rounds: Int): String = {
+    val base = 1000000L * 15 / 100
+    val roundCtes = (1 to rounds).map { t =>
+      s"""c$t AS (SELECT ed.nbr_id AS id, sum(s.score // ed.deg) AS in_sum
+         |  FROM ed JOIN s${t - 1} s ON s.id = ed.src_id GROUP BY ed.nbr_id),
+         |s$t AS (SELECT n.id,
+         |    CAST($base + coalesce(c$t.in_sum, 0) * 85 // 100 AS BIGINT) AS score
+         |  FROM nodes n LEFT JOIN c$t USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT src_id AS id FROM g UNION ALL SELECT nbr_id AS id FROM g)),
+       |deg AS (SELECT src_id, count(*) AS deg FROM g GROUP BY src_id),
+       |ed AS (SELECT g.src_id, g.nbr_id, d.deg FROM g JOIN deg d USING (src_id)),
+       |s0 AS (SELECT id, CAST(1000000 AS BIGINT) AS score FROM nodes),
+       |$roundCtes""".stripMargin
+  }
 
   /** Stopword VALUES list — mirrors TextStats.stopwords. */
   def stopwordValues: String =

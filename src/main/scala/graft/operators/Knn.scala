@@ -101,6 +101,53 @@ object Knn {
       .select(col("src_id"), col("rank"), col("nbr_id"), col("cosine"))
   }
 
+  /** Integer PageRank over a directed edge list (data-cartography
+    * importance scoring over the [[knnGraph]]: high-rank points sit in
+    * dense well-connected neighborhoods; the score drives diversity-aware
+    * selection and coreset pruning of training data).
+    *
+    * All arithmetic is int64 so every round is bit-stable across engines:
+    * s_0(v) = scale, and s_{t+1}(v) = floor(scale·(100−dampPct)/100) +
+    * floor(dampPct · Σ_{u→v} floor(s_t(u)/outdeg(u)) / 100). Per-edge
+    * floor-DIV before the sum keeps the total order-independent; the
+    * damping base needs no node count, so no driver scalar at all.
+    *
+    * Scale shape: `rounds` is a FIXED small constant, so all rounds
+    * compose into ONE plan of score-to-edge equi-joins + per-node partial
+    * aggs — no driver loop state, no checkpoints to leak. Pass a PINNED
+    * edge frame (the q107-index discipline): each round re-scans it, so
+    * the caller decides whether that scan is a cached block or a live
+    * recompute.
+    *
+    * @param edges (src_id, nbr_id) directed edges
+    * @return (id, score) after `rounds` iterations, one row per node that
+    *         appears on either side of an edge */
+  def pageRank(
+      edges: DataFrame,
+      rounds: Int = 5,
+      scale: Long = 1000000L,
+      dampPct: Int = 85): DataFrame = {
+    require(rounds >= 1 && dampPct >= 0 && dampPct <= 100,
+      s"pageRank: need rounds >= 1 and dampPct in [0,100], got $rounds/$dampPct")
+    val base = scale * (100 - dampPct) / 100
+    val nodes = edges.select(col("src_id").as("id"))
+      .unionByName(edges.select(col("nbr_id").as("id"))).distinct()
+    val deg = edges.groupBy(col("src_id")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, Seq("src_id"))
+    var scores = nodes.select(col("id"), lit(scale).as("score"))
+    for (_ <- 1 to rounds) {
+      val contrib = ed
+        .join(scores.withColumnRenamed("id", "src_id"), Seq("src_id"))
+        .select(col("nbr_id").as("id"), expr("score DIV deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
+      scores = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"coalesce(in_sum, 0L) * $dampPct DIV 100")).as("score"))
+    }
+    scores
+  }
+
   /** Exact cosine top-k with point/query norms computed ONCE instead of per
     * pair (2N norm folds instead of N*Q*2). Same values as
     * knnExact(distance = cosineDist).

@@ -88,6 +88,106 @@ object Retrieval {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
+  /** Max-passage (late-interaction) retrieval over RAG chunks: each doc
+    * is scored by its BEST chunk against the query — the BERT-era
+    * max-passage pattern (and the k=1 core of ColBERT's MaxSim), which
+    * beats whole-doc scoring when the answer lives in one passage of a
+    * long document.
+    *
+    * The featurizer is a hashed bag-of-words: token -> Karp–Rabin fold
+    * (the q112 convention) mod `nBuckets`, chunk vector = int64 bucket
+    * counts. It deterministically stands in for a learned chunk embedder
+    * (which would arrive as exactly this (chunk, bucket, weight) shape);
+    * all the retrieval plumbing — chunk grid, sparse dot, per-doc max,
+    * top-k — is real and identical for a trained model.
+    *
+    * Scale shape: chunk vectors stay SPARSE (chunk, bucket, count) rows —
+    * never a dense matrix; the query side is tiny and broadcast; the dot
+    * product is a bucket-keyed equi-join + one partial-agg SUM (the
+    * inverted-index shape, like BM25); per-chunk cosine rounds rHU(4)
+    * BEFORE the per-doc max so tie behavior is engine-exact; the final
+    * top-k is a WindowGroupLimit. Empty chunks have no buckets and
+    * naturally never score.
+    *
+    * @param docs    (id, text) corpus
+    * @param queries (qid, qtext) short queries
+    * @return (qid, rank, id, score), rank <= k by (best-chunk cosine
+    *         DESC, id) */
+  /** The chunk index: sparse (id, ci, bucket, cc) hashed-BOW chunk
+    * vectors + per-chunk norms — built ONCE over the corpus (index-build
+    * work, like [[Bm25Index]] or the PQ codes) and consumed by every
+    * query batch. */
+  final case class ChunkIndex(cb: DataFrame, cn: DataFrame)
+
+  private def krBucketCol(word: org.apache.spark.sql.Column, nBuckets: Int) =
+    aggregate(sequence(lit(1), length(word)), lit(0L),
+      (acc, i) => (acc * 257L + ascii(word.substr(i, lit(1)))) % 1000000007L) %
+      nBuckets
+
+  def maxPassageIndex(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24,
+      nBuckets: Int = 64): ChunkIndex = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    // the KR fold runs once per DISTINCT word (vocab-sized dict, AQE
+    // broadcasts it), not once per (token, chunk) occurrence
+    val dict = docs.select(explode(toks).as("w")).distinct()
+      .select(col("w"), krBucketCol(col("w"), nBuckets).as("bucket"))
+    // chunk membership is arithmetic on the 0-based token position: token
+    // p sits in chunks ci ∈ [ceil((p-chunkSize+1)/stride), p DIV stride]
+    // clamped to the grid — ≤ ceil(chunkSize/stride) rows per token, no
+    // chunk arrays ever materialized
+    val cb = docs
+      .select(col("id"), posexplode(toks).as(Seq("p", "w")),
+        size(toks).as("n"))
+      .withColumn("nc", expr(
+        s"CASE WHEN n <= $chunkSize THEN 1 ELSE 1 + (n - $chunkSize + ${stride - 1}) DIV $stride END"))
+      .select(col("id"), col("w"),
+        explode(sequence(
+          greatest(lit(0), expr(s"(p - $chunkSize + $stride) DIV $stride")),
+          least(col("nc") - 1, expr(s"p DIV $stride")))).as("ci"))
+      .join(dict, Seq("w"))
+      .groupBy(col("id"), col("ci"), col("bucket"))
+      .agg(count(lit(1)).as("cc"))
+    val cn = cb.groupBy(col("id"), col("ci"))
+      .agg(sqrt(sum(col("cc") * col("cc"))).as("cn"))
+    ChunkIndex(cb, cn)
+  }
+
+  def maxPassage(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      chunkSize: Int = 32, stride: Int = 24, nBuckets: Int = 64): DataFrame =
+    maxPassageWith(maxPassageIndex(docs, chunkSize, stride, nBuckets),
+      queries, k, nBuckets)
+
+  /** The PROBE over a prebuilt chunk index: query vectors broadcast into
+    * the bucket-keyed sparse dot, rHU(4) cosine per chunk, per-doc max,
+    * WindowGroupLimit top-k. */
+  def maxPassageWith(idx: ChunkIndex, queries: DataFrame, k: Int = 10,
+      nBuckets: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.roundHU
+    val cb = idx.cb
+    val cn = idx.cn
+    val qb = queries
+      .select(col("qid"), explode(split(col("qtext"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .select(col("qid"), krBucketCol(col("w"), nBuckets).as("bucket"))
+      .groupBy(col("qid"), col("bucket")).agg(count(lit(1)).as("qc"))
+    val qn = qb.groupBy(col("qid"))
+      .agg(sqrt(sum(col("qc") * col("qc"))).as("qn"))
+    val best = cb.join(broadcast(qb), Seq("bucket"))
+      .groupBy(col("qid"), col("id"), col("ci"))
+      .agg(sum(col("cc") * col("qc")).as("dot"))
+      .join(cn, Seq("id", "ci"))
+      .join(broadcast(qn), Seq("qid"))
+      .select(col("qid"), col("id"),
+        roundHU(col("dot").cast("double") / (col("qn") * col("cn")), 4)
+          .as("cscore"))
+      .groupBy(col("qid"), col("id")).agg(max(col("cscore")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    best
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
   /** Integer reciprocal-rank fusion of ranked lists: fused(qid, id) =
     * Σ_lists 1e12 div (kRrf + rank). Input lists carry (qid, rank, id);
     * output re-ranks by (fused DESC, id). */

@@ -92,4 +92,23 @@ class KnnSpec extends SparkSpec {
     assert(withB.where(col("src_b") =!= col("nbr_b")).count() === 0)
     g.unpersist()
   }
+
+  test("pageRank: hand-computed rounds, sink and source nodes") {
+    import spark.implicits._
+    // 1->2, 2->1, 2->3, 3->1; deg 1/2/1, scale 1e6, damp 85, base 150000
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("src_id", "nbr_id")
+    val r2 = Knn.pageRank(edges, rounds = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    // round 1: in_sum 1:1500000, 2:1000000, 3:500000
+    //   -> s1 1:1425000, 2:1000000, 3:575000
+    // round 2: in_sum 1:1075000, 2:1425000, 3:500000
+    //   -> s2 1:1063750, 2:1361250, 3:575000
+    assert(r2 === Map(1L -> 1063750L, 2L -> 1361250L, 3L -> 575000L))
+    // a pure source keeps only the damping base; its sink collects 85%
+    val line = Seq((5L, 6L)).toDF("src_id", "nbr_id")
+    val r1 = Knn.pageRank(line, rounds = 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r1 === Map(5L -> 150000L, 6L -> 1000000L))
+  }
 }

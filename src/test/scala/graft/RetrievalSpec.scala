@@ -54,4 +54,31 @@ class RetrievalSpec extends SparkSpec {
       (2, 100L, rr(1)),
       (3, 102L, rr(2))))
   }
+
+  test("maxPassage: exact chunk scores 1.0, max picks the dense passage") {
+    import spark.implicits._
+    def krBucket(w: String): Long =
+      w.foldLeft(0L)((acc, c) => (acc * 257L + c.toLong) % 1000000007L) % 64
+    val qWords = Seq("apple", "banana", "cherry")
+    val qBuckets = qWords.map(krBucket).toSet
+    // a filler whose bucket collides with no query word, chosen the same
+    // way the engine hashes, so the hand cosine below is exact
+    val pad = (1 to 1000).map(i => s"pad$i")
+      .find(w => !qBuckets.contains(krBucket(w))).get
+    val docs = Seq(
+      // doc 1: one chunk == the query -> cosine exactly 1.0
+      (1L, qWords.mkString(" ")),
+      // doc 2: 33 tokens -> 2 chunks; query words sit at 25..27 so the
+      // SECOND chunk (9 tokens: 3 query + 6 pad) is the dense passage
+      (2L, (Seq.fill(24)(pad) ++ qWords ++ Seq.fill(6)(pad)).mkString(" ")),
+      // doc 3: no shared bucket with the query -> never scores
+      (3L, Seq.fill(5)(pad).mkString(" "))).toDF("id", "text")
+    val queries = Seq((100L, qWords.mkString(" "))).toDF("qid", "qtext")
+    val got = Retrieval.maxPassage(docs, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // chunk2 of doc 2: dot 3, |c| = sqrt(3 + 36), |q| = sqrt(3)
+    val dense = BigDecimal(3.0 / (math.sqrt(3.0) * math.sqrt(39.0)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq((100L, 1, 1L, 1.0), (100L, 2, 2L, dense)))
+  }
 }

@@ -274,6 +274,15 @@ object Audit {
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
       ("no global-order sort", p =>
         !p.linesIterator.exists(l => l.contains("Sort [") && l.contains("], true"))))
+    audit("q119_profile")(
+      // ONE scan: the multi-column distinct expands in-plan; nothing joins
+      ("single-scan multi-distinct agg", _.contains("Expand")),
+      ("no join anywhere", p => !p.contains("Join")))
+    audit("q120_constraints")(
+      // FK checks are equi-anti-joins; only counts reach the report
+      ("anti-join FKs", _.contains("LeftAnti")),
+      ("no cross product", p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
     audit("q118_max_passage")(
       // sparse dot: chunk vectors equi-join the BROADCAST query vectors
       // on bucket; the corpus never shuffles on a pair key

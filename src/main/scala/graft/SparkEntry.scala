@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Corpus, Dedup, GraphAnn, Intervals, Kanndi, Knn, Multimodal, Packing, Pq, Retrieval, Sharding, ShardedSearch, Sketches, Skew, Sq, Stats, Streaming, TextStats}
+import graft.operators.{AsOfJoin, Corpus, Dedup, GraphAnn, Intervals, Kanndi, Knn, Multimodal, Packing, Pq, Quality, Retrieval, Sharding, ShardedSearch, Sketches, Skew, Sq, Stats, Streaming, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1028,6 +1028,31 @@ object SparkEntry {
       Retrieval.maxPassageWith(chunkIndexMemo(s, dir), queries, k = 10)
     }),
 
+    // ---- one-pass table profile (the Deequ shape): per-column
+    // completeness, exact distinct, exact stored min/max
+    "q119_profile" -> ((s, dir) =>
+      Quality.profile(Tables.lineitem(s, dir),
+        Params.profileCols.map { case (n, k) => Quality.ColSpec(n, k) })),
+
+    // ---- declarative constraint validation: uniqueness, two FKs, a
+    // range rule, a cross-table temporal rule, completeness
+    "q120_constraints" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      Quality.constraintReport(Seq(
+        "o_orderkey_unique" -> ord.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n")).where(col("n") > 1),
+        "lineitem_orderkey_fk" -> li.join(ord,
+          li("l_orderkey") === ord("o_orderkey"), "left_anti"),
+        "orders_custkey_fk" -> ord.join(cust,
+          ord("o_custkey") === cust("c_custkey"), "left_anti"),
+        "l_quantity_range" -> li.where(!col("l_quantity").between(1, 50)),
+        "ship_after_order" -> li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .where(col("l_shipdate") < col("o_orderdate")),
+        "l_returnflag_complete" -> li.where(col("l_returnflag").isNull)))
+    }),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -1681,6 +1706,15 @@ object SparkEntry {
     val maxGramDf = 200
     /** Demo permutation for q19: even dims then odd dims (0-based). */
     val evensOddsPerm: Seq[Int] = (0 until 64 by 2) ++ (1 until 64 by 2)
+    /** q119 profile targets: every lineitem column with its min/max
+      * representation kind (shared by the Spark side and the oracle). */
+    val profileCols: Seq[(String, String)] = Seq(
+      "l_orderkey" -> "integral", "l_partkey" -> "integral",
+      "l_suppkey" -> "integral", "l_linenumber" -> "integral",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp")
     /** Training-sequence length for the q79/q86 packing queries (docs
       * average ~30 tokens, so blocks mix 2-3 documents). */
     val blockTokens = 64L
@@ -2818,6 +2852,55 @@ object SparkEntry {
       s"""WITH ${Oracles.knnGraphCtes},
          |${Oracles.pageRankCtes(5)}
          |SELECT id, score FROM s5""".stripMargin,
+
+    // per-column agg replayed: exact stored min/max (no arithmetic), one
+    // canonical timestamp format, binary string collation
+    "q119_profile" ->
+      Params.profileCols.map { case (n, kind) =>
+        val numeric = kind == "integral" || kind == "double"
+        val (mnN, mxN) =
+          if (numeric) (s"CAST(min($n) AS DOUBLE)", s"CAST(max($n) AS DOUBLE)")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        val (mnS, mxS) = kind match {
+          case "string" => (s"min($n)", s"max($n)")
+          case "timestamp" => (s"strftime(min($n), '%Y-%m-%d %H:%M:%S')",
+            s"strftime(max($n), '%Y-%m-%d %H:%M:%S')")
+          case _ => ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        }
+        s"""SELECT '$n' AS "column", '$kind' AS dtype,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count($n) AS BIGINT) AS n_nonnull,
+           |  CAST(count(DISTINCT $n) AS BIGINT) AS n_distinct,
+           |  $mnN AS min_num, $mxN AS max_num,
+           |  $mnS AS min_str, $mxS AS max_str
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+    // same six rules: anti-join FKs, HAVING-based uniqueness, range,
+    // cross-table temporal, completeness; statuses derived from counts
+    "q120_constraints" ->
+      s"""WITH v AS (
+         |  SELECT 'o_orderkey_unique' AS "check", CAST(count(*) AS BIGINT) AS violations
+         |  FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+         |  UNION ALL
+         |  SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT) FROM lineitem l
+         |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+         |  UNION ALL
+         |  SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT) FROM orders o
+         |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+         |  UNION ALL
+         |  SELECT 'l_quantity_range', CAST(count(*) AS BIGINT) FROM lineitem
+         |  WHERE NOT (l_quantity BETWEEN 1 AND 50)
+         |  UNION ALL
+         |  SELECT 'ship_after_order', CAST(count(*) AS BIGINT)
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  WHERE l.l_shipdate < o.o_orderdate
+         |  UNION ALL
+         |  SELECT 'l_returnflag_complete', CAST(count(*) AS BIGINT) FROM lineitem
+         |  WHERE l_returnflag IS NULL)
+         |SELECT "check", violations,
+         |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+         |FROM v""".stripMargin,
 
     // chunk grid (q113 formulas), KR bucket fold (q112 formula), sparse
     // bucket-join dot, rHU cosine BEFORE the per-doc max, same tie-break

@@ -283,6 +283,48 @@ object Audit {
       ("anti-join FKs", _.contains("LeftAnti")),
       ("no cross product", p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+    audit("q121_snapshot_cdc")(
+      // diff is ONE full-outer equi-join on the key; hashes (not payloads)
+      // are what shuffles
+      ("full-outer diff join", _.contains("FullOuter")),
+      ("no cross product", p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+    audit("q122_zorder_layout")(
+      // z-value is map-only codegen'd bit math; stats are one partial agg
+      // on the bounded bucket key — no join, no global sort
+      ("no join anywhere", p => !p.contains("Join")),
+      ("partial agg on bucket", _.contains("HashAggregate")),
+      ("no global-order sort", p =>
+        !p.linesIterator.exists(l => l.contains("Sort [") && l.contains("], true"))))
+    audit("q123_audio_quality")(
+      // pure map kernel over the audio bytes: no join; the only exchange
+      // is Tables.documents' round-robin fan-out (kernel parallelism over
+      // a single parquet file), never a key shuffle
+      ("no join anywhere", p => !p.contains("Join")),
+      ("no key shuffle", p => !p.contains("hashpartitioning") &&
+        !p.contains("rangepartitioning")))
+    audit("q124_image_neardup")(
+      // banded candidates come from an EQUI-join on (band_idx, band_val);
+      // the codec kernel is checkpointed so the self-join reads it once
+      ("band equi-join", p =>
+        p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("BroadcastHashJoin")),
+      ("no cross product", p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+    audit("q125_scd_history")(
+      // ordering window is PARTITION-LOCAL (partitionBy user_id): the sort
+      // line carries a partial flag, never a global one
+      ("no global-order sort", p =>
+        !p.linesIterator.exists(l => l.contains("Sort [") && l.contains("], true"))),
+      ("per-key window", _.contains("Window")),
+      ("no join anywhere", p => !p.contains("Join")))
+    audit("q126_point_in_time")(
+      // as-of against the history is a union-tag + running carry — one
+      // shuffle on the key, NO interval range join (which would be a BNLJ)
+      ("no cross product", p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+      ("no global-order sort", p =>
+        !p.linesIterator.exists(l => l.contains("Sort [") && l.contains("], true"))))
     audit("q118_max_passage")(
       // sparse dot: chunk vectors equi-join the BROADCAST query vectors
       // on bucket; the corpus never shuffles on a pair key

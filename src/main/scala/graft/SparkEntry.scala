@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Corpus, Dedup, GraphAnn, Intervals, Kanndi, Knn, Multimodal, Packing, Pq, Quality, Retrieval, Sharding, ShardedSearch, Sketches, Skew, Sq, Stats, Streaming, TextStats}
+import graft.operators.{AsOfJoin, Corpus, Dedup, GraphAnn, Intervals, Kanndi, Knn, Layout, Multimodal, Packing, Pq, Quality, Retrieval, Sharding, ShardedSearch, Sketches, Skew, Snapshot, Sq, Stats, Streaming, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1051,6 +1051,88 @@ object SparkEntry {
         "ship_after_order" -> li.join(ord, li("l_orderkey") === ord("o_orderkey"))
           .where(col("l_shipdate") < col("o_orderdate")),
         "l_returnflag_complete" -> li.where(col("l_returnflag").isNull)))
+    }),
+
+    // ---- snapshot CDC + upsert merge (incremental corpus refresh, the
+    // Delta/Iceberg MERGE INTO shape): two deterministic snapshot views of
+    // the corpus (old drops doc_id%11==3 and staleness-mutates doc_id%7==0;
+    // new drops doc_id%13==5), diffed on content hash, merged with
+    // new-wins semantics; removed keys persist (no delete clause)
+    "q121_snapshot_cdc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val old = docs.where(col("doc_id") % 11 =!= 3)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [stale]"))).otherwise(col("text")))
+      val neu = docs.where(col("doc_id") % 13 =!= 5)
+      val diff = Snapshot.cdcDiff(
+        old.select(col("doc_id"), md5(col("text")).as("h")),
+        neu.select(col("doc_id"), md5(col("text")).as("h")),
+        "doc_id", "h")
+      val merged = Snapshot.upsertMerge(old, neu, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("merged_md5"))
+      diff.where(col("status") =!= "unchanged")
+        .join(merged, Seq("doc_id"), "left")
+    }),
+
+    // ---- Z-order layout (Delta OPTIMIZE ZORDER BY shape): lineitem
+    // clustered on the Morton interleave of two derived 10-bit keys; per
+    // fixed grid bucket (= the file a range write would cut) the row count
+    // + min/max footer stats, and which buckets a zx-range scan must read
+    "q122_zorder_layout" -> ((s, dir) =>
+      Layout.zOrderBucketStats(
+        Tables.lineitem(s, dir).select(
+          (col("l_partkey") % 1024).as("zx"),
+          (col("l_suppkey") * 7 % 1024).as("zy")),
+        "zx", "zy", bits = 10, gridBits = 3, scanLo = 128L, scanHi = 383L)),
+
+    // ---- audio quality gate (the Gopher-rules analogue for audio): the
+    // speech-shaped clip goes through the REAL RIFF/PCM16 round trip, then
+    // windowed silence detection, clipping rate, peak, and an integer
+    // per-mille keep rule over the DECODED samples
+    "q123_audio_quality" -> ((s, dir) =>
+      Multimodal.audioQualityStats(s,
+        Tables.documents(s, dir).select(col("doc_id").as("id")))),
+
+    // ---- perceptual image near-dup pairs (the SimHash-banding shape on
+    // the image side): base + planted brightness-variant images through
+    // the REAL BMP round trip into 63-bit dHashes; 7x9-bit banding
+    // (pigeonhole-complete for dist<=6) + exact bit_count verify
+    "q124_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDupPairs(s,
+        Tables.documents(s, dir).select(col("doc_id").as("id")))),
+
+    // ---- SCD type-2 dimension history (the temporal feature-store
+    // contract): the event log as an attribute change stream per user,
+    // last-wins collapse of simultaneous changes (tie-break event_id),
+    // versioned [eff_from, eff_to) validity intervals — window is
+    // partition-local per user, never a global sort
+    "q125_scd_history" -> ((s, dir) =>
+      operators.Scd.scdHistory(
+        Tables.events(s, dir).select(col("user_id"),
+          unix_millis(col("ts")).as("ms"), col("event_id"),
+          col("event_type"), col("value")),
+        key = "user_id", ts = "ms", tieBreak = "event_id",
+        attrs = Seq("event_type", "value"))),
+
+    // ---- point-in-time feature join (the label-leakage guard): each
+    // purchase event reads the user's dimension version AS OF its own
+    // timestamp — as-of against the collapsed change log picks exactly the
+    // history interval containing ms, with no interval range-join at all
+    "q126_point_in_time" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"), col("value"))
+      val probes = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ms"))
+      val versions = operators.Scd.scdHistory(ev, key = "user_id", ts = "ms",
+          tieBreak = "event_id", attrs = Seq("event_type", "value"))
+        .select(col("user_id"), col("eff_from").as("ms"),
+          col("version"), col("event_type"), col("value"))
+      AsOfJoin.asof(probes, versions, key = "user_id", ts = "ms")
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("matched.version").as("version"),
+          col("matched.event_type").as("attr_type"),
+          col("matched.value").as("attr_value"))
     }),
 
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
@@ -2901,6 +2983,147 @@ object SparkEntry {
          |SELECT "check", violations,
          |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
          |FROM v""".stripMargin,
+
+    // same snapshot derivations, full-outer diff on md5, anti-join+union
+    // merge; md5() is lowercase hex in both engines
+    "q121_snapshot_cdc" ->
+      s"""WITH old AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' [stale]' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 != 3),
+         |neu AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 != 5),
+         |oh AS (SELECT doc_id, md5(text) AS old_hash FROM old),
+         |nh AS (SELECT doc_id, md5(text) AS new_hash FROM neu),
+         |d AS (SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,
+         |    CASE WHEN oh.doc_id IS NULL THEN 'added'
+         |         WHEN nh.doc_id IS NULL THEN 'removed'
+         |         WHEN old_hash = new_hash THEN 'unchanged'
+         |         ELSE 'changed' END AS status, old_hash, new_hash
+         |  FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id),
+         |m AS (SELECT doc_id, md5(text) AS merged_md5 FROM (
+         |  SELECT * FROM old WHERE doc_id NOT IN (SELECT doc_id FROM neu)
+         |  UNION ALL SELECT * FROM neu))
+         |SELECT d.doc_id, status, old_hash, new_hash, merged_md5
+         |FROM d LEFT JOIN m ON d.doc_id = m.doc_id
+         |WHERE status != 'unchanged'""".stripMargin,
+
+    // bit-for-bit Morton replay: 10 interleave terms per coordinate,
+    // bucket = top 6 of the 20 z bits, same footer stats + overlap rule
+    "q122_zorder_layout" -> {
+      val zTerms = (0 until 10).flatMap(i => Seq(
+        s"(((zx >> $i) & 1) << ${2 * i})",
+        s"(((zy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH c AS (SELECT l_partkey % 1024 AS zx, (l_suppkey * 7) % 1024 AS zy
+         |  FROM lineitem),
+         |z AS (SELECT zx, zy, CAST(($zTerms) >> 14 AS BIGINT) AS bucket FROM c)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(min(zx) AS BIGINT) AS min_x, CAST(max(zx) AS BIGINT) AS max_x,
+         |  CAST(min(zy) AS BIGINT) AS min_y, CAST(max(zy) AS BIGINT) AS max_y,
+         |  NOT (min(zx) > 383 OR max(zx) < 128) AS scan_needed
+         |FROM z GROUP BY bucket""".stripMargin
+    },
+
+    // replay of the syntheticSpeech formula (quiet/loud/clip segments) +
+    // the 50-sample window math; the engine's numbers came off a real
+    // encode->decode round trip, so equality re-proves the codec too
+    "q123_audio_quality" ->
+      s"""WITH sig AS (SELECT doc_id AS id,
+         |    (300 + doc_id % 97) * (1 + doc_id % 2) AS n FROM documents),
+         |sm AS (SELECT id, n, list_transform(generate_series(0, n - 1), i ->
+         |    CASE WHEN ((i // 50) + id) % 4 = 0 THEN (id*13 + i*7) % 201 - 100
+         |         WHEN ((i // 50) + id) % 4 = 2 AND i % 29 = 0 THEN
+         |           CASE WHEN (id + i) % 2 = 0 THEN 32767 ELSE -32768 END
+         |         ELSE (id*7919 + i*2663) % 65536 - 32768 END) AS s
+         |  FROM sig),
+         |st AS (SELECT id, n, (n + 49) // 50 AS nw,
+         |    list_sum(list_transform(generate_series(0, ((n + 49) // 50) - 1), w ->
+         |      CASE WHEN list_max(list_transform(
+         |          list_slice(s, w*50 + 1, least((w+1)*50, n)), x -> abs(x))) < 512
+         |        THEN 1 ELSE 0 END)) AS ns,
+         |    list_sum(list_transform(s, x ->
+         |      CASE WHEN abs(x) >= 32700 THEN 1 ELSE 0 END)) AS nc,
+         |    list_max(list_transform(s, x -> abs(x))) AS peak
+         |  FROM sm)
+         |SELECT id, CAST(nw AS BIGINT) AS n_windows, CAST(ns AS BIGINT) AS n_silent,
+         |  CAST(ns * 1000 // nw AS BIGINT) AS silence_permille,
+         |  CAST(nc AS BIGINT) AS n_clipped,
+         |  CAST(nc * 1000 // n AS BIGINT) AS clip_permille,
+         |  CAST(peak AS INT) AS peak,
+         |  (ns * 1000 // nw <= 250 AND nc * 1000 // n <= 20) AS keep
+         |FROM st""".stripMargin,
+
+    // full replay: variant grid, pixel formula (+60 brightness term on the
+    // top two rows), 7x10 cell means, 63-bit hash, then BRUTE-FORCE pair
+    // distances — banding is pigeonhole-complete for dist<=6, so the
+    // engine's banded join must equal the oracle's all-pairs scan
+    "q124_image_neardup" ->
+      s"""WITH d AS (SELECT doc_id AS id, v.variant FROM documents
+         |  CROSS JOIN (SELECT unnest([0, 1]) AS variant) v
+         |  WHERE v.variant = 0 OR doc_id % 4 = 0),
+         |dd AS (SELECT id, variant, id * 2 + variant AS img_id,
+         |    16 + id % 13 AS w, 12 + id % 9 AS h FROM d),
+         |rws AS (SELECT img_id, id, variant, w, h,
+         |    unnest(generate_series(0, h - 1)) AS r FROM dd),
+         |px AS (SELECT img_id, (r * 7) // h AS br,
+         |    unnest(list_transform(generate_series(0, w - 1), c -> (c * 10) // w)) AS bc,
+         |    unnest(list_transform(generate_series(0, w - 1), c ->
+         |      id*7 + r*31 + c*13 +
+         |      CASE WHEN variant = 1 AND r < 2 THEN 60 ELSE 0 END)) AS b0
+         |  FROM rws),
+         |g AS (SELECT img_id, br, bc,
+         |    (b0 % 256) + ((b0 + 5) % 256) + ((b0 + 10) % 256) AS gray FROM px),
+         |bl AS (SELECT img_id, br, bc, sum(gray) AS s, count(*) AS n
+         |  FROM g GROUP BY img_id, br, bc),
+         |bits AS (SELECT l.img_id,
+         |    CASE WHEN l.s * rt.n < rt.s * l.n
+         |      THEN (CAST(1 AS BIGINT) << (l.br * 9 + l.bc)) ELSE 0 END AS bv
+         |  FROM bl l JOIN bl rt
+         |    ON rt.img_id = l.img_id AND rt.br = l.br AND rt.bc = l.bc + 1),
+         |dh AS (SELECT img_id, CAST(sum(bv) AS BIGINT) AS dhash
+         |  FROM bits GROUP BY img_id)
+         |SELECT a.img_id AS id_a, b.img_id AS id_b,
+         |  CAST(list_sum(list_transform(generate_series(0, 62), i ->
+         |    (xor(a.dhash, b.dhash) >> i) & 1)) AS INT) AS dist
+         |FROM dh a JOIN dh b ON a.img_id < b.img_id
+         |WHERE list_sum(list_transform(generate_series(0, 62), i ->
+         |  (xor(a.dhash, b.dhash) >> i) & 1)) <= 6""".stripMargin,
+
+    // same collapse (arg_max by event_id) + per-user lead window; value is
+    // a parquet pass-through so it hashes exactly
+    "q125_scd_history" ->
+      s"""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, event_id,
+         |    event_type, value FROM events),
+         |c AS (SELECT user_id, ms,
+         |    arg_max(event_type, event_id) AS event_type,
+         |    arg_max(value, event_id) AS value
+         |  FROM ev GROUP BY user_id, ms)
+         |SELECT user_id, event_type, value, ms AS eff_from,
+         |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms) AS eff_to,
+         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ms) AS INT)
+         |    AS version,
+         |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+         |    AS is_current
+         |FROM c""".stripMargin,
+
+    // DuckDB ASOF JOIN against the same history keyed at eff_from — the
+    // interval containing ms is exactly the latest eff_from <= ms
+    "q126_point_in_time" ->
+      s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+         |    value FROM events),
+         |p AS (SELECT event_id, user_id, ms FROM ev
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ms,
+         |    arg_max(event_type, event_id) AS event_type,
+         |    arg_max(value, event_id) AS value
+         |  FROM ev GROUP BY user_id, ms),
+         |h AS (SELECT user_id, ms,
+         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ms) AS INT)
+         |      AS version,
+         |    event_type, value
+         |  FROM c)
+         |SELECT p.event_id, p.user_id, p.ms, h.version,
+         |  h.event_type AS attr_type, h.value AS attr_value
+         |FROM p ASOF LEFT JOIN h
+         |  ON p.user_id = h.user_id AND p.ms >= h.ms""".stripMargin,
 
     // chunk grid (q113 formulas), KR bucket fold (q112 formula), sparse
     // bucket-join dot, rHU cosine BEFORE the per-doc max, same tie-break

@@ -788,4 +788,180 @@ object Multimodal {
         (a.id, a.media_type, i / stride, a.content(i) & 0xff))
     }.toDF("id", "media_type", "frame_idx", "frame_val")
   }
+
+  /** Deterministic "speech-like" PCM for the audio-quality kernel: the
+    * sample stream alternates 50-sample segments — segment (i/50 + id) % 4
+    * == 0 is quiet (|x| <= 100), segment 2 plants hard-clipped samples at
+    * every 29th index, everything else is the loud q99 noise formula. Same
+    * rate/channel scheme as [[syntheticPcm]]. */
+  def syntheticSpeech(id: Long): (Int, Int, Array[Short]) = {
+    val rate = (8000 + (id % 3) * 4000).toInt
+    val channels = (1 + id % 2).toInt
+    val n = (300 + id % 97).toInt * channels
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val seg = (i / 50 + id) % 4
+      s(i) =
+        if (seg == 0) ((id * 13 + i * 7) % 201 - 100).toShort
+        else if (seg == 2 && i % 29 == 0)
+          (if ((id + i) % 2 == 0) 32767 else -32768).toShort
+        else ((id * 7919 + i * 2663) % 65536 - 32768).toShort
+      i += 1
+    }
+    (rate, channels, s)
+  }
+
+  /** Audio quality gate over DECODED samples — the audio analogue of the
+    * Gopher text rules (q30/q64): per clip, 50-sample windowed silence
+    * detection (window max |x| < 512), hard-clipping rate (|x| >= 32700),
+    * peak, and a keep flag. The clip goes through the REAL RIFF/PCM16
+    * encode->decode round trip first, so the oracle (which replays the
+    * sample formula) also proves the codec under a second signal shape.
+    * All thresholds integer, all ratios integer per-mille — bit-stable
+    * keep/drop boundary cross-engine.
+    *
+    * Scale: pure map kernel, no shuffle — one pass over the audio bytes. */
+  def audioQualityStats(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("id")).as[Long].map { id =>
+      val (rate, ch, samples) = syntheticSpeech(id)
+      val (dRate, dCh, back) = decodeWav(encodeWav(rate, ch, samples))
+      require(dRate == rate && dCh == ch && back.length == samples.length,
+        s"wav round-trip shape mismatch for $id")
+      val n = back.length
+      val nWindows = (n + 49) / 50
+      var nSilent = 0L
+      var nClipped = 0L
+      var peak = 0
+      var w = 0
+      while (w < nWindows) {
+        var wMax = 0
+        var i = w * 50
+        val hi = math.min(n, (w + 1) * 50)
+        while (i < hi) {
+          val a = math.abs(back(i).toInt)
+          if (a > wMax) wMax = a
+          if (a >= 32700) nClipped += 1
+          if (a > peak) peak = a
+          i += 1
+        }
+        if (wMax < 512) nSilent += 1
+        w += 1
+      }
+      val silPm = nSilent * 1000L / nWindows
+      val clipPm = nClipped * 1000L / n
+      (id, nWindows.toLong, nSilent, silPm, nClipped, clipPm, peak,
+        silPm <= 250L && clipPm <= 20L)
+    }.toDF("id", "n_windows", "n_silent", "silence_permille", "n_clipped",
+      "clip_permille", "peak", "keep")
+  }
+
+  /** Larger deterministic pattern for the 63-bit perceptual hash (the q88
+    * 16-bit grid needs only 8x5 pixels; a 7x10 grid needs >= 10x7):
+    * same pixel formula as [[syntheticRgb]], dims 16..28 x 12..20, plus a
+    * `variant` term that brightens the top two rows — a perceptual
+    * NEAR-duplicate of the base image (a few grid cells shift, most
+    * comparisons survive), the planted positive the pair join must find. */
+  def syntheticRgbL(id: Long, variant: Int): (Int, Int, Array[Byte]) = {
+    val w = (16 + id % 13).toInt
+    val h = (12 + id % 9).toInt
+    val rgb = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        var ch = 0
+        while (ch < 3) {
+          val v = if (variant == 1 && r < 2) 60 else 0
+          rgb((r * w + c) * 3 + ch) =
+            ((id * 7 + r * 31 + c * 13 + ch * 5 + v) % 256).toByte
+          ch += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** dHash bits over a decoded RGB plane: gridR x gridC mosaic, bit
+    * (R*(gridC-1) + C) set when cell (R,C) is darker than its right
+    * neighbor, means compared as exact integer cross-products (the q88
+    * kernel, grid-parameterized). Caller guarantees w >= gridC, h >= gridR
+    * so every cell is non-empty. */
+  def dhashBits(w: Int, h: Int, rgb: Array[Byte], gridR: Int, gridC: Int): Long = {
+    val sums = Array.ofDim[Long](gridR, gridC)
+    val cnts = Array.ofDim[Long](gridR, gridC)
+    var r = 0
+    while (r < h) {
+      val br = r * gridR / h
+      var c = 0
+      while (c < w) {
+        val bc = c * gridC / w
+        val i = (r * w + c) * 3
+        sums(br)(bc) += (rgb(i) & 0xff) + (rgb(i + 1) & 0xff) + (rgb(i + 2) & 0xff)
+        cnts(br)(bc) += 1
+        c += 1
+      }
+      r += 1
+    }
+    var hash = 0L
+    var br = 0
+    while (br < gridR) {
+      var bc = 0
+      while (bc < gridC - 1) {
+        if (sums(br)(bc) * cnts(br)(bc + 1) < sums(br)(bc + 1) * cnts(br)(bc))
+          hash |= 1L << (br * (gridC - 1) + bc)
+        bc += 1
+      }
+      br += 1
+    }
+    hash
+  }
+
+  /** Perceptual image near-dup PAIRS — dHash hamming banding, the image
+    * twin of SimHash text near-dup (q52): per id, a base image (img_id =
+    * 2*id) and for id % 4 == 0 a brightness-perturbed variant (2*id + 1),
+    * each through the REAL BMP encode->decode round trip into a 63-bit
+    * dHash (7x10 grid — bit 63 never set, so every band/xor stays in
+    * positive BIGINT range for both engines). Pairs at hamming distance
+    * <= maxDist via 7 bands of 9 bits: pigeonhole-COMPLETE for maxDist <=
+    * 6 (a pair differing in <= 6 bits leaves >= 1 of 7 bands intact), so
+    * the banded join finds every qualifying pair and the exact
+    * bit_count(xor) verify keeps only true ones.
+    *
+    * Scale: one codec map pass (checkpointed — the self-join must not run
+    * it twice), band equi-join on a bounded key, never all-pairs. */
+  def imageNearDupPairs(spark: SparkSession, ids: DataFrame,
+      maxDist: Int = 6): DataFrame = {
+    import spark.implicits._
+    require(maxDist >= 0 && maxDist <= 6,
+      s"7x9-bit banding is complete only for maxDist <= 6, got $maxDist")
+    val hashed = ids.select(col("id")).as[Long].flatMap { id =>
+      val variants = if (id % 4 == 0) Seq(0, 1) else Seq(0)
+      variants.map { v =>
+        val (w, h, rgb) = syntheticRgbL(id, v)
+        val (dw, dh, back) = decodeBmp(encodeBmp(w, h, rgb))
+        require(dw == w && dh == h, s"dimension mismatch for $id/$v")
+        (id * 2 + v, dhashBits(dw, dh, back, 7, 10))
+      }
+    }.toDF("img_id", "dhash").localCheckpoint()
+    val banded = hashed.select(col("img_id"), col("dhash"),
+      explode(array((0 until 7).map(b => struct(
+        lit(b).as("band_idx"),
+        shiftright(col("dhash"), 9 * b).bitwiseAND(lit(511L)).as("band_val"))): _*))
+        .as("bd"))
+      .select(col("img_id"), col("dhash"),
+        col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("id_a"), col("b.img_id").as("id_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
 }

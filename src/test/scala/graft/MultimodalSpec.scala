@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("audioQualityStats: matches stats recomputed from the raw signal") {
+    // the operator goes through the real encode->decode round trip; this
+    // recomputes every stat straight from syntheticSpeech, so a lossy or
+    // misaligned codec (or window/threshold bug) diverges
+    val ids = Seq(0L, 1L, 2L, 3L, 7L, 11L)
+    val got = Multimodal.audioQualityStats(spark, ids.toDF("id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6), r.getBoolean(7)))
+      .toMap
+    ids.foreach { id =>
+      val (_, _, s) = Multimodal.syntheticSpeech(id)
+      val n = s.length
+      val nw = (n + 49) / 50
+      val windows = s.map(v => math.abs(v.toInt)).grouped(50).toSeq
+      val ns = windows.count(_.max < 512).toLong
+      val nc = s.count(v => math.abs(v.toInt) >= 32700).toLong
+      val peak = s.map(v => math.abs(v.toInt)).max
+      val silPm = ns * 1000L / nw
+      val clipPm = nc * 1000L / n
+      assert(got(id) === ((nw.toLong, ns, silPm, nc, clipPm, peak,
+        silPm <= 250L && clipPm <= 20L)), s"id=$id")
+    }
+  }
+
+  test("audioQualityStats: silent/clipped segments actually occur") {
+    val rows = Multimodal.audioQualityStats(spark, Seq(0L, 1L, 2L, 3L).toDF("id"))
+      .collect()
+    assert(rows.forall(_.getLong(2) > 0), "every clip has silent windows")
+    assert(rows.exists(_.getLong(4) > 0), "some clip has clipped samples")
+  }
+
+  test("imageNearDupPairs: finds exactly the planted variants") {
+    // ids 0,4 get a brightness variant (img_ids 1 and 9); the only pairs
+    // at hamming distance <= 6 must be (0,1) and (8,9), with distances
+    // equal to the direct dhash difference (codec-free recomputation)
+    val got = Multimodal.imageNearDupPairs(spark, (0L to 7L).toDF("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    def directDist(id: Long): Int = {
+      val (w0, h0, rgb0) = Multimodal.syntheticRgbL(id, 0)
+      val (w1, h1, rgb1) = Multimodal.syntheticRgbL(id, 1)
+      assert(w0 === w1 && h0 === h1)
+      java.lang.Long.bitCount(
+        Multimodal.dhashBits(w0, h0, rgb0, 7, 10) ^
+          Multimodal.dhashBits(w1, h1, rgb1, 7, 10))
+    }
+    assert(got.toSeq === Seq(
+      (0L, 1L, directDist(0L)), (8L, 9L, directDist(4L))))
+  }
+
+  test("dhashBits: brightness variant only perturbs the top row-band") {
+    // the +60 term touches rows 0..1 -> grid row-band 0 -> bits 0..8 only
+    (0L to 7L).foreach { id =>
+      val (w, h, rgb0) = Multimodal.syntheticRgbL(id, 0)
+      val (_, _, rgb1) = Multimodal.syntheticRgbL(id, 1)
+      val x = Multimodal.dhashBits(w, h, rgb0, 7, 10) ^
+        Multimodal.dhashBits(w, h, rgb1, 7, 10)
+      assert((x & ~0x1ffL) === 0L, s"id=$id flipped bits outside band 0")
+    }
+  }
+}

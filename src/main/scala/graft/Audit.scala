@@ -331,6 +331,21 @@ object Audit {
       ("query vectors broadcast", _.contains("BroadcastHashJoin")),
       ("no nested-loop join", p => !p.contains("BroadcastNestedLoopJoin")),
       ("top-k partial limit", _.contains("WindowGroupLimit")))
+    audit("q127_bucketed_join")(
+      // the layout's whole point: both scans report the hash distribution,
+      // so the sort-merge join needs NO exchange under it — the ONLY
+      // Exchange in the plan is the final per-priority aggregate
+      ("bucketed scans (16 buckets)", _.contains("SelectedBucketsCount: 16 out of 16")),
+      ("sort-merge join (not re-broadcast)", _.contains("SortMergeJoin")),
+      ("single exchange (agg only)", p => p.sliding("Exchange".length).count(_ == "Exchange") == 1))
+    audit("q128_bq_search")(
+      // the coarse cut ranks the 8-byte codes (query batch broadcast, same
+      // plan as q02); raw vectors enter ONLY via the candidate equi-join
+      ("query codes broadcast", _.contains("BroadcastNestedLoopJoin")),
+      ("hamming cut is a partial limit", _.contains("WindowGroupLimit")),
+      ("refine is an equi-join (no second scan-wide NLJ)", p =>
+        p.sliding("BroadcastNestedLoopJoin".length)
+          .count(_ == "BroadcastNestedLoopJoin") == 1))
     audit("q102_graph_insert")(
       // incremental merge: batch-keyed equi-joins + the per-src re-cut —
       // a nested loop would mean old x union degenerated to all-pairs

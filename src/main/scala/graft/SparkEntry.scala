@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Corpus, Dedup, GraphAnn, Intervals, Kanndi, Knn, Layout, Multimodal, Packing, Pq, Quality, Retrieval, Sharding, ShardedSearch, Sketches, Skew, Snapshot, Sq, Stats, Streaming, TextStats}
+import graft.operators.{AsOfJoin, Bq, Corpus, Dedup, GraphAnn, Intervals, Kanndi, Knn, Layout, Multimodal, Packing, Pq, Quality, Retrieval, Sharding, ShardedSearch, Sketches, Skew, Snapshot, Sq, Stats, Streaming, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1135,6 +1135,37 @@ object SparkEntry {
           col("matched.value").as("attr_value"))
     }),
 
+    // ---- bucketed co-located join (the pay-the-shuffle-once layout):
+    // lineitem and orders pre-bucketed on their join keys with equal
+    // bucket counts — the scan itself reports the hash distribution, so
+    // the sort-merge join runs with ZERO exchange under it (audited: the
+    // only Exchange in the plan is the final per-priority aggregate). At
+    // 100 TB this is the difference between re-shuffling both fact tables
+    // on every query and paying the distribution cost once at write time.
+    "q127_bucketed_join" -> ((s, dir) => {
+      val (lt, ot) = bucketedTablesMemo(s, dir)
+      s.table(lt).hint("merge")
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"))
+    }),
+
+    // ---- binary quantization (1 bit/dim) + Hamming search: the third
+    // compression scheme next to PQ (q44) and SQ8 (q51) — 32× smaller
+    // codes, XOR+popcount candidate ranking, exact refine touching raw
+    // vectors only for the k·refine survivors. Thresholds reuse the SQ
+    // range fit (midpoints of exact min/max — no sum-order dependence)
+    "q128_bq_search" -> ((s, dir) => {
+      val mids = Bq.fitThresholds(sqRangesMemo(s, dir))
+      Bq.search(Bq.encode(Tables.points(s, dir), mids),
+        Tables.points(s, dir), queryBatchDf(s, dir), mids,
+        k = 10, refine = 4)
+    }),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -1402,6 +1433,31 @@ object SparkEntry {
     path
   }
 
+  /** The pre-bucketed lineitem/orders tables behind q127 — paying the
+    * distribution cost ONCE at write time is the entire point of the
+    * layout, so the build is index-build work like the shard layout or the
+    * PQ codes. External /tmp paths + session-catalog registration (the
+    * in-memory catalog holds only the metadata; data lives beside the
+    * other artifacts). Returns the (lineitem, orders) table names. */
+  private def bucketedTablesMemo(s: SparkSession, dir: String): (String, String) = {
+    val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val lt = s"graft_bkt_lineitem_$slug"
+    val ot = s"graft_bkt_orders_$slug"
+    fileOnce.computeIfAbsent(s"bucketed:$dir", _ => {
+      Layout.writeBucketed(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount")),
+        numBuckets = 16, key = "l_orderkey", tableName = lt,
+        path = tmpArtifact("bkt_lineitem", dir, ""))
+      Layout.writeBucketed(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        numBuckets = 16, key = "o_orderkey", tableName = ot,
+        path = tmpArtifact("bkt_orders", dir, ""))
+      true
+    })
+    (lt, ot)
+  }
+
   /** The persisted graph index beside the shard layout: `adj` = per-point
     * neighbor lists (partitionBy(shard_id) — a probe reads only routed
     * shards' lists), `ep` = per-shard entry points (tiny). Building it is
@@ -1562,6 +1618,7 @@ object SparkEntry {
     bpeRulesMemo(s, dir)                                     // q111 rules
     knnEdgesPinned(s, dir)                                   // q117 edges
     chunkIndexMemo(s, dir)                                   // q118 index
+    bucketedTablesMemo(s, dir)                               // q127 layout
   }
 
   private val chunkIndexMemoMap =
@@ -3124,6 +3181,49 @@ object SparkEntry {
          |  h.event_type AS attr_type, h.value AS attr_value
          |FROM p ASOF LEFT JOIN h
          |  ON p.user_id = h.user_id AND p.ms >= h.ms""".stripMargin,
+
+    // the layout changes the PLAN, never the rows: the oracle is the
+    // plain join+aggregate over the raw parquet (q01's sum conventions)
+    "q127_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // bit-for-bit packing replay (q51's range fit, midpoint thresholds,
+    // integer shifts for the fold), integer Hamming rank, exact-L2 refine
+    // with the q02 rounding/tie conventions
+    "q128_bq_search" ->
+      s"""WITH pts AS (${Oracles.ptsD}),
+         |rng AS (SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his FROM (
+         |  SELECT dims.i AS dim, min(p.vec[dims.i]) AS lo, max(p.vec[dims.i]) AS hi
+         |  FROM pts p CROSS JOIN (SELECT unnest(generate_series(1, ${Oracles.dim})) AS i) dims
+         |  GROUP BY dims.i)),
+         |mid AS (SELECT list_transform(generate_series(1, ${Oracles.dim}),
+         |    i -> (r.los[i] + r.his[i]) / 2.0) AS mids FROM rng r),
+         |enc AS (SELECT p.id,
+         |    list_sum(list_transform(generate_series(1, 32), j ->
+         |      CASE WHEN p.vec[j] > m.mids[j] THEN 1::BIGINT << (j - 1) ELSE 0 END)) AS w0,
+         |    list_sum(list_transform(generate_series(1, 32), j ->
+         |      CASE WHEN p.vec[j + 32] > m.mids[j + 32] THEN 1::BIGINT << (j - 1) ELSE 0 END)) AS w1
+         |  FROM pts p CROSS JOIN mid m),
+         |qc AS (SELECT id AS qid, w0 AS qw0, w1 AS qw1 FROM enc WHERE id % 25 = 0),
+         |cand AS (SELECT qc.qid, e.id,
+         |    CAST(bit_count(xor(e.w0, qc.qw0)) + bit_count(xor(e.w1, qc.qw1)) AS BIGINT)
+         |      AS hamming
+         |  FROM qc CROSS JOIN enc e),
+         |topc AS (SELECT qid, id, hamming FROM (SELECT qid, id, hamming,
+         |    row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS crank
+         |  FROM cand) WHERE crank <= 40),
+         |qv AS (SELECT id AS qid, vec AS qvec FROM pts WHERE id % 25 = 0),
+         |ref AS (SELECT t.qid, t.id, t.hamming,
+         |    ${Oracles.l2("qv.qvec", "p.vec")} AS dist
+         |  FROM topc t JOIN pts p ON t.id = p.id JOIN qv ON t.qid = qv.qid)
+         |SELECT qid, "rank", id AS neighbor_id, dist, hamming
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, id)
+         |    AS "rank" FROM ref)
+         |WHERE "rank" <= 10""".stripMargin,
 
     // chunk grid (q113 formulas), KR bucket fold (q112 formula), sparse
     // bucket-join dot, rHU cosine BEFORE the per-doc max, same tie-break

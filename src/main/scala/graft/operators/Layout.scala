@@ -38,6 +38,29 @@ object Layout {
     }
   }
 
+  /** Write `df` as a Spark BUCKETED parquet table (external path): rows are
+    * hash-distributed on `key` into `numBuckets` files, each sorted by
+    * `key`. The pre-`repartition` on the same (hash, n) the bucket spec
+    * uses sends each bucket to exactly one task, so the layout is one file
+    * per bucket — the shape Hive/Spark bucketing assumes. A join between
+    * two tables bucketed on their join keys with equal bucket counts needs
+    * NO shuffle on either side (the scan itself reports the hash
+    * distribution) — at 100 TB this is the difference between re-shuffling
+    * both fact tables on every query and paying the distribution cost once
+    * at write time. q127 audits exactly that: one Exchange in the whole
+    * plan (the final aggregate), zero under the join. */
+  def writeBucketed(df: DataFrame, numBuckets: Int, key: String,
+      tableName: String, path: String): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    df.repartition(numBuckets, col(key))
+      .write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(tableName)
+  }
+
   /** Cluster `df` on z(xCol, yCol) into 4^gridBits fixed buckets (the top
     * 2*gridBits bits of the z-value — the deterministic stand-in for
     * range-partition file boundaries) and report per bucket what a file

@@ -33,6 +33,33 @@ class LayoutSpec extends SparkSpec {
     assert((z(10, 20) >> 12) !== (z(200, 200) >> 12))
   }
 
+  test("writeBucketed: co-located join plans with zero exchange under it") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val left = (0L until 40L).map(i => (i % 10, i)).toDF("k", "v")
+    val right = (0L until 10L).map(i => (i, s"g${i % 3}")).toDF("k", "grp")
+    Layout.writeBucketed(left, numBuckets = 4, key = "k",
+      tableName = "bkt_left_spec", path = s"$tmp/l")
+    Layout.writeBucketed(right, numBuckets = 4, key = "k",
+      tableName = "bkt_right_spec", path = s"$tmp/r")
+    // at most one file per bucket (empty buckets write none): the
+    // repartition on the bucket hash sends each bucket to exactly one
+    // write task
+    val files = new java.io.File(s"$tmp/l").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 4 && files > 0)
+    val joined = spark.table("bkt_left_spec").hint("merge")
+      .join(spark.table("bkt_right_spec"), "k")
+      .groupBy($"grp").agg(sum($"v").as("sv"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    // the ONLY exchange is the final group-by; the join reads the bucket
+    // distribution straight off the scans
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") === 1)
+    // the layout never changes the rows
+    val expect = left.join(right, "k").groupBy($"grp").agg(sum($"v").as("sv"))
+    assert(joined.collect().toSet === expect.collect().toSet)
+  }
+
   test("zOrderBucketStats: buckets, footer stats, scan pruning") {
     // bits=2, gridBits=1 -> bucket = top 2 of 4 z bits = (x>>1, y>>1)
     // interleaved: bucket = (y_hi << 1) | x_hi

@@ -346,6 +346,24 @@ object Audit {
       ("refine is an equi-join (no second scan-wide NLJ)", p =>
         p.sliding("BroadcastNestedLoopJoin".length)
           .count(_ == "BroadcastNestedLoopJoin") == 1))
+    audit("q129_ivm_merge")(
+      // the IVM claim: the base facts are NOT re-scanned — the state
+      // enters as the pinned checkpoint block; the only FileScans are the
+      // two DELTA legs (inserts + deletes), both with pushed filters
+      ("base state is the pinned block", _.contains("Scan ExistingRDD")),
+      ("only the delta legs scan the facts", p =>
+        p.sliding("FileScan".length).count(_ == "FileScan") == 2),
+      ("delta filters pushed to scan", _.contains(
+        "PushedFilters: [IsNotNull(l_shipdate)")),
+      ("no join anywhere (union + re-agg)", p => !p.contains("Join")))
+    audit("q130_rollup")(
+      // re-aggregation rollup: NO Expand (Spark's native rollup replicates
+      // every FACT row once per level through the aggregate) and NO fact
+      // scan at all — every level re-reads the pinned finest state
+      ("no Expand node", p => !p.contains("Expand")),
+      ("no fact-table scan", p => !p.contains("FileScan")),
+      ("levels read the pinned state", _.contains("Scan ExistingRDD")),
+      ("no join anywhere", p => !p.contains("Join")))
     audit("q102_graph_insert")(
       // incremental merge: batch-keyed equi-joins + the per-src re-cut —
       // a nested loop would mean old x union degenerated to all-pairs

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Bq, Corpus, Dedup, GraphAnn, Intervals, Kanndi, Knn, Layout, Multimodal, Packing, Pq, Quality, Retrieval, Sharding, ShardedSearch, Sketches, Skew, Snapshot, Sq, Stats, Streaming, TextStats}
+import graft.operators.{AsOfJoin, Bq, Corpus, Dedup, GraphAnn, Intervals, Ivm, Kanndi, Knn, Layout, Multimodal, Packing, Pq, Quality, Retrieval, Sharding, ShardedSearch, Sketches, Skew, Snapshot, Sq, Stats, Streaming, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1166,6 +1166,41 @@ object SparkEntry {
         k = 10, refine = 4)
     }),
 
+    // ---- incremental materialized-view maintenance: the pinned base
+    // state (facts before the cutoff) merged with a delta batch — inserts
+    // of everything after the cutoff plus deletes of the orderkey%7 base
+    // rows — WITHOUT re-scanning the base facts. Int64-cents measures make
+    // the merged state bit-identical to the oracle's full recompute over
+    // (base ∖ deletes ∪ inserts). At 100 TB this is the refresh path: the
+    // shuffle is delta-sized + group-cardinality-sized, never fact-sized
+    "q129_ivm_merge" -> ((s, dir) => {
+      val li = lineitemCents(s, dir)
+      val inserts = li.where(col("l_shipdate") >= lit(Params.ivmCutoff).cast("timestamp"))
+        .withColumn("op", lit(1L))
+      val deletes = li.where(col("l_shipdate") < lit(Params.ivmCutoff).cast("timestamp") &&
+          col("l_orderkey") % 7 === 0)
+        .withColumn("op", lit(-1L))
+      Ivm.applyDelta(ivmBaseStateMemo(s, dir),
+        inserts.unionByName(deletes),
+        keys = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq("qty_c", "price_c"))
+    }),
+
+    // ---- ROLLUP grouping sets by RE-AGGREGATION of the pinned finest
+    // state — the fact table is scanned once (at state build), never
+    // Expand-replicated per level (audited: no Expand in the plan; Spark's
+    // native rollup would triple the 100 TB scan rows through the
+    // aggregate). Level ids follow grouping_id()/GROUPING() bitmask
+    // semantics, so the oracle replays with plain GROUP BY ROLLUP
+    "q130_rollup" -> ((s, dir) =>
+      Ivm.rollupLevels(rollupFinestMemo(s, dir),
+          keys = Seq("l_returnflag", "l_linestatus"),
+          measures = Seq("qty_c", "price_c"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("level"), col("cnt"), col("sum_qty_c"), col("sum_price_c"))),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -1458,6 +1493,40 @@ object SparkEntry {
     (lt, ot)
   }
 
+  /** lineitem with exact int64-cent measures — the fixed-point projection
+    * shared by the IVM/rollup family (q129/q130) and their oracles. */
+  private def lineitemCents(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+      col("l_shipdate"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+
+  /** q129's materialized base state (facts before the cutoff, aggregated
+    * once) — building the view IS the one base scan the whole IVM story
+    * amortizes, so it is index-build work like the PQ codes. Pinned;
+    * group-cardinality rows. */
+  private val ivmStateMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def ivmBaseStateMemo(s: SparkSession, dir: String): DataFrame =
+    ivmStateMemo.computeIfAbsent(s"base:$dir", _ =>
+      pinLocalCheckpoint(
+        Ivm.aggState(
+          lineitemCents(s, dir).where(col("l_shipdate") < lit(Params.ivmCutoff).cast("timestamp")),
+          keys = Seq("l_returnflag", "l_linestatus"),
+          measures = Seq("qty_c", "price_c")).coalesce(1)))
+
+  /** q130's finest-level state over the FULL fact table — each rollup
+    * level re-reads this cached block (≤ |flag|·|status| rows), never the
+    * fact table. */
+  private def rollupFinestMemo(s: SparkSession, dir: String): DataFrame =
+    ivmStateMemo.computeIfAbsent(s"finest:$dir", _ =>
+      pinLocalCheckpoint(
+        Ivm.aggState(lineitemCents(s, dir),
+          keys = Seq("l_returnflag", "l_linestatus"),
+          measures = Seq("qty_c", "price_c")).coalesce(1)))
+
   /** The persisted graph index beside the shard layout: `adj` = per-point
     * neighbor lists (partitionBy(shard_id) — a probe reads only routed
     * shards' lists), `ep` = per-shard entry points (tiny). Building it is
@@ -1619,6 +1688,8 @@ object SparkEntry {
     knnEdgesPinned(s, dir)                                   // q117 edges
     chunkIndexMemo(s, dir)                                   // q118 index
     bucketedTablesMemo(s, dir)                               // q127 layout
+    ivmBaseStateMemo(s, dir)                                 // q129 state
+    rollupFinestMemo(s, dir)                                 // q130 state
   }
 
   private val chunkIndexMemoMap =
@@ -1873,6 +1944,10 @@ object SparkEntry {
     /** q103's exact-refine multiplier (DiskANN-style: re-rank the top
       * k·refine approximate survivors with full-precision distances). */
     val graphRefine = 3
+    /** q129's view cutoff: base state = facts shipped before this, the
+      * delta batch = inserts after it + deletes of the orderkey%7 base
+      * rows. Mirrored literally in the oracle SQL. */
+    val ivmCutoff = "1997-01-01 00:00:00"
     /** q106 merge rounds (reference BPE vocabularies run to 30k+ merges;
       * 8 keeps the unrolled oracle CTE chain readable while exercising
       * multi-char merge composition). */
@@ -3224,6 +3299,36 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, id)
          |    AS "rank" FROM ref)
          |WHERE "rank" <= 10""".stripMargin,
+
+    // the IVM merge never re-reads the base facts; the oracle IS the full
+    // recompute over (base ∖ deletes ∪ inserts) the merge claims to equal
+    "q129_ivm_merge" ->
+      s"""WITH li AS (SELECT l_returnflag, l_linestatus, l_orderkey, l_shipdate,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+         |  FROM lineitem),
+         |live AS (
+         |  SELECT * FROM li
+         |  WHERE l_shipdate < TIMESTAMP '${Params.ivmCutoff}'
+         |    AND l_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT * FROM li WHERE l_shipdate >= TIMESTAMP '${Params.ivmCutoff}')
+         |SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+         |FROM live GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the re-aggregated levels must equal the textbook ROLLUP; GROUPING()
+    // is the same bitmask as Spark's grouping_id / Ivm.rollupLevels' level
+    "q130_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+        |  coalesce(l_linestatus, '(all)') AS l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS level,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     // chunk grid (q113 formulas), KR bucket fold (q112 formula), sparse
     // bucket-join dot, rHU cosine BEFORE the per-doc max, same tie-break

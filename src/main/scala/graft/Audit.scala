@@ -364,6 +364,26 @@ object Audit {
       ("no fact-table scan", p => !p.contains("FileScan")),
       ("levels read the pinned state", _.contains("Scan ExistingRDD")),
       ("no join anywhere", p => !p.contains("Join")))
+    audit("q131_gapfill_locf")(
+      // the carry window is PARTITION-LOCAL per user; the grid-obs join is
+      // an equi-join on (user, day) — a range/interval shape here would
+      // mean the grid degenerated to a nested loop
+      ("no global-order sort", p =>
+        !p.linesIterator.exists(l => l.contains("Sort [") && l.contains("], true"))),
+      ("grid join is equi (no nested loop)", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("carry window present", _.contains("Window")))
+    audit("q132_funnel")(
+      // per-stage equi-joins against the entity-sized previous frame —
+      // events never pair with events
+      ("stage joins are equi", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("stage filters pushed to scan", _.contains("PushedFilters: [IsNotNull(event_type)")),
+      ("partial min-aggs", _.contains("partial_min")))
+    audit("q134_cohort_retention")(
+      ("no window at all", p => !p.contains("Window")),
+      ("cohort join is equi", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")))
     audit("q102_graph_insert")(
       // incremental merge: batch-keyed equi-joins + the per-src re-cut —
       // a nested loop would mean old x union degenerated to all-pairs

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Bq, Corpus, Dedup, GraphAnn, Intervals, Ivm, Kanndi, Knn, Layout, Multimodal, Packing, Pq, Quality, Retrieval, Sharding, ShardedSearch, Sketches, Skew, Snapshot, Sq, Stats, Streaming, TextStats}
+import graft.operators.{AsOfJoin, Bq, Corpus, Dedup, GraphAnn, Intervals, Ivm, Kanndi, Knn, Layout, Multimodal, Packing, Pq, Quality, Retrieval, Sharding, ShardedSearch, Sketches, Skew, Snapshot, Sq, Stats, Streaming, TextStats, Timeseries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1200,6 +1200,43 @@ object SparkEntry {
           coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
           col("level"), col("cnt"), col("sum_qty_c"), col("sum_price_c"))),
+
+    // ---- time-series gap-fill + LOCF: purchase values densified to each
+    // user's daily grid (grid spans are PER KEY — map-side sequence
+    // explode off an entity-sized span table, loud maxSpan guard), carry
+    // window partition-local per user. Values are parquet pass-through so
+    // the carried column hashes exactly
+    "q131_gapfill_locf" -> ((s, dir) => {
+      val obs = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          floor(unix_millis(col("ts")) / lit(86400000L)).as("day"),
+          col("event_id"), col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      Timeseries.gapFillLocf(obs, key = "user_id", tick = "day",
+        value = "value")
+    }),
+
+    // ---- ordered funnel (view -> click -> purchase): first completion of
+    // each stage STRICTLY after the previous one — per-stage equi-joins
+    // against the entity-sized previous frame + min-aggs; events never
+    // pair with events
+    "q132_funnel" -> ((s, dir) =>
+      Timeseries.funnel(
+        Tables.events(s, dir).select(col("user_id"),
+          unix_millis(col("ts")).as("ms"), col("event_type")),
+        key = "user_id", tick = "ms", stageCol = "event_type",
+        stages = Seq("view", "click", "purchase"))),
+
+    // ---- cohort retention matrix: cohort = first active week per user,
+    // cells = distinct users at each (cohort, week offset) — two
+    // entity-keyed aggregates + one equi-join, no window
+    "q134_cohort_retention" -> ((s, dir) =>
+      Timeseries.cohortRetention(
+        Tables.events(s, dir).select(col("user_id"),
+          floor(unix_millis(col("ts")) / lit(604800000L)).as("wk")),
+        key = "user_id", period = "wk")),
 
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
@@ -3329,6 +3366,53 @@ object SparkEntry {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    // same per-user span grid (generate_series), same last-wins collapse
+    // (arg_max by event_id), same IGNORE NULLS carry window
+    "q131_gapfill_locf" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    event_id, value FROM events WHERE event_type = 'purchase'),
+        |obs AS (SELECT user_id, day, arg_max(value, event_id) AS v
+        |  FROM ev GROUP BY user_id, day),
+        |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |  FROM obs GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day
+        |  FROM span),
+        |j AS (SELECT g.user_id, g.day, o.v, o.v IS NULL AS is_gap
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND g.day = o.day)
+        |SELECT user_id, day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  is_gap
+        |FROM j""".stripMargin,
+
+    // the same strictly-after min cascade, stage by stage
+    "q132_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, event_type
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ms) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ms) AS t2 FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ms > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ms) AS t3 FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ms > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+    // cohort = first active week; cells = distinct users per offset
+    "q134_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, wk FROM ev)
+        |SELECT c.cohort, a.wk - c.cohort AS wk_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY c.cohort, a.wk - c.cohort""".stripMargin,
 
     // chunk grid (q113 formulas), KR bucket fold (q112 formula), sparse
     // bucket-join dot, rHU cosine BEFORE the per-doc max, same tie-break

@@ -384,6 +384,36 @@ object Audit {
       ("no window at all", p => !p.contains("Window")),
       ("cohort join is equi", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")))
+    audit("q133_bloom_join")(
+      // the reduction's point: the literal-bitmap test FILTERS the probe
+      // side before its shuffle (map-only floor/pow arithmetic — no join
+      // to the build side for the membership test), and the real join
+      // stays the SMJ regime a non-broadcastable build side forces
+      ("bloom filter on the probe side", p =>
+        p.contains("FLOOR(") || p.contains("floor(")),
+      ("join is the SMJ (non-broadcastable build regime)",
+        _.contains("SortMergeJoin")),
+      ("no nested loop anywhere", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")))
+    audit("q135_mutual_knn")(
+      // reciprocity is ONE self-equi-join on the (src, nbr) pair key over
+      // the pinned edge list — candidate-sized, never corpus-sized
+      ("pair-key equi-join", p =>
+        p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("BroadcastHashJoin")),
+      ("edges enter as the pinned block", _.contains("Scan ExistingRDD")),
+      ("no nested loop", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")))
+    audit("q136_matryoshka")(
+      // the coarse stage is the intended q02 broadcast scan (the ONLY
+      // nested loop); full-dim vectors enter via the candidate equi-join
+      ("exactly one broadcast scan (the coarse stage)", p =>
+        p.sliding("BroadcastNestedLoopJoin".length)
+          .count(_ == "BroadcastNestedLoopJoin") == 1),
+      ("coarse cut is a partial limit", _.contains("WindowGroupLimit")),
+      ("refine is an equi-join", p =>
+        p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin")))
     audit("q102_graph_insert")(
       // incremental merge: batch-keyed equi-joins + the per-src re-cut —
       // a nested loop would mean old x union degenerated to all-pairs

@@ -1238,6 +1238,45 @@ object SparkEntry {
           floor(unix_millis(col("ts")) / lit(604800000L)).as("wk")),
         key = "user_id", period = "wk")),
 
+    // ---- Bloom runtime-filter join reduction: the urgent-orders keys
+    // fold into the q75 literal bitmap, the lineitem side is pre-filtered
+    // MAP-ONLY before its shuffle (no false negatives, so the equi-join
+    // result is exactly the plain join — the oracle has no bloom at all).
+    // At 100 TB with a non-broadcastable build side, this cuts the probe
+    // shuffle to the ~matching fraction + fp rate; hint("merge") keeps the
+    // demo plan in that SMJ regime
+    "q133_bloom_join" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val words = Sketches.packBloom(
+        Sketches.bloomBits(
+          urgent.select(col("o_orderkey").cast("string").as("k")), "k"),
+        m = 16384)
+      val probe = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("qty_c"))
+        .where(Sketches.bloomHitCol(words, col("l_orderkey").cast("string")))
+      probe.hint("merge")
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), sum(col("qty_c")).as("sum_qty_c"))
+    }),
+
+    // ---- mutual-kNN consensus filter over the pinned q87 edges: pairs
+    // present in BOTH directions — the cheap hubness filter on near-dup /
+    // link candidates. One self-equi-join on the pair key
+    "q135_mutual_knn" -> ((s, dir) =>
+      Knn.mutualEdges(knnEdgesPinned(s, dir))),
+
+    // ---- Matryoshka truncated-dim search: coarse rank on the first 16
+    // dims (a 4x-cheaper scan that a cluster stores as its own column),
+    // exact full-dim refine of the top k·refine — compression scheme #4
+    // next to PQ/SQ8/BQ, no training artifacts at all
+    "q136_matryoshka" -> ((s, dir) =>
+      Knn.matryoshka(Tables.points(s, dir), queryBatchDf(s, dir),
+        prefixDim = 16, k = 10, refine = 4)),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -3413,6 +3452,44 @@ object SparkEntry {
         |  count(DISTINCT a.user_id) AS n_users
         |FROM a JOIN c ON a.user_id = c.user_id
         |GROUP BY c.cohort, a.wk - c.cohort""".stripMargin,
+
+    // the bloom is pure reduction (no false negatives; the join removes
+    // false positives) — the oracle is the PLAIN join + aggregate
+    "q133_bloom_join" ->
+      """SELECT o_orderstatus, l_returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus, l_returnflag""".stripMargin,
+
+    // the q87 graph replayed, then the reciprocal self-join
+    "q135_mutual_knn" ->
+      s"""WITH ${Oracles.knnGraphCtes},
+         |e AS (SELECT src_id, nbr_id FROM g)
+         |SELECT a.src_id AS id_a, a.nbr_id AS id_b
+         |FROM e a JOIN e b
+         |  ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
+         |WHERE a.src_id < a.nbr_id""".stripMargin,
+
+    // prefix-16 coarse rank (rounded, id tie-break), top k·refine, exact
+    // full-dim refine — the q128 two-stage conventions
+    "q136_matryoshka" ->
+      s"""WITH pts AS (${Oracles.ptsD}),
+         |q AS (SELECT id AS qid, vec AS qvec FROM pts WHERE id % 25 = 0),
+         |pre AS (SELECT q.qid, p.id,
+         |    ${Oracles.l2("q.qvec", "p.vec", 16)} AS pdist
+         |  FROM q CROSS JOIN pts p),
+         |topc AS (SELECT qid, id, pdist FROM (SELECT qid, id, pdist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY pdist, id) AS crank
+         |  FROM pre) WHERE crank <= 40),
+         |ref AS (SELECT t.qid, t.id, t.pdist,
+         |    ${Oracles.l2("q.qvec", "p.vec")} AS dist
+         |  FROM topc t JOIN pts p ON t.id = p.id JOIN q ON t.qid = q.qid)
+         |SELECT qid, "rank", id AS neighbor_id, dist, pdist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, id)
+         |    AS "rank" FROM ref)
+         |WHERE "rank" <= 10""".stripMargin,
 
     // chunk grid (q113 formulas), KR bucket fold (q112 formula), sparse
     // bucket-join dot, rHU cosine BEFORE the per-doc max, same tie-break

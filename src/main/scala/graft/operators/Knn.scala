@@ -169,6 +169,66 @@ object Knn {
       .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("dist"))
   }
 
+  /** Matryoshka / truncated-dimension search: coarse-rank every point by
+    * L2 over the FIRST `prefixDim` dims only (matryoshka-trained
+    * embeddings front-load information, so the prefix is itself a valid
+    * low-d embedding), keep the top k·refine per query, then re-rank
+    * those exactly at full dimension — the fourth compression scheme next
+    * to PQ (q43), SQ8 (q51) and BQ (q128), with zero training artifacts.
+    *
+    * Scale shape: the coarse stage is the q02 broadcast-scan (partial
+    * top-k via WindowGroupLimit), but arithmetic is prefixDim/dim of the
+    * exact scan's; a cluster deployment materializes the prefix as its
+    * own column (or a separate truncated table) so the coarse scan READS
+    * prefixDim/dim of the bytes too. Raw full-dim vectors enter only via
+    * the candidate equi-join (the q128 refine discipline).
+    *
+    * Output: (qid, rank, neighbor_id, dist, pdist) — rank by rounded
+    * exact distance, id tie-break. */
+  def matryoshka(
+      points: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      prefixDim: Int,
+      k: Int,
+      refine: Int): DataFrame = {
+    val coarse = points
+      .select(col("id"), slice(col("vec"), 1, prefixDim).as("pvec"))
+      .join(broadcast(queries
+        .select(col("qid"), slice(col("qvec"), 1, prefixDim).as("pqvec"))))
+      .withColumn("pdist", round(l2Dist(col("pqvec"), col("pvec")), 4))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("pdist"), col("id"))
+    val cand = coarse
+      .withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= k * refine)
+      .select(col("qid"), col("id"), col("pdist"))
+    val ref = cand
+      .join(points, Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("dist", round(l2Dist(col("qvec"), col("vec")), 4))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    ref
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        col("dist"), col("pdist"))
+  }
+
+  /** Mutual (reciprocal) kNN consensus filter over a directed neighbor
+    * edge list: keep exactly the pairs present in BOTH directions. The
+    * asymmetric edges a kNN graph produces around hubness (a hub is
+    * everyone's neighbor, but reciprocates few) are the usual false
+    * near-dup/link candidates; mutuality is the standard cheap filter.
+    * One self-equi-join ON THE PAIR KEY — candidate-set sized, never
+    * corpus-sized. Output: (id_a, id_b), id_a < id_b, one row per
+    * mutual pair. */
+  def mutualEdges(edges: DataFrame): DataFrame = // (src_id, nbr_id)
+    edges
+      .join(
+        edges.select(col("src_id").as("r_src"), col("nbr_id").as("r_nbr")),
+        col("src_id") === col("r_nbr") && col("nbr_id") === col("r_src"))
+      .where(col("src_id") < col("nbr_id"))
+      .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
+
   /** Exact 1-NN as an aggregate (`min_by`) — cheaper than a window when only
     * the argmin is needed (recall.py:37-45 pattern). */
   def nearest(

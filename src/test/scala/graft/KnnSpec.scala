@@ -111,4 +111,43 @@ class KnnSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1))).toMap
     assert(r1 === Map(5L -> 150000L, 6L -> 1000000L))
   }
+
+  test("matryoshka with prefixDim = full dim recovers knnExact exactly") {
+    val pts = Tables.points(spark, sf0)
+    val qs = Tables.queryPoints(spark, sf0)
+    val got = Knn.matryoshka(pts, qs, prefixDim = 64, k = 5, refine = 2)
+      .select(col("qid"), col("rank"), col("neighbor_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Knn.knnExact(pts, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+  }
+
+  test("matryoshka: refine re-orders the coarse candidates by exact distance") {
+    import spark.implicits._
+    // prefix (first 2 dims) ranks b closest to q, but full-dim ranks a
+    // closest -- refine must flip them; c is pruned at the coarse cut
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f, 10.0f)),  // a: pdist 0, dist 10
+      (2L, Seq(0.1f, 0.0f, 0.0f, 0.0f)),   // b: pdist 0.1, dist 0.1
+      (3L, Seq(5.0f, 5.0f, 0.0f, 0.0f)))   // c: pruned (k*refine=2)
+      .toDF("id", "vec")
+    val qs = Seq((9L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val got = Knn.matryoshka(pts, qs, prefixDim = 2, k = 2, refine = 1)
+      .select(col("rank"), col("neighbor_id"), col("dist"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(got === Seq((1, 2L, 0.1), (2, 1L, 10.0)))
+  }
+
+  test("mutualEdges keeps exactly the reciprocal pairs, a < b once") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 1L),   // mutual
+      (1L, 3L),             // one-way (hub pattern)
+      (4L, 5L), (5L, 4L))   // mutual
+      .toDF("src_id", "nbr_id")
+    val got = Knn.mutualEdges(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (4L, 5L)))
+  }
 }

@@ -82,4 +82,19 @@ class SketchesSpec extends SparkSpec {
       .groupBy("register").agg(max("m").as("m"))
     assert(Sketches.hllRegisters(df).exceptAll(merged).isEmpty)
   }
+
+  test("bloom runtime-filter join reduction: pre-filtered join equals plain join") {
+    import spark.implicits._
+    val build = Seq(("10", "x"), ("20", "y")).toDF("k", "attr")
+    val probe = (1 to 100).map(i => (i.toString, i.toLong)).toDF("k", "v")
+    val words = Sketches.packBloom(Sketches.bloomBits(build.select(col("k")), "k", m = 256, k = 3), m = 256)
+    val reduced = probe.where(Sketches.bloomHitCol(words, col("k"), m = 256, k = 3))
+      .join(build, Seq("k"))
+    val plain = probe.join(build, Seq("k"))
+    val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getLong(1), r.getString(2))
+    assert(reduced.collect().map(key).toSet === plain.collect().map(key).toSet)
+    // and the bloom actually prunes: far fewer probe rows survive than 100
+    val survivors = probe.where(Sketches.bloomHitCol(words, col("k"), m = 256, k = 3)).count()
+    assert(survivors >= 2 && survivors < 50)
+  }
 }

@@ -1277,6 +1277,41 @@ object SparkEntry {
       Knn.matryoshka(Tables.points(s, dir), queryBatchDf(s, dir),
         prefixDim = 16, k = 10, refine = 4)),
 
+    // ---- mergeable histogram-quantile sketch: fixed 64-bin grid over the
+    // exact [min, max] range, pure-sum state (map-side combine; the 100 TB
+    // one-pass percentile next to q90's exact two-phase sweep); quantile =
+    // upper edge of the first bin reaching q·N, error <= one bin width.
+    // The cumulative window runs over the 64-row SKETCH, never the data
+    "q137_hist_quantile" -> ((s, dir) => {
+      val vals = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+      val r = vals.agg(min(col("v")), max(col("v"))).head()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      Sketches.histQuantiles(
+        Sketches.histState(vals, "v", lo, hi, bins = 64),
+        lo, hi, bins = 64, qs = Seq(0.5, 0.9, 0.99))
+    }),
+
+    // ---- top principal component by fixed-round power iteration over the
+    // pinned sample covariance matrix (d² rows; the statSample discipline
+    // bounds the one corpus-touching build) — per-round rHU rounding makes
+    // the float fixpoint replayable (the Lloyd's convention). The PCA /
+    // whitening primitive ahead of IVF/PQ (OPQ's rotation family)
+    "q139_pca_power" -> ((s, dir) =>
+      Stats.powerIteration(covMatrixPinned(s, dir), rounds = 3)),
+
+    // ---- distinct-count rollup from MERGEABLE sketch state: per-lang HLL
+    // registers (the pinned state — corpus scanned once at build) merged
+    // by MAX into the all-langs level; neither level re-reads a document.
+    // The sketch counterpart of q130's algebraic re-aggregation
+    "q138_hll_rollup" -> ((s, dir) => {
+      val regs = hllRegsPinned(s, dir)
+      val perLang = Sketches.hllEstimateBy(regs, "lang")
+      val global = Sketches.hllEstimate(
+          regs.groupBy(col("register")).agg(max(col("m")).as("m")))
+        .select(lit("(all)").as("lang"), col("n_used"), col("est"))
+      perLang.unionByName(global)
+    }),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -1603,6 +1638,24 @@ object SparkEntry {
           keys = Seq("l_returnflag", "l_linestatus"),
           measures = Seq("qty_c", "price_c")).coalesce(1)))
 
+  /** q138's per-lang HLL register state — sketch-BUILD work (the one
+    * corpus scan the mergeable rollup amortizes); ≤ |lang|·256 rows. */
+  private def hllRegsPinned(s: SparkSession, dir: String): DataFrame =
+    ivmStateMemo.computeIfAbsent(s"hllregs:$dir", _ =>
+      pinLocalCheckpoint(
+        Sketches.hllRegistersBy(
+          Tables.documents(s, dir)
+            .select(col("lang"), explode(split(col("text"), " ")).as("tok")),
+          "lang", b = 8).coalesce(1)))
+
+  /** q139's sample covariance matrix pinned (d² rows off the statSample
+    * long-form self-join — each power-iteration round re-scans it). */
+  private def covMatrixPinned(s: SparkSession, dir: String): DataFrame =
+    ivmStateMemo.computeIfAbsent(s"cov:$dir", _ =>
+      pinLocalCheckpoint(
+        Stats.covMatrix(Tables.points(s, dir),
+          sampleSize = Params.statSample).coalesce(1)))
+
   /** The persisted graph index beside the shard layout: `adj` = per-point
     * neighbor lists (partitionBy(shard_id) — a probe reads only routed
     * shards' lists), `ep` = per-shard entry points (tiny). Building it is
@@ -1766,6 +1819,8 @@ object SparkEntry {
     bucketedTablesMemo(s, dir)                               // q127 layout
     ivmBaseStateMemo(s, dir)                                 // q129 state
     rollupFinestMemo(s, dir)                                 // q130 state
+    hllRegsPinned(s, dir)                                    // q138 state
+    covMatrixPinned(s, dir)                                  // q139 state
   }
 
   private val chunkIndexMemoMap =
@@ -3490,6 +3545,53 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, id)
          |    AS "rank" FROM ref)
          |WHERE "rank" <= 10""".stripMargin,
+
+    // identical grid arithmetic off the same exact min/max (IEEE doubles
+    // agree cross-engine), same cumulative-reach selection, rHU edge
+    "q137_hist_quantile" ->
+      s"""WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+         |r AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+         |h AS (SELECT least(63, greatest(0,
+         |      CAST(floor((v.v - r.lo) / ((r.hi - r.lo) / 64)) AS INT))) AS bin,
+         |    count(*) AS cnt
+         |  FROM v, r GROUP BY 1),
+         |c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+         |t AS (SELECT sum(cnt) AS total FROM h),
+         |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+         |sel AS (SELECT qs.q, min(c.bin) AS qbin FROM c, t, qs
+         |  WHERE CAST(cum AS DOUBLE) >= qs.q * CAST(t.total AS DOUBLE)
+         |  GROUP BY qs.q)
+         |SELECT sel.q, sel.qbin,
+         |  ${Oracles.rHU("r.lo + (sel.qbin + 1) * ((r.hi - r.lo) / 64)", 4)} AS est
+         |FROM sel, r""".stripMargin,
+
+    // per-lang registers replayed (q69's md5 math + lang key), all-langs
+    // level = MAX-merge of the state — never a re-read of documents
+    "q138_hll_rollup" ->
+      s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |hh AS (SELECT lang, ('0x' || substr(md5('hll:' || tok), 1, 8))::BIGINT AS v
+         |  FROM toks),
+         |r AS (SELECT lang, v // 16777216 AS register, v % 16777216 AS rest FROM hh),
+         |rr AS (SELECT lang, register,
+         |    coalesce(list_min(list_filter(generate_series(1, 24),
+         |      j -> (rest // CAST(power(2, 24 - j) AS BIGINT)) % 2 = 1)), 25) AS rho
+         |  FROM r),
+         |regs AS (SELECT lang, register, max(rho) AS m FROM rr GROUP BY lang, register),
+         |allr AS (SELECT register, max(m) AS m FROM regs GROUP BY register),
+         |u AS (SELECT lang, register, m FROM regs
+         |  UNION ALL SELECT '(all)', register, m FROM allr),
+         |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_used,
+         |    (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256) /
+         |      (sum(power(CAST(2.0 AS DOUBLE), -m)) + (256 - count(*))) AS raw,
+         |    256 - count(*) AS v
+         |  FROM u GROUP BY lang)
+         |SELECT lang, n_used,
+         |  ${Oracles.rHU(
+        "CASE WHEN raw <= 2.5 * 256 AND v > 0 " +
+          "THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / v) ELSE raw END", 2)} AS est
+         |FROM agg""".stripMargin,
 
     // chunk grid (q113 formulas), KR bucket fold (q112 formula), sparse
     // bucket-join dot, rHU cosine BEFORE the per-doc max, same tie-break

@@ -106,6 +106,89 @@ object Sketches {
       .agg(max(col("rho")).as("m"))
   }
 
+  /** Mergeable equal-width histogram sketch of a value column: bin counts
+    * over a fixed [lo, hi) grid (outliers clamp into the edge bins). Pure
+    * SUM state like the CMS counters — map-side combine applies, merges
+    * are order-independent, and the state is `bins` rows regardless of
+    * input size: the 100 TB percentile path when the exact two-phase
+    * sweep (q90) isn't worth a second pass. */
+  def histState(values: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    val width = (hi - lo) / bins
+    values
+      .select(least(lit(bins - 1), greatest(lit(0),
+        floor((col(valueCol) - lit(lo)) / lit(width)).cast("int"))).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[histState]] sketch: for each q, the
+    * UPPER EDGE of the first bin whose cumulative count reaches q·N —
+    * error is bounded by one bin width by construction. The cumulative
+    * window runs over the ≤`bins`-row sketch itself (sketch-sized, never
+    * data-sized — the one place a single-partition window is exactly
+    * right). Estimates are rHU-rounded for cross-engine hashing. */
+  def histQuantiles(hist: DataFrame, lo: Double, hi: Double, bins: Int,
+      qs: Seq[Double]): DataFrame = {
+    val width = (hi - lo) / bins
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val total = hist.agg(sum(col("cnt")).as("total"))
+    val qdf = hist.sparkSession.createDataFrame(
+      qs.map(Tuple1.apply)).toDF("q")
+    cum.crossJoin(total).crossJoin(broadcast(qdf))
+      .where(col("cum").cast("double") >= col("q") * col("total").cast("double"))
+      .groupBy(col("q"))
+      .agg(min(col("bin")).as("qbin"))
+      .select(col("q"), col("qbin"),
+        roundHU(lit(lo) + (col("qbin") + 1).cast("double") * lit(width), 4)
+          .as("est"))
+  }
+
+  /** [[hllRegisters]] generalized to per-group sketches: one register set
+    * per key — the state a distinct-count CUBE keeps. Registers merge by
+    * MAX, so any coarser level derives from this state without re-reading
+    * the corpus (q138 does exactly that). */
+  def hllRegistersBy(tokens: DataFrame, groupCol: String, b: Int = 8): DataFrame = {
+    val bits = 32 - b
+    val v = h32(col("tok"), lit("hll"))
+    val register = floor(v / pow(lit(2.0), lit(bits))).cast("long")
+    val rest = pmod(v, pow(lit(2.0), lit(bits)).cast("long"))
+    val rho = coalesce(
+      array_min(filter(sequence(lit(1), lit(bits)),
+        j => pmod(floor(rest / pow(lit(2.0), lit(bits) - j)).cast("long"), lit(2)) === 1)),
+      lit(bits + 1))
+    tokens
+      .select(col(groupCol), register.as("register"), rho.as("rho"))
+      .groupBy(col(groupCol), col("register"))
+      .agg(max(col("rho")).as("m"))
+  }
+
+  /** Per-group HLL estimates from a [[hllRegistersBy]] state (same
+    * estimator + small-range correction as [[hllEstimate]]). */
+  def hllEstimateBy(registers: DataFrame, groupCol: String, b: Int = 8): DataFrame = {
+    val m = 1 << b
+    registers
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_used"),
+        sum(pow(lit(2.0), -col("m"))).as("__s"))
+      .select(
+        col(groupCol),
+        col("n_used"),
+        (lit(0.7213 / (1 + 1.079 / m) * m * m) /
+          (col("__s") + (lit(m) - col("n_used")).cast("double"))).as("__raw"),
+        (lit(m) - col("n_used")).as("__v"))
+      .select(
+        col(groupCol),
+        col("n_used"),
+        roundHU(
+          when(col("__raw") <= lit(2.5 * m) && col("__v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+            .otherwise(col("__raw")), 2).as("est"))
+  }
+
   /** HLL estimate with the standard small-range correction:
     * raw E = alpha_m · m² / sum_j 2^(-M_j) (empty registers contributing
     * 2^0); when E <= 2.5m and empty registers remain, linear counting

@@ -157,6 +157,52 @@ object Stats {
       .agg(round(var_pop(col("value")), 6).as("var_concat"))
   }
 
+  /** Full sample covariance matrix (i, j, c) over the first-N sample —
+    * the d²-sized input PCA power iteration runs on. One long-form
+    * self-equi-join on id (sample-bounded, the statSample discipline) +
+    * per-pair avgs; entries rHU-rounded to 6 dp so every downstream
+    * round replays bit-identically cross-engine. */
+  def covMatrix(points: DataFrame, sampleSize: Int = 0): DataFrame = {
+    val lf = longForm(sampleFirst(points, sampleSize))
+    val mu = lf.groupBy(col("dim")).agg(avg(col("value")).as("mu"))
+    lf.select(col("id"), col("dim").as("i"), col("value").as("vi"))
+      .join(lf.select(col("id"), col("dim").as("j"), col("value").as("vj")),
+        Seq("id"))
+      .groupBy(col("i"), col("j"))
+      .agg(avg(col("vi") * col("vj")).as("eab"))
+      .join(mu.select(col("dim").as("i"), col("mu").as("mi")), Seq("i"))
+      .join(mu.select(col("dim").as("j"), col("mu").as("mj")), Seq("j"))
+      .select(col("i"), col("j"),
+        roundHU(col("eab") - col("mi") * col("mj"), 6).as("c"))
+  }
+
+  /** Top principal component by FIXED-ROUND power iteration over a
+    * [[covMatrix]] frame: v₀ = 1⃗, vₜ₊₁(i) = rHU(Σⱼ C(i,j)·vₜ(j), 6),
+    * final vector unit-normalized (rHU 6). The per-round rounding is what
+    * makes a float fixpoint replayable across engines (the Lloyd's-rounds
+    * convention, q05); determinism needs no convergence assumption.
+    *
+    * Scale shape: after the one sample-bounded covariance build, every
+    * round is a d²-row × d-row equi-join + per-dim agg — corpus never
+    * re-read. Pass a PINNED cov frame (the q107-index discipline): each
+    * round re-scans it. The whole dimensionality-reduction family
+    * (whitening, PCA projection ahead of IVF/PQ — cf. OPQ's rotation)
+    * keys off this vector. */
+  def powerIteration(cov: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "powerIteration: rounds must be >= 1")
+    var v = cov.select(col("i").as("dim")).distinct()
+      .withColumn("comp", lit(1.0))
+    for (_ <- 1 to rounds)
+      v = cov
+        .join(v.select(col("dim").as("j"), col("comp")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(roundHU(sum(col("c") * col("comp")), 6).as("comp"))
+        .select(col("i").as("dim"), col("comp"))
+    val n = v.agg(sum(col("comp") * col("comp")).as("ss"))
+    v.crossJoin(n)
+      .select(col("dim"), roundHU(col("comp") / sqrt(col("ss")), 6).as("comp"))
+  }
+
   /** Pearson correlation for every dimension pair (multicollinearity.py:92-95).
     * Wide join of the long form with itself on id. */
   def corrPairs(points: DataFrame, sampleSize: Int = 0): DataFrame = {

@@ -3593,6 +3593,29 @@ object SparkEntry {
           "THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / v) ELSE raw END", 2)} AS est
          |FROM agg""".stripMargin,
 
+    // covariance off the statSample long form (q14/q15 conventions), three
+    // power-iteration rounds unrolled as CTEs with the same per-round rHU-6
+    // rounding the engine applies — the rounding is what makes the float
+    // fixpoint replayable cross-engine (the Lloyd's convention)
+    "q139_pca_power" ->
+      s"""WITH ${Oracles.longFormCte},
+         |mu AS (SELECT dim, avg(value) AS mu FROM lf GROUP BY dim),
+         |eab AS (SELECT a.dim AS i, b.dim AS j, avg(a.value * b.value) AS eab
+         |  FROM lf a JOIN lf b USING (id) GROUP BY 1, 2),
+         |cv AS (SELECT eab.i, eab.j,
+         |    ${Oracles.rHU("eab.eab - mi.mu * mj.mu", 6)} AS c
+         |  FROM eab JOIN mu mi ON eab.i = mi.dim JOIN mu mj ON eab.j = mj.dim),
+         |v0 AS (SELECT DISTINCT i AS dim, CAST(1.0 AS DOUBLE) AS comp FROM cv),
+         |v1 AS (SELECT cv.i AS dim, ${Oracles.rHU("sum(cv.c * v0.comp)", 6)} AS comp
+         |  FROM cv JOIN v0 ON cv.j = v0.dim GROUP BY cv.i),
+         |v2 AS (SELECT cv.i AS dim, ${Oracles.rHU("sum(cv.c * v1.comp)", 6)} AS comp
+         |  FROM cv JOIN v1 ON cv.j = v1.dim GROUP BY cv.i),
+         |v3 AS (SELECT cv.i AS dim, ${Oracles.rHU("sum(cv.c * v2.comp)", 6)} AS comp
+         |  FROM cv JOIN v2 ON cv.j = v2.dim GROUP BY cv.i),
+         |n AS (SELECT sum(comp * comp) AS ss FROM v3)
+         |SELECT dim, ${Oracles.rHU("comp / sqrt(n.ss)", 6)} AS comp
+         |FROM v3, n""".stripMargin,
+
     // chunk grid (q113 formulas), KR bucket fold (q112 formula), sparse
     // bucket-join dot, rHU cosine BEFORE the per-doc max, same tie-break
     "q118_max_passage" ->

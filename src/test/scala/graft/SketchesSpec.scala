@@ -83,6 +83,46 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.hllRegisters(df).exceptAll(merged).isEmpty)
   }
 
+  test("histogram sketch: hand-grid quantiles, edge clamp, pure-sum merge") {
+    // 0..99 over [0,100) x 10 bins -> 10 per bin; upper-edge estimates
+    val vals = (0 until 100).map(_.toDouble).toDF("v")
+    val hist = Sketches.histState(vals, "v", lo = 0.0, hi = 100.0, bins = 10)
+    val q = Sketches.histQuantiles(hist, 0.0, 100.0, bins = 10,
+        qs = Seq(0.5, 0.95)).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(q(0.5) === 50.0) // cum reaches 50 at bin 4; upper edge 50
+    assert(q(0.95) === 100.0) // bin 9
+    // outliers clamp into the edge bins, never drop
+    val clamped = Sketches.histState(Seq(-5.0, 500.0).toDF("v"), "v",
+      0.0, 100.0, bins = 10).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(clamped(0) === 1L && clamped(9) === 1L)
+    // state is pure sums: split-merge == whole
+    val (a, b) = (0 until 100).map(_.toDouble).splitAt(30)
+    val merged = Sketches.histState(a.toDF("v"), "v", 0.0, 100.0, 10)
+      .unionByName(Sketches.histState(b.toDF("v"), "v", 0.0, 100.0, 10))
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+    assert(hist.exceptAll(merged).isEmpty && merged.exceptAll(hist).isEmpty)
+  }
+
+  test("per-group hll: registers/estimates match the single-group kernel per key") {
+    val df = toks.map(t => (if (t.startsWith("uniq")) "u" else "ab", t))
+      .toDF("grp", "tok")
+    val regs = Sketches.hllRegistersBy(df, "grp")
+    for (g <- Seq("u", "ab")) {
+      val single = Sketches.hllRegisters(df.where(col("grp") === g).select("tok"))
+      val grouped = regs.where(col("grp") === g).select("register", "m")
+      assert(single.exceptAll(grouped).isEmpty && grouped.exceptAll(single).isEmpty)
+      val estBy = Sketches.hllEstimateBy(regs, "grp")
+        .where(col("grp") === g).head().getDouble(2)
+      assert(estBy === Sketches.hllEstimate(single).head().getDouble(1))
+    }
+    // MAX-merge of the per-group state == registers over the whole corpus
+    val allFromState = regs.groupBy("register").agg(max("m").as("m"))
+    val whole = Sketches.hllRegisters(df.select("tok"))
+    assert(whole.exceptAll(allFromState).isEmpty &&
+      allFromState.exceptAll(whole).isEmpty)
+  }
+
   test("bloom runtime-filter join reduction: pre-filtered join equals plain join") {
     import spark.implicits._
     val build = Seq(("10", "x"), ("20", "y")).toDF("k", "attr")

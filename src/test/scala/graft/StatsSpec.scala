@@ -69,4 +69,25 @@ class StatsSpec extends SparkSpec {
       .where(col("id") === 1L).orderBy("dim").collect()
     assert(r.map(_.getDouble(2)).toSeq === Seq(2.0, 1.0))
   }
+
+  test("covMatrix: symmetric, diagonal equals var_pop") {
+    val c = Stats.covMatrix(tiny).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(c((0, 0)) === 1.25) // var_pop([0,1,2,3])
+    assert(c((1, 1)) === 5.0) // var_pop([0,2,4,6])
+    assert(c((0, 1)) === c((1, 0)))
+    assert(c((0, 1)) === 2.5) // E[xy] - mu_x*mu_y = 10 - 1.5*3
+  }
+
+  test("powerIteration: Fibonacci iterates of [[2,1],[1,1]], unit-normalized") {
+    val cov = Seq((0, 0, 2.0), (0, 1, 1.0), (1, 0, 1.0), (1, 1, 1.0))
+      .toDF("i", "j", "c")
+    // v0=[1,1] -> [3,2] -> [8,5] -> [21,13]; ss=610
+    val r = Stats.powerIteration(cov, rounds = 3).orderBy("dim").collect()
+    assert(math.abs(r(0).getDouble(1) - 21.0 / math.sqrt(610)) < 1e-6)
+    assert(math.abs(r(1).getDouble(1) - 13.0 / math.sqrt(610)) < 1e-6)
+    // and it is converging on the dominant eigenvector [1, (sqrt(5)-1)/2]
+    val golden = (math.sqrt(5) - 1) / 2
+    assert(math.abs(r(1).getDouble(1) / r(0).getDouble(1) - golden) < 0.01)
+  }
 }

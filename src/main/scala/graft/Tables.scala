@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md) plus the
   * canonical vector-dataset views used across the engine.
@@ -22,13 +23,27 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = table(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame = table(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects outright;
-    * read nanos as long (legacy conf) and truncate to micros — the same
-    * value DuckDB's epoch_ms sees at ms granularity. */
+  /** events.ts has shipped as two different parquet types across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 only reads as long via the
+    * legacy conf) and plain TIMESTAMP(MICROS). Adapt on the observed schema:
+    *  - LongType         => legacy nanos-as-long fixture; truncate to micros.
+    *  - TimestampNTZType => native micros without UTC flag; cast to the
+    *                        session TimestampType (session tz is UTC, so the
+    *                        wall-clock IS the instant — same values DuckDB
+    *                        sees reading the file natively).
+    *  - TimestampType    => pass through.
+    * Anything else fails loudly — a silent mis-read here once cost a round
+    * of correctness (13 queries dark, see VERDICT round 5). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other — extend Tables.events")
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame =
     spread(s, table(s, dir, "documents"))

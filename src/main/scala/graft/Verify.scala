@@ -19,13 +19,26 @@ object Verify {
     // the driver never sets it, so the contract surface is unchanged
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // A failed query must NEVER vanish from the artifact (round-5 lesson: 13
+    // broken queries looked like a smaller green suite). On failure, replace
+    // the query's output dir with an _ERROR marker file — the driver's
+    // parquet read of that dir then fails loudly and records an `err` entry
+    // for the query instead of an omission. Also aggregate into _errors.json
+    // so the failure is visible at every layer.
+    var failures = Vector.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(2000)
+          System.err.println(s"[verify] $name failed: $msg")
+          failures :+= (name -> msg)
+          val qDir = Paths.get(outDir, name)
+          org.apache.commons.io.FileUtils.deleteQuietly(qDir.toFile)
+          Files.createDirectories(qDir)
+          Files.writeString(qDir.resolve("_ERROR"), msg)
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +56,15 @@ object Verify {
     val json = SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
+    // Do NOT exit nonzero: the per-query _ERROR markers already surface each
+    // failure as an `err` row in the driver's CORRECTNESS artifact, and a
+    // nonzero rc could make the driver drop the whole (mostly-green) run.
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.map(_._1).mkString(", "))
   }
 }

@@ -76,7 +76,7 @@ class StatsSpec extends SparkSpec {
     assert(c((0, 0)) === 1.25) // var_pop([0,1,2,3])
     assert(c((1, 1)) === 5.0) // var_pop([0,2,4,6])
     assert(c((0, 1)) === c((1, 0)))
-    assert(c((0, 1)) === 2.5) // E[xy] - mu_x*mu_y = 10 - 1.5*3
+    assert(c((0, 1)) === 2.5) // E[xy] - mu_x*mu_y = 7 - 1.5*3
   }
 
   test("powerIteration: Fibonacci iterates of [[2,1],[1,1]], unit-normalized") {

@@ -364,6 +364,13 @@ object Audit {
       ("no fact-table scan", p => !p.contains("FileScan")),
       ("levels read the pinned state", _.contains("Scan ExistingRDD")),
       ("no join anywhere", p => !p.contains("Join")))
+    audit("q137_hist_quantile")(
+      // sketch probe discipline: grid fit + bin counts are pinned build
+      // work, so the quantile query reads ONLY the ≤64-row state — no
+      // fact-table scan in the plan at all (was: an eager min/max fit
+      // inside the body scanning lineitem twice per invocation)
+      ("no fact-table scan (state pinned)", p => !p.contains("FileScan")),
+      ("runs over the pinned sketch", _.contains("Scan ExistingRDD")))
     audit("q131_gapfill_locf")(
       // the carry window is PARTITION-LOCAL per user; the grid-obs join is
       // an equi-join on (user, day) — a range/interval shape here would

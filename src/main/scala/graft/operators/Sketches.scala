@@ -22,18 +22,32 @@ object Sketches {
   private def h32(tok: Column, prefix: Column): Column =
     conv(substring(md5(concat(prefix, lit(":"), tok)), 1, 8), 16, 10).cast("long")
 
+  /** Bloom bit position of `key` under hash function j — two parity-locked
+    * backends (build and probe MUST pass the same `hash`):
+    *  - "md5":  engine-portable hex arithmetic, replayable in the DuckDB
+    *    oracle (4 md5 digests per probe row — the demo/verification path).
+    *  - "xx64": codegen'd XXH64 over ("bloomj", key) — one 64-bit mix per
+    *    hash, the at-scale probe (no digest, no hex parse, no conv). Spark-
+    *    only, so queries using it must keep the bloom OUT of the oracle'd
+    *    result (sound for pre-filters: no false negatives either way). */
+  private def bloomPos(key: Column, j: Column, m: Int, hash: String): Column = hash match {
+    case "md5"  => pmod(h32(key, concat(lit("bloom"), j.cast("string"))), lit(m))
+    case "xx64" => pmod(xxhash64(concat(lit("bloom"), j.cast("string")), key), lit(m))
+    case other  => throw new IllegalArgumentException(s"bloom hash: $other")
+  }
+
   /** Bloom-filter bit positions of a key column: each key sets k
-    * md5-derived positions in [0, m). The distinct position set IS the
+    * hash-derived positions in [0, m). The distinct position set IS the
     * filter — pure set-union state, so it is mergeable in any order and
     * bounded by m regardless of corpus size (at scale: an agg to a real
     * m-bit bitmap; the position-set form is the oracle-able equivalent).
     * No false negatives by construction; false-positive rate ≈
     * (1 - e^(-k·n/m))^k. */
-  def bloomBits(keys: DataFrame, keyCol: String, m: Int = 16384, k: Int = 4): DataFrame =
+  def bloomBits(keys: DataFrame, keyCol: String, m: Int = 16384, k: Int = 4,
+      hash: String = "md5"): DataFrame =
     keys
       .select(explode(sequence(lit(0), lit(k - 1))).as("j"), col(keyCol).as("key"))
-      .select(pmod(
-        h32(col("key"), concat(lit("bloom"), col("j").cast("string"))), lit(m)).as("pos"))
+      .select(bloomPos(col("key"), col("j"), m, hash).as("pos"))
       .distinct()
 
   /** Pack a `bloomBits` position set into m/32 words of 32 bits each
@@ -54,11 +68,15 @@ object Sketches {
     * shuffle of the probe side — the filter rides the plan as a literal
     * word array and each test is floor/pow double arithmetic (replayable
     * cross-engine, equivalent to `pos IN positions` for every position). */
-  def bloomHitCol(words: Array[Long], key: Column, m: Int = 16384, k: Int = 4): Column = {
+  def bloomHitCol(words: Array[Long], key: Column, m: Int = 16384, k: Int = 4,
+      hash: String = "md5"): Column = {
     val wordsLit = typedLit(words.toSeq)
     (0 until k)
       .map { j =>
-        val pos = pmod(h32(key, lit("bloom" + j)), lit(m))
+        val pos = bloomPos(key, lit(j), m, hash)
+        // bit extraction stays in exact-double floor/pow arithmetic (word
+        // values < 2^32) so the md5 path replays verbatim in the oracle;
+        // for xx64 the extraction cost is noise next to the hash swap
         val word = element_at(wordsLit, floor(pos / lit(32.0)).cast("int") + 1).cast("double")
         pmod(floor(word / pow(lit(2.0), pmod(pos, lit(32)).cast("double"))), lit(2.0)) === lit(1.0)
       }

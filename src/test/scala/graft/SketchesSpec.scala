@@ -123,6 +123,32 @@ class SketchesSpec extends SparkSpec {
       allFromState.exceptAll(whole).isEmpty)
   }
 
+  test("bloom xx64 backend: build/probe position parity, no false negatives, prunes") {
+    import org.apache.spark.sql.functions._
+    val keys = (0 until 200).map(i => s"key-$i")
+    val df = keys.toDF("key")
+    val words = Sketches.packBloom(
+      Sketches.bloomBits(df, "key", m = 4096, k = 4, hash = "xx64"), m = 4096)
+    // build/probe parity: every inserted key's k probe positions are set
+    // (the two code paths derive positions independently — this is the
+    // bit-position agreement contract under the fixed "bloomj" seeds)
+    val members = df.withColumn("hit",
+      Sketches.bloomHitCol(words, col("key"), m = 4096, k = 4, hash = "xx64"))
+    assert(members.where(!col("hit")).count() === 0)
+    // non-members mostly miss, i.e. xx64 actually spreads (fp ~0.1%)
+    val others = (1000 until 1200).map(i => s"other-$i").toDF("key")
+      .withColumn("hit",
+        Sketches.bloomHitCol(words, col("key"), m = 4096, k = 4, hash = "xx64"))
+    assert(others.where(col("hit")).count() <= 5)
+    // and the two backends are genuinely different hash families — same
+    // keys, same (m, k), different position sets (a regression that
+    // silently collapsed xx64 onto md5 would pass every other assertion)
+    val md5Bits = Sketches.bloomBits(df, "key", m = 4096, k = 4).collect().map(_.getLong(0)).toSet
+    val xxBits = Sketches.bloomBits(df, "key", m = 4096, k = 4, hash = "xx64")
+      .collect().map(_.getLong(0)).toSet
+    assert(md5Bits != xxBits)
+  }
+
   test("bloom runtime-filter join reduction: pre-filtered join equals plain join") {
     import spark.implicits._
     val build = Seq(("10", "x"), ("20", "y")).toDF("k", "attr")

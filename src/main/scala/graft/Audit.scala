@@ -364,6 +364,15 @@ object Audit {
       ("no fact-table scan", p => !p.contains("FileScan")),
       ("levels read the pinned state", _.contains("Scan ExistingRDD")),
       ("no join anywhere", p => !p.contains("Join")))
+    audit("q141_matryoshka_stored")(
+      // the stored-prefix layout's whole point: the coarse scan's
+      // ReadSchema carries ONLY (id, pvec) — the full vec column's bytes
+      // never leave parquet until the k·refine candidate equi-join
+      ("coarse scan pruned to the prefix column",
+        _.contains("ReadSchema: struct<id:bigint,pvec:array<float>>")),
+      ("refine scan reads vec (not pvec)",
+        _.contains("ReadSchema: struct<id:bigint,vec:array<float>>")),
+      ("coarse cut is a partial limit", _.contains("WindowGroupLimit")))
     audit("q137_hist_quantile")(
       // sketch probe discipline: grid fit + bin counts are pinned build
       // work, so the quantile query reads ONLY the ≤64-row state — no

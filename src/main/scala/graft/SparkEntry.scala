@@ -1296,6 +1296,18 @@ object SparkEntry {
       Knn.matryoshka(Tables.points(s, dir), queryBatchDf(s, dir),
         prefixDim = 16, k = 10, refine = 4)),
 
+    // ---- Matryoshka prefix MATERIALIZED as its own stored column: the
+    // layout q136's scaladoc defers to — (id, pvec, vec) written once,
+    // coarse stage selects only (id, pvec) so parquet column pruning makes
+    // the scan read prefixDim/dim of the vector BYTES (q136 computes on a
+    // slice of rows it fully read); refine re-reads (id, vec) for the
+    // k·refine candidates only. Closes the loop between the compression
+    // family (PQ/SQ8/BQ/MRL) and the layout family (q122/q127): same
+    // byte-identical answer as q136, cheaper coarse I/O, audited pruning
+    "q141_matryoshka_stored" -> ((s, dir) =>
+      Knn.matryoshkaStored(s.read.parquet(mrlLayoutPath(s, dir)),
+        queryBatchDf(s, dir), prefixDim = 16, k = 10, refine = 4)),
+
     // ---- mergeable histogram-quantile sketch: fixed 64-bin grid over the
     // exact [min, max] range, pure-sum state (map-side combine; the 100 TB
     // one-pass percentile next to q90's exact two-phase sweep); quantile =
@@ -1568,6 +1580,21 @@ object SparkEntry {
     * the same file. */
   private def tmpArtifact(prefix: String, dir: String, ext: String): String =
     s"/tmp/graft_${prefix}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}$ext"
+
+  /** The Matryoshka layout artifact: `(id, pvec, vec)` with the 16-dim
+    * prefix sliced ONCE at write time as its own parquet column — q141's
+    * coarse scan then prunes to (id, pvec) and reads 1/4 of the vector
+    * bytes. Write-once per JVM like the sharded/bucketed layouts. */
+  private def mrlLayoutPath(s: SparkSession, dir: String): String = {
+    val path = tmpArtifact("mrl", dir, "")
+    fileOnce.computeIfAbsent(path, _ => {
+      Tables.points(s, dir)
+        .select(col("id"), slice(col("vec"), 1, 16).as("pvec"), col("vec"))
+        .write.mode("overwrite").parquet(path)
+      true
+    })
+    path
+  }
 
   /** The shard-size stat CSV artifact (S11's sink), written once per JVM
     * via the built-in CSV sink; q140 re-reads it (S12's source side) and
@@ -1864,6 +1891,7 @@ object SparkEntry {
     ivfCodesMemoDf(s, dir)
     fbinArtifact(s, dir)                                     // q48/q98 file
     csvSizesArtifact(s, dir)                                 // q140 file
+    mrlLayoutPath(s, dir)                                    // q141 layout
     shardedLayoutPath(s, dir)                                // q53 layout
     graphIndexDir(s, dir)                                    // q100/q101 index
     graphVisitedPinned(s, dir)                               // q101/q105 input
@@ -3598,6 +3626,27 @@ object SparkEntry {
     // prefix-16 coarse rank (rounded, id tie-break), top k·refine, exact
     // full-dim refine — the q128 two-stage conventions
     "q136_matryoshka" ->
+      s"""WITH pts AS (${Oracles.ptsD}),
+         |q AS (SELECT id AS qid, vec AS qvec FROM pts WHERE id % 25 = 0),
+         |pre AS (SELECT q.qid, p.id,
+         |    ${Oracles.l2("q.qvec", "p.vec", 16)} AS pdist
+         |  FROM q CROSS JOIN pts p),
+         |topc AS (SELECT qid, id, pdist FROM (SELECT qid, id, pdist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY pdist, id) AS crank
+         |  FROM pre) WHERE crank <= 40),
+         |ref AS (SELECT t.qid, t.id, t.pdist,
+         |    ${Oracles.l2("q.qvec", "p.vec")} AS dist
+         |  FROM topc t JOIN pts p ON t.id = p.id JOIN q ON t.qid = q.qid)
+         |SELECT qid, "rank", id AS neighbor_id, dist, pdist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, id)
+         |    AS "rank" FROM ref)
+         |WHERE "rank" <= 10""".stripMargin,
+
+    // same math as q136 — the STORED pvec is by construction slice(vec,
+    // 1, 16), so the layout variant must hash-match the in-flight one;
+    // the difference under audit is plan shape (pruned coarse scan), not
+    // values
+    "q141_matryoshka_stored" ->
       s"""WITH pts AS (${Oracles.ptsD}),
          |q AS (SELECT id AS qid, vec AS qvec FROM pts WHERE id % 25 = 0),
          |pre AS (SELECT q.qid, p.id,

@@ -213,6 +213,43 @@ object Knn {
         col("dist"), col("pdist"))
   }
 
+  /** [[matryoshka]] over a MATERIALIZED prefix column: `stored` is the
+    * written layout `(id, pvec, vec)` where `pvec = vec[0, prefixDim)` was
+    * sliced once at write time. The coarse stage selects only (id, pvec),
+    * so parquet column pruning makes the scan READ prefixDim/dim of the
+    * vector bytes (not just compute on a slice of rows it fully read —
+    * the I/O claim the in-flight [[matryoshka]] scaladoc defers to the
+    * layout); the refine stage re-reads only (id, vec) for the k·refine
+    * candidates via the equi-join. Same output contract as [[matryoshka]]
+    * — byte-identical results, cheaper coarse scan. */
+  def matryoshkaStored(
+      stored: DataFrame, // (id, pvec, vec)
+      queries: DataFrame, // (qid, qvec)
+      prefixDim: Int,
+      k: Int,
+      refine: Int): DataFrame = {
+    val coarse = stored
+      .select(col("id"), col("pvec"))
+      .join(broadcast(queries
+        .select(col("qid"), slice(col("qvec"), 1, prefixDim).as("pqvec"))))
+      .withColumn("pdist", round(l2Dist(col("pqvec"), col("pvec")), 4))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("pdist"), col("id"))
+    val cand = coarse
+      .withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= k * refine)
+      .select(col("qid"), col("id"), col("pdist"))
+    val ref = cand
+      .join(stored.select(col("id"), col("vec")), Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("dist", round(l2Dist(col("qvec"), col("vec")), 4))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    ref
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+        col("dist"), col("pdist"))
+  }
+
   /** Mutual (reciprocal) kNN consensus filter over a directed neighbor
     * edge list: keep exactly the pairs present in BOTH directions. The
     * asymmetric edges a kNN graph produces around hubness (a hub is

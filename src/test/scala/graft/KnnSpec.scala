@@ -139,6 +139,26 @@ class KnnSpec extends SparkSpec {
     assert(got === Seq((1, 2L, 0.1), (2, 1L, 10.0)))
   }
 
+  test("matryoshkaStored over a written (id, pvec, vec) layout equals the in-flight variant") {
+    val pts = Tables.points(spark, sf0)
+    val qs = Tables.queryPoints(spark, sf0)
+    val path = java.nio.file.Files.createTempDirectory("mrl_spec").toString
+    pts.select(col("id"), slice(col("vec"), 1, 16).as("pvec"), col("vec"))
+      .write.mode("overwrite").parquet(path)
+    val stored = spark.read.parquet(path)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    val got = Knn.matryoshkaStored(stored, qs, prefixDim = 16, k = 5, refine = 4)
+      .collect().map(key).toSet
+    val want = Knn.matryoshka(pts, qs, prefixDim = 16, k = 5, refine = 4)
+      .collect().map(key).toSet
+    assert(got === want)
+    // and the coarse scan is pruned to the prefix column (the layout's point)
+    val plan = Knn.matryoshkaStored(stored, qs, prefixDim = 16, k = 5, refine = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:bigint,pvec:array<float>>"))
+  }
+
   test("mutualEdges keeps exactly the reciprocal pairs, a < b once") {
     import spark.implicits._
     val edges = Seq(

@@ -839,6 +839,19 @@ object SparkEntry {
       Multimodal.y4mRoundTripStats(s,
         Tables.documents(s, dir).select(col("doc_id").as("id")))),
 
+    // ---- M11: REAL compressed-video codec (MJPEG-in-AVI in pure byte
+    // math): deterministic quantized-coefficient clip -> per-frame
+    // baseline JPEG (Huffman entropy coding, byte stuffing) -> RIFF AVI
+    // container -> container walk -> full JPEG decode (stream-declared
+    // DHT, canonical Huffman, fixed-point IDCT) -> all-integer per-frame
+    // pixel stats. The oracle replays the integer IDCT from the
+    // coefficient formula, so any Huffman, stuffing, marker, container,
+    // or IDCT bug breaks the hash. Compressed video thereby leaves the
+    // stub; only inter-frame codecs (H.264/MP4) remain declared
+    "q142_mjpeg_avi" -> ((s, dir) =>
+      Multimodal.mjpegRoundTripStats(s,
+        Tables.documents(s, dir).select(col("doc_id").as("id")))),
+
     // ---- graph-index ANN (the reference's per-shard HNSW probe,
     // utils.py:271-304 + kanndi_search.py:51): beam search over persisted
     // per-shard neighbor lists, reading ONLY the routed shards' partitions
@@ -3898,6 +3911,42 @@ object SparkEntry {
          |  CAST(length('YUV4MPEG2 W' || w || ' H' || h || ' F25:1 Ip A1:1 C444')
          |    + 1 + nf * (6 + 3 * w * h) AS INT) AS n_bytes
          |FROM vpx""".stripMargin,
+
+    // pure-integer replay of the MJPEG pipeline's DECODED pixels: the
+    // coefficient formula + the fixed-point IDCT basis (the same 8192-
+    // scaled integer constants the decoder uses), floor((acc+2^27)/2^28)
+    // + 128 clamped — the Spark side must recover exactly these values
+    // THROUGH the Huffman/container byte chain to hash-match
+    "q142_mjpeg_avi" ->
+      s"""WITH vsig AS (SELECT doc_id AS id,
+         |    16 + (doc_id % 3) * 8 AS w,
+         |    16 + (doc_id % 2) * 8 AS h,
+         |    2 + doc_id % 3 AS nf
+         |  FROM documents),
+         |vfr AS (SELECT id, w, h, unnest(generate_series(0, nf - 1)) AS f
+         |  FROM vsig),
+         |vblk AS (SELECT id, w, h, f,
+         |    unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS b
+         |  FROM vfr),
+         |vco AS (SELECT id, w, h, f, b,
+         |    ((id * 13 + f * 19 + b * 7) % 1024) - 512 AS ca,
+         |    ((id * 5 + f * 3 + b * 11) % 513) - 256 AS cb,
+         |    ((id * 3 + f * 7 + b * 5) % 257) - 128 AS cc
+         |  FROM vblk),
+         |vpx AS (SELECT id, w, h, f,
+         |    list_transform(generate_series(0, 63), i ->
+         |      greatest(0, least(255, CAST(floor((ca * 5793 * 5793
+         |        + cb * (list_value(8035, 6811, 4551, 1598, -1598, -4551, -6811, -8035))[(i % 8) + 1] * 5793
+         |        + cc * 5793 * (list_value(8035, 6811, 4551, 1598, -1598, -4551, -6811, -8035))[(i // 8) + 1]
+         |        + 134217728) / 268435456.0) AS BIGINT) + 128))) AS px
+         |  FROM vco)
+         |SELECT id, CAST(f AS INT) AS frame_idx,
+         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST((w // 8) * (h // 8) AS INT) AS n_blocks,
+         |  CAST(sum(list_sum(px)) AS BIGINT) AS pix_sum,
+         |  CAST(min(list_min(px)) AS INT) AS pix_min,
+         |  CAST(max(list_max(px)) AS INT) AS pix_max
+         |FROM vpx GROUP BY id, f, w, h""".stripMargin,
 
     // the full graph-ANN traversal — build, entries, every beam round —
     // replayed sequentially; hash equality proves the distributed beam

@@ -562,8 +562,9 @@ object Multimodal {
   // interchange format (textual stream header + per-frame "FRAME\n"
   // markers + raw YUV planes). Pure byte math like BMP and WAV, so the
   // container's no-codec-library restriction doesn't force a stub for raw
-  // video either; only COMPRESSED video (MP4/H.264) remains the declared
-  // stub below. C444 = full-resolution planes (a legal Y4M colourspace
+  // video either; compressed video has the real MJPEG-in-AVI codec below,
+  // leaving only inter-frame formats (MP4/H.264) declared.
+  // C444 = full-resolution planes (a legal Y4M colourspace
   // tag), which keeps plane geometry trivially w*h per plane.
   // --------------------------------------------------------------------
 
@@ -697,11 +698,491 @@ object Multimodal {
       "y_min", "y_max", "n_bytes")
   }
 
-  /** STUB decoder — stands in for a COMPRESSED-video codec (MP4/H.264,
-    * which needs libraries this container doesn't ship; raw Y4M video has
-    * the real codec above) and the degrade path for payloads that claim a
-    * decodable type but fail parsing. Reads real bytes, produces
-    * deterministic pseudo-metadata. */
+  // --------------------------------------------------------------------
+  // REAL codec: MJPEG-in-AVI — COMPRESSED video in pure byte math. Each
+  // frame is a self-contained baseline JPEG (ISO/IEC 10918-1: DQT/SOF0/
+  // DHT/SOS markers, canonical Huffman entropy coding with 0xFF00 byte
+  // stuffing, fixed-point IDCT) wrapped in a RIFF AVI container ('hdrl'
+  // headers, 'movi' '00dc' chunks, 'idx1' index). MJPEG is the one
+  // compressed-video shape that needs no external codec library, so the
+  // declared video stub shrinks to inter-frame/arithmetic-coded formats
+  // (H.264/MP4 — a codec library, not a container walk). The IDCT is
+  // integer (the 8192-scaled DCT basis below), so the DuckDB oracle
+  // replays decoded pixels EXACTLY — no float cos crosses an engine
+  // boundary.
+  // --------------------------------------------------------------------
+
+  /** Fixed-point DCT basis K(u)(x) = round(8192·C(u)·cos((2x+1)uπ/16)),
+    * C(0)=1/√2 else 1 — shared verbatim by [[decodeJpeg]]'s IDCT and the
+    * q142 oracle SQL (integer products, exact in any engine). */
+  private[graft] val idctK: Array[Array[Int]] = Array(
+    Array(5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793),
+    Array(8035, 6811, 4551, 1598, -1598, -4551, -6811, -8035),
+    Array(7568, 3135, -3135, -7568, -7568, -3135, 3135, 7568),
+    Array(6811, -1598, -8035, -4551, 4551, 8035, 1598, -6811),
+    Array(5793, -5793, -5793, 5793, 5793, -5793, -5793, 5793),
+    Array(4551, -8035, 1598, 6811, -6811, -1598, 8035, -4551),
+    Array(3135, -7568, 7568, -3135, -3135, 7568, -7568, 3135),
+    Array(1598, -4551, 6811, -8035, 8035, -6811, 4551, -1598))
+
+  /** Zigzag scan order: zigzag index -> natural (row-major v*8+u) index. */
+  private val zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K luminance Huffman specs: (BITS counts per code length 1..16,
+    * HUFFVAL symbol list). Encoder emits them in DHT; the decoder builds
+    * its tables from whatever DHT declares (it is NOT hard-wired to these
+    * — a foreign baseline JPEG with its own tables decodes too). */
+  private val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val dcVals = Array.tabulate(12)(identity)
+  private val acBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val acVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical Huffman codes from a (BITS, HUFFVAL) spec: symbol ->
+    * (code, length), codes assigned in spec order (10918-1 Annex C). */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.toMap
+  }
+
+  /** MSB-first JPEG bit sink with mandatory 0xFF -> 0xFF 0x00 stuffing;
+    * flush pads the final byte with 1-bits (10918-1 F.1.2.3). */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+  }
+
+  /** Magnitude category (bit length of |v|): 0 for 0, else floor(log2)+1. */
+  private def jpegCat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Encode quantized coefficient blocks (natural row-major order, MCU
+    * scan order) as a baseline single-component 8-bit JPEG: all-ones
+    * quantization table, Annex K Huffman tables, differential DC, AC
+    * run/size coding with ZRL/EOB. Pure byte math — no imaging library. */
+  def encodeJpeg(width: Int, height: Int, blocks: Array[Array[Int]]): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      "encoder keeps geometry in whole 8x8 blocks")
+    require(blocks.length == (width / 8) * (height / 8), "one block per MCU")
+    blocks.foreach(b => require(b.length == 64, "block must be 64 coefficients"))
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1)) // DQT: Pq=0,Tq=0, all ones
+    seg(0xc0, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      1, 1, 0x11, 0)) // SOF0: 8-bit, 1 component id=1, 1x1 sampling, Tq=0
+    seg(0xc4, Array(0x00) ++ dcBits ++ dcVals) // DHT class 0 id 0
+    seg(0xc4, Array(0x10) ++ acBits ++ acVals) // DHT class 1 id 0
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS: comp 1 uses DC0/AC0
+    val dcH = huffCodes(dcBits, dcVals)
+    val acH = huffCodes(acBits, acVals)
+    val bw = new JpegBitWriter(out)
+    var prevDc = 0
+    blocks.foreach { blk =>
+      val zz = Array.tabulate(64)(i => blk(zigzag(i)))
+      val diff = zz(0) - prevDc
+      prevDc = zz(0)
+      val s = jpegCat(diff)
+      val (c, l) = dcH(s)
+      bw.put(c, l)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      var i = 1
+      var run = 0
+      while (i < 64) {
+        if (zz(i) == 0) run += 1
+        else {
+          while (run > 15) { val (zc, zl) = acH(0xf0); bw.put(zc, zl); run -= 16 }
+          val sz = jpegCat(zz(i))
+          val (ac, al) = acH((run << 4) | sz)
+          bw.put(ac, al)
+          bw.put(if (zz(i) >= 0) zz(i) else zz(i) + (1 << sz) - 1, sz)
+          run = 0
+        }
+        i += 1
+      }
+      if (run > 0) { val (ec, el) = acH(0x00); bw.put(ec, el) } // EOB
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Canonical Huffman decode tables (10918-1 F.2.2.3): per code length,
+    * the smallest/largest code and the HUFFVAL offset. */
+  private final class HuffDecoder(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(in: JpegBitReader): Int = {
+      var code = in.bit()
+      var l = 1
+      while (maxCode(l) < code) {
+        code = (code << 1) | in.bit()
+        l += 1
+        require(l <= 16, "corrupt JPEG: Huffman code over 16 bits")
+      }
+      vals(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  /** MSB-first entropy-segment bit source with 0xFF00 unstuffing. */
+  private final class JpegBitReader(b: Array[Byte], var off: Int) {
+    private var acc = 0
+    private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        require(off < b.length, "truncated JPEG entropy segment")
+        val v = b(off) & 0xff
+        off += 1
+        if (v == 0xff) {
+          require(off < b.length && b(off) == 0x00,
+            "unexpected marker inside entropy segment")
+          off += 1
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) 0
+      else {
+        var v = 0
+        var i = 0
+        while (i < s) { v = (v << 1) | bit(); i += 1 }
+        if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+      }
+    }
+  }
+
+  /** Decode a baseline single-component 8-bit JPEG back to (width, height,
+    * row-major grayscale pixels). Real decoder: marker walk, DQT/DHT
+    * parsed from the stream (not assumed), canonical Huffman decode,
+    * dequantize + de-zigzag, fixed-point IDCT ([[idctK]], /2^28 rounded),
+    * +128 level shift, clamp. Restart markers and multi-scan/progressive
+    * modes are required out (baseline MJPEG frames never emit them). */
+  def decodeJpeg(jpeg: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(jpeg.length > 4 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "not a JPEG: missing SOI")
+    var off = 2
+    var width = -1; var height = -1
+    val qt = new Array[Int](64) // zigzag order, as DQT ships it
+    var dcDec: HuffDecoder = null
+    var acDec: HuffDecoder = null
+    var sosAt = -1
+    while (sosAt < 0) {
+      require(off + 4 <= jpeg.length, "truncated JPEG: no SOS")
+      require((jpeg(off) & 0xff) == 0xff, s"expected marker at $off")
+      val m = jpeg(off + 1) & 0xff
+      val len = ((jpeg(off + 2) & 0xff) << 8) | (jpeg(off + 3) & 0xff)
+      val p = off + 4
+      m match {
+        case 0xdb =>
+          require((jpeg(p) & 0xf0) == 0, "only 8-bit quant tables (Pq=0)")
+          var i = 0
+          while (i < 64) { qt(i) = jpeg(p + 1 + i) & 0xff; i += 1 }
+        case 0xc0 =>
+          require((jpeg(p) & 0xff) == 8, "baseline 8-bit precision only")
+          height = ((jpeg(p + 1) & 0xff) << 8) | (jpeg(p + 2) & 0xff)
+          width = ((jpeg(p + 3) & 0xff) << 8) | (jpeg(p + 4) & 0xff)
+          require((jpeg(p + 5) & 0xff) == 1, "single-component JPEG only")
+          require((jpeg(p + 7) & 0xff) == 0x11, "1x1 sampling only")
+        case 0xc4 =>
+          var q = p
+          while (q < off + 2 + len) {
+            val tc = (jpeg(q) & 0xf0) >> 4
+            val bits = Array.tabulate(16)(i => jpeg(q + 1 + i) & 0xff)
+            val nv = bits.sum
+            val vals = Array.tabulate(nv)(i => jpeg(q + 17 + i) & 0xff)
+            if (tc == 0) dcDec = new HuffDecoder(bits, vals)
+            else acDec = new HuffDecoder(bits, vals)
+            q += 17 + nv
+          }
+        case 0xda => sosAt = off + 2 + len
+        case 0xc1 | 0xc2 | 0xc3 => require(false, "baseline SOF0 only")
+        case 0xdd => require(false, "restart intervals unsupported")
+        case _ => () // APPn/COM: skip
+      }
+      off += 2 + len
+    }
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      "SOF0 missing or geometry not whole blocks")
+    require(dcDec != null && acDec != null, "DHT tables missing before SOS")
+    val bw = width / 8
+    val bh = height / 8
+    val px = new Array[Byte](width * height)
+    val in = new JpegBitReader(jpeg, sosAt)
+    val coef = new Array[Int](64)
+    var prevDc = 0
+    var mcu = 0
+    while (mcu < bw * bh) {
+      java.util.Arrays.fill(coef, 0)
+      val s = dcDec.decode(in)
+      prevDc += in.receiveExtend(s)
+      coef(0) = prevDc * qt(0)
+      var i = 1
+      var eob = false
+      while (i < 64 && !eob) {
+        val rs = acDec.decode(in)
+        if (rs == 0x00) eob = true
+        else if (rs == 0xf0) i += 16
+        else {
+          i += (rs >> 4)
+          require(i < 64, "corrupt JPEG: AC index past block")
+          coef(zigzag(i)) = in.receiveExtend(rs & 15) * qt(i)
+          i += 1
+        }
+      }
+      // fixed-point IDCT: pixel = floorDiv(Σ F(v,u)·K(u,x)·K(v,y) + 2^27,
+      // 2^28) + 128, clamped — all-integer, oracle-replayable
+      val bx = (mcu % bw) * 8
+      val by = (mcu / bw) * 8
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0L
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val f = coef(v * 8 + u)
+              if (f != 0) acc += f.toLong * idctK(u)(x) * idctK(v)(y)
+              u += 1
+            }
+            v += 1
+          }
+          val p0 = Math.floorDiv(acc + (1L << 27), 1L << 28) + 128
+          val p = if (p0 < 0) 0 else if (p0 > 255) 255 else p0.toInt
+          px((by + y) * width + bx + x) = p.toByte
+          x += 1
+        }
+        y += 1
+      }
+      mcu += 1
+    }
+    (width, height, px)
+  }
+
+  /** Wrap per-frame JPEG payloads in a spec-shaped RIFF AVI container:
+    * LIST hdrl (avih main header + LIST strl with a 'vids'/'MJPG' strh and
+    * a BITMAPINFOHEADER strf), LIST movi with '00dc' chunks (even-padded),
+    * and an idx1 keyframe index — the same pure byte math as the WAV/Y4M
+    * RIFF siblings. */
+  def encodeAvi(width: Int, height: Int, fps: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && frames.nonEmpty, "bad AVI geometry")
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def w4cc(cc: String): Unit = cc.foreach(c => out.write(c.toInt))
+    val maxSz = frames.map(_.length).max
+    val pad = frames.map(f => f.length % 2)
+    val moviSz = 4 + frames.zip(pad).map { case (f, p) => 8 + f.length + p }.sum
+    val idxSz = 16 * frames.length
+    val hdrlSz = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz) + (8 + idxSz)
+    w4cc("RIFF"); w32(riffSz); w4cc("AVI ")
+    w4cc("LIST"); w32(hdrlSz); w4cc("hdrl")
+    w4cc("avih"); w32(56)
+    w32(1000000 / fps); w32(0); w32(0); w32(0x10 /* HASINDEX */)
+    w32(frames.length); w32(0); w32(1); w32(maxSz)
+    w32(width); w32(height); w32(0); w32(0); w32(0); w32(0)
+    w4cc("LIST"); w32(4 + (8 + 56) + (8 + 40)); w4cc("strl")
+    w4cc("strh"); w32(56)
+    w4cc("vids"); w4cc("MJPG"); w32(0); w32(0); w32(0)
+    w32(1); w32(fps); w32(0); w32(frames.length); w32(maxSz); w32(-1); w32(0)
+    out.write(0); out.write(0); out.write(0); out.write(0) // rcFrame l,t
+    out.write(width & 0xff); out.write(width >> 8)
+    out.write(height & 0xff); out.write(height >> 8)
+    w4cc("strf"); w32(40)
+    w32(40); w32(width); w32(height); out.write(1); out.write(0)
+    out.write(24); out.write(0); w4cc("MJPG"); w32(width * height * 3)
+    w32(0); w32(0); w32(0); w32(0)
+    w4cc("LIST"); w32(moviSz); w4cc("movi")
+    val offs = new Array[Int](frames.length)
+    var rel = 4
+    frames.zip(pad).zipWithIndex.foreach { case ((f, p), i) =>
+      offs(i) = rel
+      w4cc("00dc"); w32(f.length); f.foreach(b => out.write(b & 0xff))
+      if (p == 1) out.write(0)
+      rel += 8 + f.length + p
+    }
+    w4cc("idx1"); w32(idxSz)
+    frames.zip(pad).zipWithIndex.foreach { case ((f, _), i) =>
+      w4cc("00dc"); w32(0x10 /* KEYFRAME */); w32(offs(i)); w32(f.length)
+    }
+    out.toByteArray
+  }
+
+  /** Walk an AVI container back to (width, height, fps, per-frame JPEG
+    * payloads): verifies RIFF/'AVI ' magic, reads geometry + frame count
+    * from avih, iterates the LIST movi '00dc' chunks (skipping any other
+    * stream's chunks and the even-padding bytes), and cross-checks the
+    * recovered frame count against the header. */
+  def decodeAvi(avi: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
+    require(avi.length >= 12 && is4cc(avi, 0, "RIFF") && is4cc(avi, 8, "AVI "),
+      "not an AVI: bad RIFF magic")
+    var width = -1; var height = -1; var usPerFrame = -1; var total = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = 12
+    while (off + 8 <= avi.length) {
+      val sz = rd32(avi, off + 4)
+      if (is4cc(avi, off, "LIST")) {
+        if (is4cc(avi, off + 8, "hdrl")) {
+          // avih is the first sub-chunk of hdrl per spec
+          require(is4cc(avi, off + 12, "avih"), "hdrl without leading avih")
+          val p = off + 20
+          usPerFrame = rd32(avi, p)
+          total = rd32(avi, p + 16)
+          width = rd32(avi, p + 32)
+          height = rd32(avi, p + 36)
+        } else if (is4cc(avi, off + 8, "movi")) {
+          var q = off + 12
+          val end = off + 8 + sz
+          while (q + 8 <= end) {
+            val csz = rd32(avi, q + 4)
+            if (is4cc(avi, q, "00dc"))
+              frames += java.util.Arrays.copyOfRange(avi, q + 8, q + 8 + csz)
+            q += 8 + csz + (csz % 2)
+          }
+        }
+      }
+      off += 8 + sz + (sz % 2)
+    }
+    require(width > 0 && height > 0 && usPerFrame > 0, "AVI missing avih header")
+    require(total == frames.length,
+      s"avih declares $total frames, movi carries ${frames.length}")
+    (width, height, 1000000 / usPerFrame, frames.toArray)
+  }
+
+  /** Deterministic quantized-coefficient clip for id: geometry w=16+(id%3)·8,
+    * h=16+(id%2)·8, 2+id%3 frames; block b of frame f carries exactly three
+    * nonzero coefficients (all the oracle replays):
+    *   DC            = ((id·13 + f·19 + b·7)  mod 1024) - 512
+    *   AC(u=1,v=0)   = ((id·5  + f·3  + b·11) mod 513)  - 256
+    *   AC(u=0,v=1)   = ((id·3  + f·7  + b·5)  mod 257)  - 128
+    * — wide enough to exercise DC categories up to 10, AC sizes up to 9,
+    * ZRL-free runs, and the decoder's clamp at both ends. */
+  def syntheticMjpegCoefs(id: Long): (Int, Int, Array[Array[Array[Int]]]) = {
+    val w = (16 + (id % 3) * 8).toInt
+    val h = (16 + (id % 2) * 8).toInt
+    val nf = (2 + id % 3).toInt
+    val nb = (w / 8) * (h / 8)
+    val frames = Array.tabulate(nf) { f =>
+      Array.tabulate(nb) { b =>
+        val blk = new Array[Int](64)
+        blk(0) = (((id * 13 + f * 19 + b * 7) % 1024) - 512).toInt
+        blk(1) = (((id * 5 + f * 3 + b * 11) % 513) - 256).toInt
+        blk(8) = (((id * 3 + f * 7 + b * 5) % 257) - 128).toInt
+        blk
+      }
+    }
+    (w, h, frames)
+  }
+
+  /** End-to-end COMPRESSED-video round trip as a distributed kernel (the
+    * MJPEG twin of [[y4mRoundTripStats]]): per id, build the deterministic
+    * coefficient clip, Huffman-ENCODE each frame to a real baseline JPEG,
+    * wrap in a real AVI, then walk the AVI and fully DECODE every JPEG
+    * (markers, DHT, entropy segment, fixed-point IDCT) and emit all-integer
+    * per-frame pixel stats. The oracle replays the IDCT from the
+    * coefficient formula, so any Huffman, stuffing, marker, container, or
+    * IDCT bug changes the output. */
+  def mjpegRoundTripStats(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("id")).as[Long].flatMap { id =>
+      val (w, h, clip) = syntheticMjpegCoefs(id)
+      val jpegs = clip.map(encodeJpeg(w, h, _))
+      val avi = encodeAvi(w, h, 25, jpegs)
+      val (dw, dh, dfps, back) = decodeAvi(avi)
+      require(dw == w && dh == h && dfps == 25 && back.length == clip.length,
+        s"AVI round-trip shape mismatch for $id")
+      back.iterator.zipWithIndex.map { case (jpeg, f) =>
+        val (pw, ph, px) = decodeJpeg(jpeg)
+        require(pw == w && ph == h, s"JPEG geometry mismatch for $id frame $f")
+        var sum = 0L; var mn = 255; var mx = 0
+        var i = 0
+        while (i < px.length) {
+          val p = px(i) & 0xff
+          sum += p
+          if (p < mn) mn = p
+          if (p > mx) mx = p
+          i += 1
+        }
+        (id, f, w, h, (w / 8) * (h / 8), sum, mn, mx)
+      }
+    }.toDF("id", "frame_idx", "width", "height", "n_blocks",
+      "pix_sum", "pix_min", "pix_max")
+  }
+
+  /** STUB decoder — stands in for INTER-FRAME compressed video (MP4/H.264:
+    * motion compensation + CABAC is a codec library, not byte math — the
+    * one remaining declared boundary now that MJPEG-in-AVI above is real)
+    * and the degrade path for payloads that claim a decodable type but
+    * fail parsing. Reads real bytes, produces deterministic
+    * pseudo-metadata. */
   def fakeDecode(a: Asset): Decoded = {
     val n = a.content.length
     val b0 = if (n > 0) a.content(0) & 0xff else 0

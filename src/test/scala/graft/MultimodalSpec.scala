@@ -7,6 +7,60 @@ import graft.operators.Multimodal
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("JPEG round trip: decoded pixels equal the fixed-point IDCT of the coefficients") {
+    val (w, h, clip) = Multimodal.syntheticMjpegCoefs(3L)
+    val jpeg = Multimodal.encodeJpeg(w, h, clip(0))
+    val (dw, dh, px) = Multimodal.decodeJpeg(jpeg)
+    assert(dw === w && dh === h && px.length === w * h)
+    // independent reference: full 64-term fixed-point IDCT over the SOURCE
+    // coefficients (the decoder saw only Huffman-coded bytes)
+    val bw = w / 8
+    for (mcu <- clip(0).indices; y <- 0 until 8; x <- 0 until 8) {
+      val blk = clip(0)(mcu)
+      var acc = 0L
+      for (v <- 0 until 8; u <- 0 until 8)
+        acc += blk(v * 8 + u).toLong * Multimodal.idctK(u)(x) * Multimodal.idctK(v)(y)
+      val p0 = Math.floorDiv(acc + (1L << 27), 1L << 28) + 128
+      val want = math.max(0, math.min(255, p0)).toInt
+      val gx = (mcu % bw) * 8 + x
+      val gy = (mcu / bw) * 8 + y
+      assert((px(gy * w + gx) & 0xff) === want, s"pixel ($gx,$gy)")
+    }
+  }
+
+  test("JPEG decoder is driven by the stream's own DHT, and rejects non-baseline input") {
+    val (w, h, clip) = Multimodal.syntheticMjpegCoefs(7L)
+    val jpeg = Multimodal.encodeJpeg(w, h, clip(1))
+    // corrupting SOI must fail loudly
+    val bad = jpeg.clone(); bad(1) = 0x00
+    assertThrows[IllegalArgumentException](Multimodal.decodeJpeg(bad))
+    // flipping SOF0 -> SOF2 (progressive) must be rejected, not mis-decoded
+    val sof = jpeg.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    val prog = jpeg.clone(); prog(sof + 1) = 0xc2.toByte
+    assertThrows[IllegalArgumentException](Multimodal.decodeJpeg(prog))
+  }
+
+  test("AVI container: header geometry, frame payloads, and even-padding round-trip") {
+    val (w, h, clip) = Multimodal.syntheticMjpegCoefs(5L)
+    val jpegs = clip.map(Multimodal.encodeJpeg(w, h, _))
+    val avi = Multimodal.encodeAvi(w, h, 25, jpegs)
+    val (dw, dh, fps, back) = Multimodal.decodeAvi(avi)
+    assert(dw === w && dh === h && fps === 25 && back.length === jpegs.length)
+    jpegs.zip(back).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeAvi("RIFFxxxxWAVE".getBytes))
+  }
+
+  test("mjpegRoundTripStats matches an independently computed reference (id=3)") {
+    val got = Multimodal.mjpegRoundTripStats(spark, Seq(3L).toDF("id"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getLong(5), r.getInt(6), r.getInt(7))).toSeq.sortBy(_._1)
+    // values recomputed outside the JVM from the coefficient formula
+    assert(got === Seq(
+      (0, 16, 24, 6, 27289L, 6, 131),
+      (1, 16, 24, 6, 28194L, 11, 132)))
+  }
+
   test("audioQualityStats: matches stats recomputed from the raw signal") {
     // the operator goes through the real encode->decode round trip; this
     // recomputes every stat straight from syntheticSpeech, so a lossy or

@@ -364,6 +364,15 @@ object Audit {
       ("no fact-table scan", p => !p.contains("FileScan")),
       ("levels read the pinned state", _.contains("Scan ExistingRDD")),
       ("no join anywhere", p => !p.contains("Join")))
+    audit("q143_heavy_hitters")(
+      // the two-pass claim: the returned plan is ONE probe scan whose
+      // map-side literal CMS filter precedes the count shuffle — the
+      // sketch itself is a driver artifact, never a second scan
+      ("single probe scan", p => p.sliding("FileScan".length).count(_ == "FileScan") == 1),
+      ("literal CMS filter on the map side", _.contains("element_at")))
+    audit("q144_weighted_sample")(
+      // global top-k must be per-partition heads + merge, never a full sort
+      ("TakeOrderedAndProject (no global sort)", _.contains("TakeOrderedAndProject")))
     audit("q141_matryoshka_stored")(
       // the stored-prefix layout's whole point: the coarse scan's
       // ReadSchema carries ONLY (id, pvec) — the full vec column's bytes

@@ -605,6 +605,42 @@ object SparkEntry {
           Tables.documents(s, dir)
             .select(explode(split(col("text"), " ")).as("tok")), b = 8), b = 8)),
 
+    // ---- EXACT heavy hitters by the CMS-guided two-pass: the packed
+    // sketch rides the probe scan as a literal and cuts the count shuffle
+    // to candidate bigrams only; est >= truth means no true heavy hitter
+    // is droppable and the final n >= T cut makes the answer exact — the
+    // oracle is the PLAIN exact GROUP BY/HAVING with no sketch at all.
+    // Threshold derives from the sketch itself (N = one row's counter
+    // sum), so the whole op is build-scan + probe-scan, nothing else
+    "q143_heavy_hitters" -> ((s, dir) => {
+      val bigrams = Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("tok"))
+      Sketches.heavyHitters(bigrams, invPhi = 640L)
+    }),
+
+    // ---- deterministic weighted sampling (Efraimidis–Spirakis): key =
+    // ln(u)/weight with u md5-derived from the id, global top-k by key —
+    // sample probability proportional to weight (chars here; tokens at
+    // scale), without replacement, reproducible across engines AND runs.
+    // The plan is TakeOrderedAndProject (per-partition top-k, merge of
+    // k-sized heads), never a global sort — the mixture-sampling shape
+    // that scales to any corpus
+    "q144_weighted_sample" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.roundHU
+      val u = (conv(substring(md5(concat(lit("wsamp:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+        lit(4294967296.0)
+      Tables.documents(s, dir)
+        .where(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          roundHU(log(u) / col("n_chars").cast("double"), 9).as("es_key"))
+        .orderBy(desc("es_key"), asc("doc_id"))
+        .limit(100)
+    }),
+
     // ---- skew utilities in the hard signal: the two-phase salted
     // aggregation and the salted replicate-join must be RESULT-identical
     // to their plain forms (the whole point of a skew mitigation)
@@ -2629,6 +2665,28 @@ object SparkEntry {
          |SELECT pe.tok, CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est
          |FROM pe LEFT JOIN cms ON cms."row" = pe."row" AND cms.bucket = pe.bucket
          |GROUP BY pe.tok""".stripMargin,
+
+    // the PLAIN exact heavy-hitter query — no sketch anywhere: the CMS
+    // pre-filter must be result-invisible (no false negatives + the final
+    // exact cut), so the two-pass plan and this one-liner hash-match.
+    // Threshold replay: T = max(1, floor(N / 640)) over the same bigrams
+    "q143_heavy_hitters" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1), i ->
+         |    ws[i] || ' ' || ws[i + 1])) AS tok FROM t WHERE len(ws) >= 2),
+         |tot AS (SELECT greatest(1, count(*) // 640) AS thr FROM g)
+         |SELECT tok, count(*) AS n FROM g, tot
+         |GROUP BY tok, thr HAVING count(*) >= thr""".stripMargin,
+
+    // same md5-derived u, same ln(u)/weight key, same rounded ordering —
+    // the deterministic weighted sample replays end-to-end
+    "q144_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
+         |k AS (SELECT doc_id, n_chars,
+         |    ${Oracles.rHU("ln((('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0) / n_chars", 9)} AS es_key
+         |  FROM d)
+         |SELECT doc_id, n_chars, es_key
+         |FROM k ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
 
     // register/rho from the same 32-bit md5 value; alpha formula written
     // in the same operation order, all arithmetic forced to DOUBLE

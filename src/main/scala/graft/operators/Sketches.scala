@@ -92,6 +92,56 @@ object Sketches {
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Pack a [[countMinSketch]] DF into its literal d·w counter array
+    * (index row·w + bucket; absent buckets 0) — a bounded driver artifact
+    * like the Bloom words, broadcast into map-only probe expressions. */
+  def packCms(cms: DataFrame, d: Int, w: Int): Array[Long] = {
+    val arr = new Array[Long](d * w)
+    cms.collect().foreach { r =>
+      arr(r.getInt(0) * w + r.getLong(1).toInt) = r.getLong(2)
+    }
+    arr
+  }
+
+  /** Map-only CMS point estimate of `tok`'s frequency against the packed
+    * broadcast counters (the literal-array twin of [[bloomHitCol]]): min
+    * over the d rows of the token's bucket counter. est >= truth ALWAYS
+    * (counters only ever over-count on collisions) — the property that
+    * makes the [[heavyHitters]] cut exact. */
+  def cmsEstCol(counters: Array[Long], tok: Column, d: Int, w: Int): Column = {
+    val arr = typedLit(counters.toSeq)
+    (0 until d)
+      .map { r =>
+        element_at(arr,
+          (pmod(h32(tok, lit(r.toString)), lit(w)) + lit(r.toLong * w)).cast("int") + 1)
+      }
+      .reduce(least(_, _))
+  }
+
+  /** EXACT heavy hitters by the sketch-guided two-pass:
+    *  1) one scan builds the CMS (d·w ints, a driver artifact); the total
+    *     token count N is the sum of any single row's counters, so the
+    *     threshold T = max(1, N/invPhi) derives from the sketch with no
+    *     extra pass;
+    *  2) the probe scan filters tokens MAP-ONLY to CMS-est >= T before
+    *     the exact groupBy — the count shuffle carries only candidates
+    *     (<= invPhi true heavy keys + collision strays), never the full
+    *     vocabulary — and the final n >= T cut discards the strays.
+    * CMS never underestimates, so no true heavy hitter can be dropped:
+    * the result is EXACTLY `{tok : count(tok) >= T}` independent of
+    * sketch size; w only tunes how much the shuffle shrinks. The 100 TB
+    * shape for "top terms over a corpus whose vocabulary doesn't fit". */
+  def heavyHitters(tokens: DataFrame, invPhi: Long, d: Int = 4, w: Int = 2048): DataFrame = {
+    val counters = packCms(countMinSketch(tokens, d, w), d, w)
+    val n = counters.take(w).sum
+    val t = math.max(1L, n / invPhi)
+    tokens
+      .where(cmsEstCol(counters, col("tok"), d, w) >= t)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= t)
+  }
+
   /** Point-frequency estimates: min over rows of the probe token's bucket
     * counter (absent bucket = 0). Classic CMS guarantee: est >= truth,
     * over-estimation bounded by collisions. */

@@ -123,6 +123,23 @@ class SketchesSpec extends SparkSpec {
       allFromState.exceptAll(whole).isEmpty)
   }
 
+  test("heavyHitters: exactly the brute-force heavy set; CMS pre-filter prunes the shuffle") {
+    import spark.implicits._
+    // 100×"alpha", 60×"beta", 40×"gamma", 400 singletons; N=600
+    val toks = (Seq.fill(100)("alpha") ++ Seq.fill(60)("beta") ++
+      Seq.fill(40)("gamma") ++ (0 until 400).map(i => s"rare-$i")).toDF("tok")
+    // invPhi=12 -> T = 600/12 = 50: alpha+beta qualify, gamma (40) must not
+    val got = Sketches.heavyHitters(toks, invPhi = 12, d = 4, w = 512)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("alpha" -> 100L, "beta" -> 60L))
+    // the pre-filter is a genuine shuffle reduction: far fewer candidate
+    // ROWS than the corpus (collision strays allowed, the exact cut is
+    // what guarantees the result above)
+    val counters = Sketches.packCms(Sketches.countMinSketch(toks, 4, 512), 4, 512)
+    val survivors = toks.where(Sketches.cmsEstCol(counters, col("tok"), 4, 512) >= 50).count()
+    assert(survivors >= 160 && survivors < 300, s"pre-filter passed $survivors rows")
+  }
+
   test("bloom xx64 backend: build/probe position parity, no false negatives, prunes") {
     import org.apache.spark.sql.functions._
     val keys = (0 until 200).map(i => s"key-$i")

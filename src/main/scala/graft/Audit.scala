@@ -364,6 +364,13 @@ object Audit {
       ("no fact-table scan", p => !p.contains("FileScan")),
       ("levels read the pinned state", _.contains("Scan ExistingRDD")),
       ("no join anywhere", p => !p.contains("Join")))
+    audit("q145_phrase_search")(
+      // postings probe discipline: term equi-join only — a phrase join
+      // that degenerates to a nested loop or cartesian re-scans the
+      // corpus per query
+      ("no nested-loop/cartesian", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("phrase-length side broadcast", _.contains("BroadcastHashJoin")))
     audit("q143_heavy_hitters")(
       // the two-pass claim: the returned plan is ONE probe scan whose
       // map-side literal CMS filter precedes the count shuffle — the

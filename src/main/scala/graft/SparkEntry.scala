@@ -1390,6 +1390,22 @@ object SparkEntry {
       perLang.unionByName(global)
     }),
 
+    // ---- EXACT phrase search over a POSITIONAL inverted index: the
+    // adjacency-aware complement of q107's bag-of-words BM25. Phrase
+    // terms equi-join the (id, pos, term) postings on term only; an
+    // occurrence is a (qid, id, start) group holding ALL offsets — pure
+    // relational algebra, no per-document string rescan, no cross
+    // product (Audit-asserted). Queries: every 25th doc's first 3 words
+    "q145_phrase_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+        .where(size(split(col("text"), " ")) >= 3)
+      val phrases = docs.where(col("id") % 25 === 0)
+        .select(col("id").as("qid"),
+          posexplode(slice(split(col("text"), " "), 1, 3)).as(Seq("i", "term")))
+      Retrieval.phraseMatch(Retrieval.positionalIndex(docs), phrases)
+    }),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -4269,6 +4285,23 @@ object SparkEntry {
          |  CAST(len(a[ci * 24 + 1 : least(n, ci * 24 + 32)]) AS BIGINT) AS n_chunk_tokens,
          |  md5(array_to_string(a[ci * 24 + 1 : least(n, ci * 24 + 32)], ' ')) AS chunk_md5
          |FROM e""".stripMargin,
+
+    // same positional join shape: 1-based list positions vs Spark's
+    // 0-based posexplode differ only in the internal `start` value,
+    // which never reaches the output
+    "q145_phrase_search" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |dd AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),
+         |q AS (SELECT doc_id AS qid, ws FROM dd WHERE doc_id % 25 = 0),
+         |pt AS (SELECT qid, unnest(generate_series(1, 3)) AS i FROM q),
+         |ph AS (SELECT p.qid, p.i, q.ws[p.i] AS term FROM pt p JOIN q ON p.qid = q.qid),
+         |idx AS (SELECT doc_id AS id, i AS pos, ws[i] AS term
+         |  FROM dd, unnest(generate_series(1, len(ws))) AS u(i)
+         |  WHERE ws[i] <> ''),
+         |m AS (SELECT ph.qid, idx.id, idx.pos - ph.i AS s
+         |  FROM ph JOIN idx ON ph.term = idx.term),
+         |occ AS (SELECT qid, id, s FROM m GROUP BY qid, id, s HAVING count(*) = 3)
+         |SELECT qid, id, count(*) AS n_occ FROM occ GROUP BY qid, id""".stripMargin,
 
     // same stats joins, same operation order in the score
     "q107_bm25" ->

@@ -117,6 +117,40 @@ object Retrieval {
     * vectors + per-chunk norms — built ONCE over the corpus (index-build
     * work, like [[Bm25Index]] or the PQ codes) and consumed by every
     * query batch. */
+  /** Positional inverted index: one (id, pos, term) row per token — the
+    * index layout phrase/proximity search needs (tf alone cannot see
+    * adjacency). At scale this is the standard postings-with-positions
+    * shape: partitioned by term for the probe equi-join, positions as
+    * plain int64 columns. */
+  def positionalIndex(docs: DataFrame): DataFrame =
+    docs
+      .select(col("id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .where(length(col("term")) > 0)
+
+  /** EXACT phrase search over the positional index, entirely as
+    * relational algebra — no per-document string rescans: phrase terms
+    * arrive long-form as (qid, i, term) with i the 0-based offset; each
+    * joins the index on term (the ONLY join key — an equi-join a 100 TB
+    * postings layout co-locates by term), projecting candidate start
+    * `pos - i`; a (qid, id, start) group containing ALL n offsets is one
+    * occurrence (count(*) = n — the i-th row can only come from position
+    * start+i, so multiplicity is impossible). Output: (qid, id, n_occ)
+    * per document with at least one occurrence — the adjacency-aware
+    * complement of [[bm25TopKWith]]'s bag-of-words scoring. */
+  def phraseMatch(index: DataFrame, phraseTerms: DataFrame): DataFrame = {
+    val n = phraseTerms
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_terms"))
+    phraseTerms
+      .join(index, "term")
+      .select(col("qid"), col("id"), (col("pos") - col("i")).as("start"))
+      .groupBy(col("qid"), col("id"), col("start"))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(n), "qid")
+      .where(col("n_hit") === col("n_terms"))
+      .groupBy(col("qid"), col("id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
   final case class ChunkIndex(cb: DataFrame, cn: DataFrame)
 
   private def krBucketCol(word: org.apache.spark.sql.Column, nBuckets: Int) =

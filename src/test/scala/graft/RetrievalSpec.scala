@@ -7,6 +7,23 @@ import graft.operators.Retrieval
 class RetrievalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("phraseMatch: exact occurrence counts, adjacency required, repeats handled") {
+    val docs = Seq(
+      (1L, "a b c a b c"),     // "a b c" twice
+      (2L, "a b x c"),         // terms present, never adjacent as a phrase
+      (3L, "c b a"),           // reversed — order matters
+      (4L, "a b a b a")        // overlapping "a b a" at starts 0 and 2
+    ).toDF("id", "text")
+    val idx = Retrieval.positionalIndex(docs)
+    def phrase(qid: Long, words: String*) =
+      words.zipWithIndex.map { case (w, i) => (qid, i, w) }
+    val phrases = (phrase(10L, "a", "b", "c") ++ phrase(11L, "a", "b", "a"))
+      .toDF("qid", "i", "term")
+    val got = Retrieval.phraseMatch(idx, phrases).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((10L, 1L, 2L), (11L, 4L, 2L)))
+  }
+
   test("bm25TopK matches a hand computation (idf, tf saturation, length norm)") {
     val docs = Seq(
       (1L, "cat sat mat"),

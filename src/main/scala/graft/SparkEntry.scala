@@ -1345,6 +1345,14 @@ object SparkEntry {
       Knn.matryoshka(Tables.points(s, dir), queryBatchDf(s, dir),
         prefixDim = 16, k = 10, refine = 4)),
 
+    // ---- wedge/triangle census over the mutual-kNN graph (the pinned
+    // q87 edges' reciprocal pairs): the local-density signal next to
+    // PageRank's global importance — two equi-joins on node ids, one
+    // aggregate, no cross product; 3·tri/wedges = global clustering
+    // coefficient
+    "q146_triangles" -> ((s, dir) =>
+      Knn.triangleStats(Knn.mutualEdges(knnEdgesPinned(s, dir)))),
+
     // ---- Matryoshka prefix MATERIALIZED as its own stored column: the
     // layout q136's scaladoc defers to — (id, pvec, vec) written once,
     // coarse stage selects only (id, pvec) so parquet column pruning makes
@@ -1397,13 +1405,12 @@ object SparkEntry {
     // relational algebra, no per-document string rescan, no cross
     // product (Audit-asserted). Queries: every 25th doc's first 3 words
     "q145_phrase_search" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val phrases = Tables.documents(s, dir)
         .select(col("doc_id").as("id"), col("text"))
-        .where(size(split(col("text"), " ")) >= 3)
-      val phrases = docs.where(col("id") % 25 === 0)
+        .where(size(split(col("text"), " ")) >= 3 && col("doc_id") % 25 === 0)
         .select(col("id").as("qid"),
           posexplode(slice(split(col("text"), " "), 1, 3)).as(Seq("i", "term")))
-      Retrieval.phraseMatch(Retrieval.positionalIndex(docs), phrases)
+      Retrieval.phraseMatch(posIndexPinned(s, dir), phrases)
     }),
 
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
@@ -1859,6 +1866,17 @@ object SparkEntry {
   private def graphAnnResultPinned(s: SparkSession, dir: String): DataFrame =
     GraphAnn.topK(graphVisitedPinned(s, dir), k = 10)
 
+  /** q145's positional inverted index pinned — index-BUILD work by the
+    * q107 rule (a real deployment materializes postings once, partitioned
+    * by term); the phrase query times the PROBE joins over it. */
+  private def posIndexPinned(s: SparkSession, dir: String): DataFrame =
+    ivmStateMemo.computeIfAbsent(s"posidx:$dir", _ =>
+      pinLocalCheckpoint(
+        Retrieval.positionalIndex(
+          Tables.documents(s, dir)
+            .select(col("doc_id").as("id"), col("text"))
+            .where(size(split(col("text"), " ")) >= 3)).coalesce(8)))
+
   /** The BM25 index pinned (tf/dl/idf tables + avgdl) — index-BUILD work
     * by the same rule as the PQ codes; q107 times the PROBE over it. */
   private val bm25IdxMemo =
@@ -1961,6 +1979,7 @@ object SparkEntry {
     graphIndexDir(s, dir)                                    // q100/q101 index
     graphVisitedPinned(s, dir)                               // q101/q105 input
     bm25IndexMemo(s, dir)                                    // q107 index
+    posIndexPinned(s, dir)                                   // q145 index
     bm25ListPinned(s, dir)                                   // q108 inputs
     annListPinned(s, dir)
     bpeRulesMemo(s, dir)                                     // q111 rules
@@ -3709,6 +3728,20 @@ object SparkEntry {
          |FROM e a JOIN e b
          |  ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
          |WHERE a.src_id < a.nbr_id""".stripMargin,
+
+    // same mutual-edge set, same a<b<c wedge orientation, same closing
+    // pair join — the census replays as three CTEs
+    "q146_triangles" ->
+      s"""WITH ${Oracles.knnGraphCtes},
+         |e AS (SELECT src_id, nbr_id FROM g),
+         |mu AS (SELECT a.src_id AS id_a, a.nbr_id AS id_b
+         |  FROM e a JOIN e b ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
+         |  WHERE a.src_id < a.nbr_id),
+         |w AS (SELECT x.id_a AS a, x.id_b AS b, y.id_b AS c
+         |  FROM mu x JOIN mu y ON x.id_b = y.id_a)
+         |SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+         |  CAST(count(z.id_a) AS BIGINT) AS n_triangles
+         |FROM w LEFT JOIN mu z ON z.id_a = w.a AND z.id_b = w.c""".stripMargin,
 
     // prefix-16 coarse rank (rounded, id tie-break), top k·refine, exact
     // full-dim refine — the q128 two-stage conventions

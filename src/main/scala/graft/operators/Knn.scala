@@ -266,6 +266,33 @@ object Knn {
       .where(col("src_id") < col("nbr_id"))
       .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
 
+  /** Wedge + triangle counts over an undirected (id_a < id_b) edge set
+    * (the [[mutualEdges]] output): wedges join two edges on the shared
+    * MIDDLE node (a<b<c by construction, so each path and each triangle
+    * counts exactly once), the closing (a, c) edge is a left join on the
+    * pair key, and one aggregate reports both counts — two equi-joins,
+    * candidate-sized throughout, never a cross product. The global
+    * clustering coefficient is 3·tri/wedges off these two numbers.
+    *
+    * Scale note: the standard mitigation for skewed degree is orienting
+    * wedges low-degree-node-first so per-node fan-out is bounded by the
+    * smaller degree; a kNN graph has near-uniform degree (≤ k by
+    * construction), so the id-orientation used here has the same cost
+    * and keeps the result a pure function of the edge set. */
+  def triangleStats(und: DataFrame): DataFrame = {
+    val wedges = und
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .join(und.select(col("id_a").as("b2"), col("id_b").as("c")),
+        col("b") === col("b2"))
+      .select(col("a"), col("b"), col("c"))
+    wedges
+      .join(und.select(col("id_a").as("a2"), col("id_b").as("c2")),
+        col("a") === col("a2") && col("c") === col("c2"), "left")
+      .agg(
+        count(lit(1)).as("n_wedges"),
+        count(col("a2")).as("n_triangles"))
+  }
+
   /** Exact 1-NN as an aggregate (`min_by`) — cheaper than a window when only
     * the argmin is needed (recall.py:37-45 pattern). */
   def nearest(

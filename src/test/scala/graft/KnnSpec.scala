@@ -159,6 +159,21 @@ class KnnSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<id:bigint,pvec:array<float>>"))
   }
 
+  test("triangleStats: hand-counted wedges and triangles on a known graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus pendant 5-1: wedges (a<b<c, middle b):
+    // K4 contributes C(4,3)*... enumerate: every ordered a<b<c with
+    // (a,b),(b,c) edges. K4 edges: all 6 pairs; pendant edge (1,5).
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L)).toDF("id_a", "id_b")
+    val r = Knn.triangleStats(und).head()
+    // ordered wedges a<b<c with (a,b),(b,c) edges: exactly the 4 K4
+    // triples {1,2,3},{1,2,4},{1,3,4},{2,3,4} (each via its middle
+    // element); the pendant edge (1,5) forms none because a<1 and b<5
+    // neighbors of 5 don't exist. All 4 wedges close -> 4 triangles.
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 4L)))
+  }
+
   test("mutualEdges keeps exactly the reciprocal pairs, a < b once") {
     import spark.implicits._
     val edges = Seq(

@@ -364,6 +364,11 @@ object Audit {
       ("no fact-table scan", p => !p.contains("FileScan")),
       ("levels read the pinned state", _.contains("Scan ExistingRDD")),
       ("no join anywhere", p => !p.contains("Join")))
+    audit("q146_triangles")(
+      // wedge enumeration + closing join must both be hash-joinable pair
+      // equi-joins — a cartesian here is corpus², not degree²·|V|
+      ("no nested-loop/cartesian", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")))
     audit("q145_phrase_search")(
       // postings probe discipline: term equi-join only — a phrase join
       // that degenerates to a nested loop or cartesian re-scans the

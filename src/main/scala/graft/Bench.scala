@@ -27,6 +27,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the NTZ->TIMESTAMP cast in Tables.events is only identity under a
+      // UTC session — pin it here like Verify/SparkSpec do, so Bench can't
+      // time different instants than the verified path on a non-UTC host
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

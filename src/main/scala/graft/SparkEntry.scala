@@ -614,10 +614,8 @@ object SparkEntry {
     // sum), so the whole op is build-scan + probe-scan, nothing else
     "q143_heavy_hitters" -> ((s, dir) => {
       val bigrams = Tables.documents(s, dir)
-        .select(split(col("text"), " ").as("ws"))
-        .where(size(col("ws")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("tok"))
+        .select(explode(TextStats.bigramPairs(split(col("text"), " "))).as("b"))
+        .select(concat(col("b.w1"), lit(" "), col("b.w2")).as("tok"))
       Sketches.heavyHitters(bigrams, invPhi = 640L)
     }),
 
@@ -3729,19 +3727,21 @@ object SparkEntry {
          |  ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
          |WHERE a.src_id < a.nbr_id""".stripMargin,
 
-    // same mutual-edge set, same a<b<c wedge orientation, same closing
-    // pair join — the census replays as three CTEs
+    // same mutual-edge set, same center-anchored neighbor-pair wedges,
+    // same closing pair join, same closed/3 triangle count
     "q146_triangles" ->
       s"""WITH ${Oracles.knnGraphCtes},
          |e AS (SELECT src_id, nbr_id FROM g),
          |mu AS (SELECT a.src_id AS id_a, a.nbr_id AS id_b
          |  FROM e a JOIN e b ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
          |  WHERE a.src_id < a.nbr_id),
-         |w AS (SELECT x.id_a AS a, x.id_b AS b, y.id_b AS c
-         |  FROM mu x JOIN mu y ON x.id_b = y.id_a)
+         |adj AS (SELECT id_a AS m, id_b AS n FROM mu
+         |  UNION ALL SELECT id_b AS m, id_a AS n FROM mu),
+         |w AS (SELECT x.n AS u, y.n AS v
+         |  FROM adj x JOIN adj y ON x.m = y.m AND x.n < y.n)
          |SELECT CAST(count(*) AS BIGINT) AS n_wedges,
-         |  CAST(count(z.id_a) AS BIGINT) AS n_triangles
-         |FROM w LEFT JOIN mu z ON z.id_a = w.a AND z.id_b = w.c""".stripMargin,
+         |  CAST(count(z.id_a) // 3 AS BIGINT) AS n_triangles
+         |FROM w LEFT JOIN mu z ON z.id_a = w.u AND z.id_b = w.v""".stripMargin,
 
     // prefix-16 coarse rank (rounded, id tie-break), top k·refine, exact
     // full-dim refine — the q128 two-stage conventions

@@ -190,9 +190,26 @@ object Knn {
       queries: DataFrame, // (qid, qvec)
       prefixDim: Int,
       k: Int,
+      refine: Int): DataFrame =
+    matryoshkaCore(
+      points.select(col("id"), slice(col("vec"), 1, prefixDim).as("pvec")),
+      points.select(col("id"), col("vec")),
+      queries, prefixDim, k, refine)
+
+  /** The shared coarse-rank + exact-refine kernel behind [[matryoshka]]
+    * (prefix sliced in flight) and [[matryoshkaStored]] (prefix read from
+    * its own stored column): ONE implementation owns the rounding, the
+    * (pdist, id) / (dist, id) tie-breaks, the k·refine cut, and the
+    * output projection, so the two variants cannot drift apart — the
+    * byte-identity the q141 oracle and KnnSpec equality test pin. */
+  private def matryoshkaCore(
+      coarseSrc: DataFrame, // (id, pvec)
+      refineSrc: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      prefixDim: Int,
+      k: Int,
       refine: Int): DataFrame = {
-    val coarse = points
-      .select(col("id"), slice(col("vec"), 1, prefixDim).as("pvec"))
+    val coarse = coarseSrc
       .join(broadcast(queries
         .select(col("qid"), slice(col("qvec"), 1, prefixDim).as("pqvec"))))
       .withColumn("pdist", round(l2Dist(col("pqvec"), col("pvec")), 4))
@@ -202,7 +219,7 @@ object Knn {
       .where(col("crank") <= k * refine)
       .select(col("qid"), col("id"), col("pdist"))
     val ref = cand
-      .join(points, Seq("id"))
+      .join(refineSrc, Seq("id"))
       .join(broadcast(queries), Seq("qid"))
       .withColumn("dist", round(l2Dist(col("qvec"), col("vec")), 4))
     val wr = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
@@ -227,28 +244,11 @@ object Knn {
       queries: DataFrame, // (qid, qvec)
       prefixDim: Int,
       k: Int,
-      refine: Int): DataFrame = {
-    val coarse = stored
-      .select(col("id"), col("pvec"))
-      .join(broadcast(queries
-        .select(col("qid"), slice(col("qvec"), 1, prefixDim).as("pqvec"))))
-      .withColumn("pdist", round(l2Dist(col("pqvec"), col("pvec")), 4))
-    val wc = Window.partitionBy(col("qid")).orderBy(col("pdist"), col("id"))
-    val cand = coarse
-      .withColumn("crank", row_number().over(wc))
-      .where(col("crank") <= k * refine)
-      .select(col("qid"), col("id"), col("pdist"))
-    val ref = cand
-      .join(stored.select(col("id"), col("vec")), Seq("id"))
-      .join(broadcast(queries), Seq("qid"))
-      .withColumn("dist", round(l2Dist(col("qvec"), col("vec")), 4))
-    val wr = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
-    ref
-      .withColumn("rank", row_number().over(wr))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
-        col("dist"), col("pdist"))
-  }
+      refine: Int): DataFrame =
+    matryoshkaCore(
+      stored.select(col("id"), col("pvec")),
+      stored.select(col("id"), col("vec")),
+      queries, prefixDim, k, refine)
 
   /** Mutual (reciprocal) kNN consensus filter over a directed neighbor
     * edge list: keep exactly the pairs present in BOTH directions. The
@@ -266,31 +266,33 @@ object Knn {
       .where(col("src_id") < col("nbr_id"))
       .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
 
-  /** Wedge + triangle counts over an undirected (id_a < id_b) edge set
-    * (the [[mutualEdges]] output): wedges join two edges on the shared
-    * MIDDLE node (a<b<c by construction, so each path and each triangle
-    * counts exactly once), the closing (a, c) edge is a left join on the
-    * pair key, and one aggregate reports both counts — two equi-joins,
-    * candidate-sized throughout, never a cross product. The global
-    * clustering coefficient is 3·tri/wedges off these two numbers.
+  /** Wedge + triangle census over an undirected (id_a < id_b) edge set
+    * (the [[mutualEdges]] output). A wedge is an unordered neighbor pair
+    * {u < v} at a center m (enumerated by self-joining the symmetrized
+    * adjacency on the center); it is CLOSED when (u, v) is itself an
+    * edge. Every triangle closes exactly one wedge at each of its three
+    * centers, so n_triangles = closed/3 exactly, and the global
+    * clustering coefficient is closed/wedges = 3·n_triangles/n_wedges.
+    * Two equi-joins + one aggregate, candidate-sized throughout, never a
+    * cross product.
     *
-    * Scale note: the standard mitigation for skewed degree is orienting
-    * wedges low-degree-node-first so per-node fan-out is bounded by the
-    * smaller degree; a kNN graph has near-uniform degree (≤ k by
-    * construction), so the id-orientation used here has the same cost
-    * and keeps the result a pure function of the edge set. */
+    * Scale note: per-center fan-out is degree², the known cost of wedge
+    * enumeration; the standard skew mitigation samples or splits hub
+    * centers. A kNN graph has degree ≤ k by construction, so the plain
+    * enumeration is already bounded at k²·|V|. */
   def triangleStats(und: DataFrame): DataFrame = {
-    val wedges = und
-      .select(col("id_a").as("a"), col("id_b").as("b"))
-      .join(und.select(col("id_a").as("b2"), col("id_b").as("c")),
-        col("b") === col("b2"))
-      .select(col("a"), col("b"), col("c"))
+    val adj = und.select(col("id_a").as("m"), col("id_b").as("n"))
+      .unionByName(und.select(col("id_b").as("m"), col("id_a").as("n")))
+    val wedges = adj
+      .join(adj.select(col("m").as("m2"), col("n").as("v")),
+        col("m") === col("m2") && col("n") < col("v"))
+      .select(col("n").as("u"), col("v"))
     wedges
-      .join(und.select(col("id_a").as("a2"), col("id_b").as("c2")),
-        col("a") === col("a2") && col("c") === col("c2"), "left")
+      .join(und.select(col("id_a").as("u2"), col("id_b").as("v2")),
+        col("u") === col("u2") && col("v") === col("v2"), "left")
       .agg(
         count(lit(1)).as("n_wedges"),
-        count(col("a2")).as("n_triangles"))
+        (count(col("u2")) / 3).cast("long").as("n_triangles"))
   }
 
   /** Exact 1-NN as an aggregate (`min_by`) — cheaper than a window when only

@@ -113,10 +113,6 @@ object Retrieval {
     * @param queries (qid, qtext) short queries
     * @return (qid, rank, id, score), rank <= k by (best-chunk cosine
     *         DESC, id) */
-  /** The chunk index: sparse (id, ci, bucket, cc) hashed-BOW chunk
-    * vectors + per-chunk norms — built ONCE over the corpus (index-build
-    * work, like [[Bm25Index]] or the PQ codes) and consumed by every
-    * query batch. */
   /** Positional inverted index: one (id, pos, term) row per token — the
     * index layout phrase/proximity search needs (tf alone cannot see
     * adjacency). At scale this is the standard postings-with-positions
@@ -151,6 +147,10 @@ object Retrieval {
       .agg(count(lit(1)).as("n_occ"))
   }
 
+  /** The chunk index: sparse (id, ci, bucket, cc) hashed-BOW chunk
+    * vectors + per-chunk norms — built ONCE over the corpus (index-build
+    * work, like [[Bm25Index]] or the PQ codes) and consumed by every
+    * query batch. */
   final case class ChunkIndex(cb: DataFrame, cn: DataFrame)
 
   private def krBucketCol(word: org.apache.spark.sql.Column, nBuckets: Int) =

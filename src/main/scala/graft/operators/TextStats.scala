@@ -114,13 +114,19 @@ object TextStats {
     * the ROUNDED value with a lexicographic tie-break keeps the selected
     * set engine-portable. Two linear explodes + small-key aggregations;
     * corpus totals are driver scalars (bounded, like the KS denominator). */
+  /** Word-bigram struct array of a words column: adjacent (w1, w2) pairs
+    * for >= 2 words, empty otherwise — the ONE bigram convention, shared
+    * by [[pmiBigrams]], [[lmScore]], and the q143 heavy-hitter probe (a
+    * drifted copy would silently de-align their oracles). */
+  def bigramPairs(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
+      i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
   def pmiBigrams(docs: DataFrame, minCount: Long = 5, topN: Int = 50): DataFrame = {
     val w = split(col("text"), " ")
     val toks = docs.select(explode(w).as("tok"))
-    val bi = docs.select(explode(
-        when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
-          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+    val bi = docs.select(explode(bigramPairs(w)).as("b"))
       .select(col("b.w1"), col("b.w2"))
       // NOT checkpointed: the groupBy consumers re-run the explode, which
       // is a cheap map-only scan — materializing the full bigram table
@@ -372,11 +378,7 @@ object TextStats {
     * with < 2 tokens emit n_bigrams = 0 and a null score. */
   def lmScore(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
-    val bi = docs.select(col("id"),
-        explode(
-          when(size(w) >= 2, transform(sequence(lit(1), size(w) - 1),
-            i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
-            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+    val bi = docs.select(col("id"), explode(bigramPairs(w)).as("b"))
       .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val uc = docs.select(explode(w).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("ca"))

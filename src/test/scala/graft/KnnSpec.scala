@@ -167,11 +167,12 @@ class KnnSpec extends SparkSpec {
     val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (1L, 5L)).toDF("id_a", "id_b")
     val r = Knn.triangleStats(und).head()
-    // ordered wedges a<b<c with (a,b),(b,c) edges: exactly the 4 K4
-    // triples {1,2,3},{1,2,4},{1,3,4},{2,3,4} (each via its middle
-    // element); the pendant edge (1,5) forms none because a<1 and b<5
-    // neighbors of 5 don't exist. All 4 wedges close -> 4 triangles.
-    assert((r.getLong(0), r.getLong(1)) === ((4L, 4L)))
+    // wedges = neighbor pairs per center: node 1 has neighbors {2,3,4,5}
+    // -> C(4,2)=6; nodes 2,3,4 each have 3 neighbors -> 3*C(3,2)=9;
+    // node 5 is a leaf -> 0. Total 15. Triangles: C(4,3)=4 in K4 (each
+    // closing one wedge at each of its 3 centers -> 12 closed wedges);
+    // clustering coefficient 12/15 = 0.8.
+    assert((r.getLong(0), r.getLong(1)) === ((15L, 4L)))
   }
 
   test("mutualEdges keeps exactly the reciprocal pairs, a < b once") {

@@ -639,6 +639,31 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // ---- HLL set-operation estimates: per-half register states (the
+    // q138 per-group discipline over an even/odd doc split), union by
+    // register MAX — the only exact set op HLL state supports — and
+    // intersection by inclusion-exclusion over the three estimates. The
+    // sketch answer to "how much do two corpora overlap" WITHOUT any
+    // join: 3·2^b registers total, vs q115's exact-pair leakage audit
+    "q147_hll_overlap" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.roundHU
+      val docs = Tables.documents(s, dir)
+      def bigrams(rem: Int) = docs
+        .where(pmod(col("doc_id"), lit(2)) === rem)
+        .select(explode(TextStats.bigramPairs(split(col("text"), " "))).as("b"))
+        .select(concat(col("b.w1"), lit(" "), col("b.w2")).as("tok"))
+      val ra = Sketches.hllRegisters(bigrams(0))
+      val rb = Sketches.hllRegisters(bigrams(1))
+      val ru = ra.unionByName(rb)
+        .groupBy(col("register")).agg(max(col("m")).as("m"))
+      val ea = Sketches.hllEstimate(ra).select(col("est").as("est_a"))
+      val eb = Sketches.hllEstimate(rb).select(col("est").as("est_b"))
+      val eu = Sketches.hllEstimate(ru).select(col("est").as("est_u"))
+      ea.crossJoin(eb).crossJoin(eu)
+        .select(col("est_a"), col("est_b"), col("est_u"),
+          roundHU(col("est_a") + col("est_b") - col("est_u"), 2).as("est_inter"))
+    }),
+
     // ---- skew utilities in the hard signal: the two-phase salted
     // aggregation and the salted replicate-join must be RESULT-identical
     // to their plain forms (the whole point of a skew mitigation)
@@ -2742,6 +2767,27 @@ object SparkEntry {
       "CASE WHEN raw <= 2.5 * 256 AND v > 0 " +
         "THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / v) ELSE raw END", 2)} AS est
          |FROM agg""".stripMargin,
+
+    // per-half register replay (q69's chain twice), union = register MAX
+    // over the concatenated states, inclusion-exclusion over the three
+    // 2-dp estimates in the same operation order
+    "q147_hll_overlap" ->
+      s"""WITH da AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 2 = 0),
+         |db AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 2 = 1),
+         |ta AS (SELECT ws[i] || ' ' || ws[i + 1] AS tok
+         |  FROM da, unnest(generate_series(1, len(ws) - 1)) AS u(i) WHERE len(ws) >= 2),
+         |tb AS (SELECT ws[i] || ' ' || ws[i + 1] AS tok
+         |  FROM db, unnest(generate_series(1, len(ws) - 1)) AS u(i) WHERE len(ws) >= 2),
+         |${Oracles.hllRegsCtes("ra", "ta")},
+         |${Oracles.hllRegsCtes("rb", "tb")},
+         |ru_regs AS (SELECT register, max(m) AS m FROM (
+         |  SELECT * FROM ra_regs UNION ALL SELECT * FROM rb_regs) GROUP BY register),
+         |${Oracles.hllEstCte("ea", "ra_regs")},
+         |${Oracles.hllEstCte("eb", "rb_regs")},
+         |${Oracles.hllEstCte("eu", "ru_regs")}
+         |SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_u,
+         |  ${Oracles.rHU("ea.est + eb.est - eu.est", 2)} AS est_inter
+         |FROM ea, eb, eu""".stripMargin,
 
     // the salted two-phase aggregation must equal the plain GROUP BY
     "q62_skew_agg" ->
@@ -5060,6 +5106,31 @@ object Oracles {
     val p = s"1${"0" * d}.0"
     s"floor(($e) * $p + 0.5) / $p"
   }
+
+  /** HLL register CTE chain for one token selection (the q69 replay,
+    * parameterized by a CTE-name prefix so q147 instantiates it per set):
+    * defines `<p>_regs` (register, m) off `SELECT tok FROM <tokCte>`.
+    * b=8 (256 registers, 24 rest bits). */
+  def hllRegsCtes(p: String, tokCte: String): String =
+    s"""${p}_h AS (SELECT ('0x' || substr(md5('hll:' || tok), 1, 8))::BIGINT AS v FROM $tokCte),
+       |${p}_r AS (SELECT v // 16777216 AS register, v % 16777216 AS rest FROM ${p}_h),
+       |${p}_rr AS (SELECT register,
+       |    coalesce(list_min(list_filter(generate_series(1, 24),
+       |      j -> (rest // CAST(power(2, 24 - j) AS BIGINT)) % 2 = 1)), 25) AS rho
+       |  FROM ${p}_r),
+       |${p}_regs AS (SELECT register, max(rho) AS m FROM ${p}_rr GROUP BY register)""".stripMargin
+
+  /** One-row `<name>` CTE holding the HLL estimate (2-dp rHU, small-range
+    * linear counting) of a (register, m) CTE. */
+  def hllEstCte(name: String, regs: String): String =
+    s"""$name AS (SELECT ${rHU(
+      "CASE WHEN raw <= 2.5 * 256 AND v > 0 " +
+        "THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / v) ELSE raw END", 2)} AS est
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS n_used,
+       |    (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256) /
+       |      (sum(power(CAST(2.0 AS DOUBLE), -m)) + (256 - count(*))) AS raw,
+       |    256 - count(*) AS v
+       |  FROM $regs))""".stripMargin
 
   /** Documents ∪ planted duplicates CTE `ddocs` — mirrors SparkEntry.docsWithDups. */
   def dupDocsCte: String =

@@ -664,6 +664,33 @@ object SparkEntry {
           roundHU(col("est_a") + col("est_b") - col("est_u"), 2).as("est_inter"))
     }),
 
+    // ---- rolling 7-day distinct users from DAILY HLL states: the
+    // observability pattern mergeable sketches exist for — store one
+    // 2^b-register state per day (events scanned once), answer any
+    // trailing-window uniques question by register-MAX over the window,
+    // never re-scanning an event. The window pairing is a days×days
+    // range join on the ~|days| dimension (broadcast-tiny by design)
+    "q148_rolling_uniques" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          col("user_id").cast("string").as("tok"))
+      val regs = Sketches.hllRegistersBy(ev, "day")
+      val days = regs.select(col("day")).distinct()
+      val win = days.select(col("day").as("d"))
+        .join(broadcast(days.select(col("day").as("src"))),
+          col("src") <= col("d") && col("src") >= date_sub(col("d"), 6))
+      val rolled = win
+        .join(regs, col("src") === col("day"))
+        .groupBy(col("d"), col("register")).agg(max(col("m")).as("m"))
+        .withColumnRenamed("d", "day")
+      // ISO-string day on both sides (the q34 convention: a DATE column
+      // round-trips as different dtypes through the two engines' parquet
+      // and pandas paths; a string is unambiguous)
+      Sketches.hllEstimateBy(rolled, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_used"), col("est"))
+    }),
+
     // ---- skew utilities in the hard signal: the two-phase salted
     // aggregation and the salted replicate-join must be RESULT-identical
     // to their plain forms (the whole point of a skew mitigation)
@@ -2788,6 +2815,33 @@ object SparkEntry {
          |SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_u,
          |  ${Oracles.rHU("ea.est + eb.est - eu.est", 2)} AS est_inter
          |FROM ea, eb, eu""".stripMargin,
+
+    // per-day register chain (the q69 arithmetic grouped by day), the
+    // same <=6-days-back window pairing, register MAX, per-day estimator
+    "q148_rolling_uniques" ->
+      s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS tok FROM events),
+         |h AS (SELECT day, ('0x' || substr(md5('hll:' || tok), 1, 8))::BIGINT AS v FROM ev),
+         |r AS (SELECT day, v // 16777216 AS register, v % 16777216 AS rest FROM h),
+         |rr AS (SELECT day, register,
+         |    coalesce(list_min(list_filter(generate_series(1, 24),
+         |      j -> (rest // CAST(power(2, 24 - j) AS BIGINT)) % 2 = 1)), 25) AS rho
+         |  FROM r),
+         |regs AS (SELECT day, register, max(rho) AS m FROM rr GROUP BY day, register),
+         |days AS (SELECT DISTINCT day FROM regs),
+         |win AS (SELECT a.day AS d, b.day AS src FROM days a JOIN days b
+         |  ON b.day <= a.day AND b.day >= a.day - INTERVAL 6 DAY),
+         |rolled AS (SELECT w.d AS day, r.register, max(r.m) AS m
+         |  FROM win w JOIN regs r ON r.day = w.src GROUP BY w.d, r.register),
+         |agg AS (SELECT day, CAST(count(*) AS BIGINT) AS n_used,
+         |    (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256) * 256 * 256) /
+         |      (sum(power(CAST(2.0 AS DOUBLE), -m)) + (256 - count(*))) AS raw,
+         |    256 - count(*) AS v
+         |  FROM rolled GROUP BY day)
+         |SELECT strftime(day, '%Y-%m-%d') AS day, n_used,
+         |  ${Oracles.rHU(
+      "CASE WHEN raw <= 2.5 * 256 AND v > 0 " +
+        "THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / v) ELSE raw END", 2)} AS est
+         |FROM agg""".stripMargin,
 
     // the salted two-phase aggregation must equal the plain GROUP BY
     "q62_skew_agg" ->

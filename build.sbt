@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A full Bench run executes ~148 distinct queries x 3 passes; Spark's
+  // whole-stage-codegen class cache holds only 100 entries, so every pass
+  // regenerates+re-JITs most kernels. The JVM's default 240 MB code cache
+  // then flushes hot compiled code, inflating SMALL queries' wall time in
+  // full-suite context (r6: q98 0.09s quiet -> 1.10s in-suite). A larger
+  // code cache keeps JIT'd kernels resident across the suite.
+  "-XX:ReservedCodeCacheSize=512m",
 )

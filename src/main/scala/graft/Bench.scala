@@ -97,6 +97,13 @@ object Bench {
     // a failed query must be impossible to miss: named in the JSON line AND
     // a nonzero exit code
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qmax,"failed":$fl,"passes":$passes,"sf":"$sfDir"}""")
+    // the driver archives only a ~2 KB TAIL of this process's output, which
+    // truncates the full per-query line mid-map and loses the total — so the
+    // LAST line is a compact self-contained summary (total + slowest 5 +
+    // failures) guaranteed to fit inside the archived tail
+    val slowest = mins.toSeq.filterNot(_._2.isNaN).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"summary","total":$total,"unit":"sec","n_queries":${mins.size},"slowest":$slowest,"failed":$fl,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
     if (failedSet.nonEmpty) sys.exit(1)
   }

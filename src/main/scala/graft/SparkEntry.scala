@@ -611,12 +611,16 @@ object SparkEntry {
     // is droppable and the final n >= T cut makes the answer exact — the
     // oracle is the PLAIN exact GROUP BY/HAVING with no sketch at all.
     // Threshold derives from the sketch itself (N = one row's counter
-    // sum), so the whole op is build-scan + probe-scan, nothing else
+    // sum), so the whole op is build-scan + probe-scan, nothing else.
+    // Backend: xx64 — the sketch never reaches the result (the answer
+    // {tok : count >= N/invPhi} is hash-independent since est >= truth
+    // under any CMS), so the probe pays one codegen'd XXH64 mix per
+    // (row, token) instead of an md5 digest + hex parse + conv
     "q143_heavy_hitters" -> ((s, dir) => {
       val bigrams = Tables.documents(s, dir)
         .select(explode(TextStats.bigramPairs(split(col("text"), " "))).as("b"))
         .select(concat(col("b.w1"), lit(" "), col("b.w2")).as("tok"))
-      Sketches.heavyHitters(bigrams, invPhi = 640L)
+      Sketches.heavyHitters(bigrams, invPhi = 640L, hash = "xx64")
     }),
 
     // ---- deterministic weighted sampling (Efraimidis–Spirakis): key =

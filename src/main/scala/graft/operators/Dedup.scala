@@ -503,27 +503,37 @@ object Dedup {
   }
 
   /** Fuzzy word pairs at Levenshtein distance <= 1 via SymSpell-style
-    * deletion-neighborhood banding: every word emits itself plus each
-    * single-deletion variant as candidate keys; any pair within distance
-    * 1 shares a key (substitution -> same-position deletions match;
-    * insertion/deletion -> one side's deletion equals the other), so the
-    * generator is COMPLETE — then `levenshtein` verifies exactly.
+    * deletion-neighborhood banding, PREFIX-RESTRICTED (standard SymSpell):
+    * every word emits its first-[[FuzzyPrefixLen]]-chars prefix plus each
+    * single-deletion variant OF THE PREFIX as candidate keys; `levenshtein`
+    * then verifies exactly, so collisions only cost join width, never
+    * correctness. The generator stays COMPLETE for dist <= 1 at any word
+    * length: an edit past the prefix leaves both prefixes equal (shared
+    * 0-deletion key); a substitution at i <= P matches via both sides'
+    * delete-at-i prefix keys; an insertion at i <= P matches the longer
+    * side's delete-at-i key with the shorter side's delete-at-P key (both
+    * equal a[1..P-1]) — so pruning to the prefix changes NOTHING in the
+    * dist<=1 result while cutting key volume from word-length keys of
+    * word-sized strings to <= P+1 keys of <= P chars.
     *
-    * Scale: key fanout is word length (bounded); the join is an equi-join
+    * Scale: key fanout is <= P+1 (constant); the join is an equi-join
     * on the deletion key over the DISTINCT-words table (vocabulary-sized,
     * like the wordpiece path) — never an all-pairs product over words,
     * let alone the corpus. The entity-resolution / typo-clustering shape.
     */
+  val FuzzyPrefixLen = 7
+
   def fuzzyWordPairs(docs: DataFrame /* (id, text) */): DataFrame = {
     val words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) > 0)
       .distinct()
-    val dels = transform(sequence(lit(1), length(col("w"))), i =>
-      concat(col("w").substr(lit(1), i - 1),
-        col("w").substr(i + 1, length(col("w")))))
+    val p = col("w").substr(1, FuzzyPrefixLen)
+    val dels = transform(sequence(lit(1), least(length(col("w")), lit(FuzzyPrefixLen))), i =>
+      concat(p.substr(lit(1), i - 1),
+        p.substr(i + 1, lit(FuzzyPrefixLen))))
     val keyed = words
-      .select(col("w"), explode(array_union(array(col("w")), dels)).as("key"))
+      .select(col("w"), explode(array_union(array(p), dels)).as("key"))
       .distinct()
     keyed.as("a").join(keyed.as("b"),
         col("a.key") === col("b.key") && col("a.w") < col("b.w"))

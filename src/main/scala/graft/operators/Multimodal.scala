@@ -985,8 +985,12 @@ object Multimodal {
       while (i < 64 && !eob) {
         val rs = acDec.decode(in)
         if (rs == 0x00) eob = true
-        else if (rs == 0xf0) i += 16
-        else {
+        else if (rs == 0xf0) {
+          i += 16
+          // i == 64 is a clean all-zero tail; past it the run overran the
+          // block — reject corrupt streams loudly like the run-skip branch
+          require(i <= 64, "corrupt JPEG: ZRL run past block")
+        } else {
           i += (rs >> 4)
           require(i < 64, "corrupt JPEG: AC index past block")
           coef(zigzag(i)) = in.receiveExtend(rs & 15) * qt(i)
@@ -1103,6 +1107,11 @@ object Multimodal {
           val end = off + 8 + sz
           while (q + 8 <= end) {
             val csz = rd32(avi, q + 4)
+            // rd32 is a signed read and the size is attacker-controlled:
+            // bound it before any copy/advance so a corrupt AVI fails as
+            // such instead of surfacing a raw ArrayIndexOutOfBounds
+            require(csz >= 0 && q + 8 + csz <= end,
+              s"corrupt AVI: movi chunk size $csz out of bounds")
             if (is4cc(avi, q, "00dc"))
               frames += java.util.Arrays.copyOfRange(avi, q + 8, q + 8 + csz)
             q += 8 + csz + (csz % 2)

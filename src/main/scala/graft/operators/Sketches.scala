@@ -18,9 +18,23 @@ import graft.functions.VectorFunctions.roundHU
   */
 object Sketches {
 
-  /** Unsigned 32-bit value of the first 8 hex digits of md5(prefix:tok). */
-  private def h32(tok: Column, prefix: Column): Column =
-    conv(substring(md5(concat(prefix, lit(":"), tok)), 1, 8), 16, 10).cast("long")
+  /** Unsigned 32-bit hash of (prefix, tok) — two parity-of-contract
+    * backends (the [[bloomPos]] discipline, extended to the whole h32
+    * sketch family):
+    *  - "md5": first 8 hex digits of md5(prefix:tok), engine-portable hex
+    *    arithmetic — the oracle-replayable path, REQUIRED wherever sketch
+    *    state (registers, counters, estimates) reaches the result set.
+    *  - "xx64": codegen'd XXH64 folded to 32 bits — one 64-bit mix per
+    *    row vs a digest + hex parse + conv. Spark-only, so valid ONLY
+    *    where the sketch never reaches the output: pre-filters and
+    *    hash-independent exact answers (e.g. [[heavyHitters]], whose
+    *    result {tok : count >= N/invPhi} is the same under ANY hash
+    *    because est >= truth holds for every CMS). */
+  private def h32(tok: Column, prefix: Column, hash: String = "md5"): Column = hash match {
+    case "md5"  => conv(substring(md5(concat(prefix, lit(":"), tok)), 1, 8), 16, 10).cast("long")
+    case "xx64" => pmod(xxhash64(concat(prefix, lit(":"), tok)), lit(1L << 32))
+    case other  => throw new IllegalArgumentException(s"h32 hash: $other")
+  }
 
   /** Bloom bit position of `key` under hash function j — two parity-locked
     * backends (build and probe MUST pass the same `hash`):
@@ -85,10 +99,11 @@ object Sketches {
 
   /** Count-min sketch of a token multiset: d hash rows × w buckets,
     * (row, bucket, cnt) — state bounded by d·w regardless of corpus size. */
-  def countMinSketch(tokens: DataFrame, d: Int = 4, w: Int = 64): DataFrame =
+  def countMinSketch(tokens: DataFrame, d: Int = 4, w: Int = 64,
+      hash: String = "md5"): DataFrame =
     tokens
       .select(explode(sequence(lit(0), lit(d - 1))).as("row"), col("tok"))
-      .withColumn("bucket", pmod(h32(col("tok"), col("row").cast("string")), lit(w)))
+      .withColumn("bucket", pmod(h32(col("tok"), col("row").cast("string"), hash), lit(w)))
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -97,9 +112,13 @@ object Sketches {
     * like the Bloom words, broadcast into map-only probe expressions. */
   def packCms(cms: DataFrame, d: Int, w: Int): Array[Long] = {
     val arr = new Array[Long](d * w)
-    cms.collect().foreach { r =>
-      arr(r.getInt(0) * w + r.getLong(1).toInt) = r.getLong(2)
-    }
+    // select by NAME with explicit casts: a column reorder or type change
+    // in countMinSketch must not silently mis-pack the counters
+    cms.select(col("row").cast("int"), col("bucket").cast("int"),
+        col("cnt").cast("long"))
+      .collect().foreach { r =>
+        arr(r.getInt(0) * w + r.getInt(1)) = r.getLong(2)
+      }
     arr
   }
 
@@ -108,12 +127,13 @@ object Sketches {
     * over the d rows of the token's bucket counter. est >= truth ALWAYS
     * (counters only ever over-count on collisions) — the property that
     * makes the [[heavyHitters]] cut exact. */
-  def cmsEstCol(counters: Array[Long], tok: Column, d: Int, w: Int): Column = {
+  def cmsEstCol(counters: Array[Long], tok: Column, d: Int, w: Int,
+      hash: String = "md5"): Column = {
     val arr = typedLit(counters.toSeq)
     (0 until d)
       .map { r =>
         element_at(arr,
-          (pmod(h32(tok, lit(r.toString)), lit(w)) + lit(r.toLong * w)).cast("int") + 1)
+          (pmod(h32(tok, lit(r.toString), hash), lit(w)) + lit(r.toLong * w)).cast("int") + 1)
       }
       .reduce(least(_, _))
   }
@@ -131,12 +151,15 @@ object Sketches {
     * the result is EXACTLY `{tok : count(tok) >= T}` independent of
     * sketch size; w only tunes how much the shuffle shrinks. The 100 TB
     * shape for "top terms over a corpus whose vocabulary doesn't fit". */
-  def heavyHitters(tokens: DataFrame, invPhi: Long, d: Int = 4, w: Int = 2048): DataFrame = {
-    val counters = packCms(countMinSketch(tokens, d, w), d, w)
+  def heavyHitters(tokens: DataFrame, invPhi: Long, d: Int = 4, w: Int = 2048,
+      hash: String = "md5"): DataFrame = {
+    val counters = packCms(countMinSketch(tokens, d, w, hash), d, w)
+    // N is a row's counter SUM = total token count — identical under any
+    // hash backend, so the threshold (and thus the exact answer) is too
     val n = counters.take(w).sum
     val t = math.max(1L, n / invPhi)
     tokens
-      .where(cmsEstCol(counters, col("tok"), d, w) >= t)
+      .where(cmsEstCol(counters, col("tok"), d, w, hash) >= t)
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= t)

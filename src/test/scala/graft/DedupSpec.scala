@@ -188,8 +188,21 @@ class DedupSpec extends SparkSpec {
       d(a.length)(b.length)
     }
     val rnd = new scala.util.Random(3)
+    // long words (> FuzzyPrefixLen=7 chars) exercise the prefix-restricted
+    // keys: edits BEYOND the prefix (shared 0-deletion key), edits INSIDE
+    // it, and length-changing edits at both ends must all still pair
+    val longs = Seq(
+      "abcdefghijk", "abcdefghiak", // substitution past the prefix
+      "abcdefghijkz",               // append (edit past prefix)
+      "aacdefghijk",                // substitution inside the prefix
+      "bcdefghijk",                 // deletion at position 1
+      "azbcdefghijk",               // insertion inside the prefix
+      "abcdefgh")                   // unrelated long (dist > 1 from above)
     val words = (Seq("cat", "cut", "cart", "ca", "dog", "dogs", "dig", "xyz") ++
+      longs ++
       (1 to 40).map(_ => (1 + rnd.nextInt(5) to 5).map(_ =>
+        ('a' + rnd.nextInt(3)).toChar).mkString) ++
+      (1 to 20).map(_ => (1 to 8 + rnd.nextInt(4)).map(_ =>
         ('a' + rnd.nextInt(3)).toChar).mkString)).distinct
     val docs = Seq((1L, words.mkString(" "))).toDF("id", "text")
     val got = Dedup.fuzzyWordPairs(docs).collect()

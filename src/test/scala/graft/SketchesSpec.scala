@@ -140,6 +140,26 @@ class SketchesSpec extends SparkSpec {
     assert(survivors >= 160 && survivors < 300, s"pre-filter passed $survivors rows")
   }
 
+  test("heavyHitters xx64 backend: same exact answer as md5; pre-filter still prunes") {
+    import spark.implicits._
+    val toks = (Seq.fill(100)("alpha") ++ Seq.fill(60)("beta") ++
+      Seq.fill(40)("gamma") ++ (0 until 400).map(i => s"rare-$i")).toDF("tok")
+    // the answer {tok : count >= N/invPhi} is hash-independent: N is the
+    // exact token total under any backend and est >= truth always holds
+    val md5Res = Sketches.heavyHitters(toks, invPhi = 12, d = 4, w = 512)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val xxRes = Sketches.heavyHitters(toks, invPhi = 12, d = 4, w = 512, hash = "xx64")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(xxRes === md5Res)
+    assert(xxRes === Map("alpha" -> 100L, "beta" -> 60L))
+    // and the xx64 CMS is still a genuine pre-filter, not a pass-through
+    val counters = Sketches.packCms(
+      Sketches.countMinSketch(toks, 4, 512, hash = "xx64"), 4, 512)
+    val survivors = toks.where(
+      Sketches.cmsEstCol(counters, col("tok"), 4, 512, hash = "xx64") >= 50).count()
+    assert(survivors >= 160 && survivors < 300, s"xx64 pre-filter passed $survivors rows")
+  }
+
   test("bloom xx64 backend: build/probe position parity, no false negatives, prunes") {
     import org.apache.spark.sql.functions._
     val keys = (0 until 200).map(i => s"key-$i")

@@ -375,7 +375,26 @@ object Audit {
       // corpus per query
       ("no nested-loop/cartesian", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
-      ("phrase-length side broadcast", _.contains("BroadcastHashJoin")))
+      ("phrase-length side broadcast", _.contains("BroadcastHashJoin")),
+      // the build side must be the QUERY side: the checkpoint-backed
+      // postings have no stats, and before the explicit broadcast() hint
+      // the CBO built the hash table on the INDEX — backwards at scale
+      ("postings never the broadcast side", p => {
+        val ls = p.linesIterator.toVector
+        !ls.zipWithIndex.exists { case (l, i) =>
+          l.contains("Scan ExistingRDD") && i > 0 &&
+            ls(i - 1).contains("BroadcastExchange") }
+      }))
+    audit("q149_phrase_bucketed")(
+      // the layout's whole point: the postings scan reports its term-hash
+      // distribution, so the sort-merge term join re-shuffles ONLY the
+      // phrase side — exactly one Exchange hashpartitioning on term in
+      // the entire plan, and none above the bucketed scan
+      ("bucketed postings scan (8 buckets)",
+        _.contains("SelectedBucketsCount: 8 out of 8")),
+      ("sort-merge join on term", _.contains("SortMergeJoin")),
+      ("postings never re-shuffled (one term exchange: the phrase side)",
+        p => "Exchange hashpartitioning\\(term".r.findAllIn(p).size == 1))
     audit("q143_heavy_hitters")(
       // the two-pass claim: the returned plan is ONE probe scan whose
       // map-side literal CMS filter precedes the count shuffle — the

@@ -1467,6 +1467,24 @@ object SparkEntry {
       Retrieval.phraseMatch(posIndexPinned(s, dir), phrases)
     }),
 
+    // ---- q145's phrase probe over a TERM-BUCKETED postings layout (the
+    // q127 discipline applied to the inverted index): the bucketed scan
+    // reports its hash distribution, so the sort-merge term join shuffles
+    // ONLY the tiny phrase side — zero Exchange on the postings (audited).
+    // At 100 TB this is the difference between re-shuffling the postings
+    // on every query batch and paying the term distribution once at index
+    // write time. Rows identical to q145 (layout changes the PLAN, never
+    // the answer — the oracle is the same phrase replay)
+    "q149_phrase_bucketed" -> ((s, dir) => {
+      val phrases = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+        .where(size(split(col("text"), " ")) >= 3 && col("doc_id") % 25 === 0)
+        .select(col("id").as("qid"),
+          posexplode(slice(split(col("text"), " "), 1, 3)).as(Seq("i", "term")))
+      Retrieval.phraseMatch(s.table(bucketedPosIndexMemo(s, dir)), phrases,
+        coLocated = true)
+    }),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -1931,6 +1949,27 @@ object SparkEntry {
             .select(col("doc_id").as("id"), col("text"))
             .where(size(split(col("text"), " ")) >= 3)).coalesce(8)))
 
+  /** q149's postings written BUCKETED BY TERM (the q127 layout discipline
+    * applied to the positional index — SCALE.md's "partitioned by term"
+    * claim, demonstrated): the probe's sort-merge join then reads the
+    * postings' own hash distribution from the layout and shuffles ONLY
+    * the phrase side. Same (id, pos, term) rows as [[posIndexPinned]]. */
+  private def bucketedPosIndexMemo(s: SparkSession, dir: String): String = {
+    val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val t = s"graft_bkt_posidx_$slug"
+    fileOnce.computeIfAbsent(s"bktposidx:$dir", _ => {
+      Layout.writeBucketed(
+        Retrieval.positionalIndex(
+          Tables.documents(s, dir)
+            .select(col("doc_id").as("id"), col("text"))
+            .where(size(split(col("text"), " ")) >= 3)),
+        numBuckets = 8, key = "term", tableName = t,
+        path = tmpArtifact("bkt_posidx", dir, ""))
+      true
+    })
+    t
+  }
+
   /** The BM25 index pinned (tf/dl/idf tables + avgdl) — index-BUILD work
     * by the same rule as the PQ codes; q107 times the PROBE over it. */
   private val bm25IdxMemo =
@@ -2034,6 +2073,7 @@ object SparkEntry {
     graphVisitedPinned(s, dir)                               // q101/q105 input
     bm25IndexMemo(s, dir)                                    // q107 index
     posIndexPinned(s, dir)                                   // q145 index
+    bucketedPosIndexMemo(s, dir)                             // q149 layout
     bm25ListPinned(s, dir)                                   // q108 inputs
     annListPinned(s, dir)
     bpeRulesMemo(s, dir)                                     // q111 rules
@@ -4427,6 +4467,22 @@ object SparkEntry {
     // 0-based posexplode differ only in the internal `start` value,
     // which never reaches the output
     "q145_phrase_search" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |dd AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),
+         |q AS (SELECT doc_id AS qid, ws FROM dd WHERE doc_id % 25 = 0),
+         |pt AS (SELECT qid, unnest(generate_series(1, 3)) AS i FROM q),
+         |ph AS (SELECT p.qid, p.i, q.ws[p.i] AS term FROM pt p JOIN q ON p.qid = q.qid),
+         |idx AS (SELECT doc_id AS id, i AS pos, ws[i] AS term
+         |  FROM dd, unnest(generate_series(1, len(ws))) AS u(i)
+         |  WHERE ws[i] <> ''),
+         |m AS (SELECT ph.qid, idx.id, idx.pos - ph.i AS s
+         |  FROM ph JOIN idx ON ph.term = idx.term),
+         |occ AS (SELECT qid, id, s FROM m GROUP BY qid, id, s HAVING count(*) = 3)
+         |SELECT qid, id, count(*) AS n_occ FROM occ GROUP BY qid, id""".stripMargin,
+
+    // the bucketed layout changes the PLAN, never the rows: same phrase
+    // replay as q145
+    "q149_phrase_bucketed" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |dd AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),
          |q AS (SELECT doc_id AS qid, ws FROM dd WHERE doc_id % 25 = 0),

@@ -132,12 +132,24 @@ object Retrieval {
     * occurrence (count(*) = n — the i-th row can only come from position
     * start+i, so multiplicity is impossible). Output: (qid, id, n_occ)
     * per document with at least one occurrence — the adjacency-aware
-    * complement of [[bm25TopKWith]]'s bag-of-words scoring. */
-  def phraseMatch(index: DataFrame, phraseTerms: DataFrame): DataFrame = {
+    * complement of [[bm25TopKWith]]'s bag-of-words scoring.
+    *
+    * @param coLocated when true, the term join is forced to a sort-merge
+    *        join so a term-BUCKETED postings table joins with zero
+    *        Exchange on the postings side (the q127 layout discipline —
+    *        what "postings partitioned by term" buys at scale); when
+    *        false (default) the tiny query side is broadcast instead. */
+  def phraseMatch(index: DataFrame, phraseTerms: DataFrame,
+      coLocated: Boolean = false): DataFrame = {
     val n = phraseTerms
       .groupBy(col("qid")).agg(count(lit(1)).as("n_terms"))
-    phraseTerms
-      .join(index, "term")
+    // broadcast the QUERY side explicitly: postings are the corpus-sized
+    // side (checkpoint-backed here, so the CBO has no stats and would
+    // happily build the hash table on the INDEX — backwards at any scale)
+    val probe =
+      if (coLocated) phraseTerms.join(index.hint("merge"), "term")
+      else broadcast(phraseTerms).join(index, "term")
+    probe
       .select(col("qid"), col("id"), (col("pos") - col("i")).as("start"))
       .groupBy(col("qid"), col("id"), col("start"))
       .agg(count(lit(1)).as("n_hit"))

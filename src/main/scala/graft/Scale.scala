@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALE EVIDENCE harness (SCALE.md's measured half).
+  *
+  * Every 100 TB claim in SCALE.md is a design argument asserted over plans
+  * (Audit); this main turns the headline claims into measured scaling
+  * exponents by replicating the sf0.1 testdata N× and timing the headline
+  * queries at 1×, 10× and 100×.
+  *
+  * == Replication model (ScaleGen) ==
+  *
+  * A 100× corpus is NOT 100 copies of the same rows — that would turn every
+  * document into a 100-way duplicate (quadratic LSH buckets that no real
+  * corpus has) and every vector into a 100-way exact tie. Replica `r` of
+  * the base data is offset so the union behaves like a corpus that GREW:
+  *
+  *  - Fact/dim keys get disjoint per-replica ranges (`+ r·base`), base a
+  *    power of ten above the key's max — each replica is a self-contained
+  *    shard of the star schema, so per-key join fan-outs stay constant
+  *    while table sizes scale. region/nation (5/25 rows) stay single-copy:
+  *    dimensions don't grow with fact volume.
+  *  - PROBE WORKLOADS STAY FIXED: the search/phrase/BM25 query batches are
+  *    stride-derived (`id % 25 == 0`, `% 100 == 0`), so replica doc/vec
+  *    ids map through f(j) = j + j/24 + 1 — the j-th positive integer NOT
+  *    divisible by 25 (each 24-block maps to consecutive ints, then skips
+  *    the next multiple of 25; bases are multiples of 25). Replica 0 keeps
+  *    original ids. Corpus ×N, query batch ×1 — the benchmark contract a
+  *    real cluster is sized against.
+  *  - Replica texts (r>0) are word-shuffled into the hash-canonical order
+  *    sort_by(xxhash64(word, r)): similar word sets shuffle similarly, so
+  *    WITHIN-replica near-dups survive (dup RATE is scale-invariant) while
+  *    cross-replica shingles are destroyed (no phantom 100-way dups).
+  *  - Replica embeddings (r>0) get deterministic ±0.02 per-coordinate
+  *    jitter (coordinate σ is 0.125): cluster geometry preserved, exact
+  *    ties broken.
+  *
+  * == What scales with N (ScaleBench) ==
+  *
+  * `-Dgraft.shards` = 8·N: shard COUNT grows with the corpus, shard SIZE
+  * stays bounded — the real cluster knob, and what keeps the per-shard
+  * all-pairs graph build linear in the corpus. Probe-side work for the
+  * routed searches (t=2 shards × bounded size × fixed batch) should then
+  * be ~flat; corpus-scan operators (exact kNN, dedup, phrase index) are
+  * expected ~linear. Deviations from those shapes are the finding.
+  *
+  * Env: SPARK_GRAFT_SCALES (default "1,10,100"), SPARK_GRAFT_SCALE_PASSES
+  * (default 2), SPARK_GRAFT_SCALE_QUERIES (substring filter),
+  * SPARK_GRAFT_SF_DIR (base, default sf0.1), SPARK_GRAFT_SCALE_OUT
+  * (default target/scale). Run with SPARK_DRIVER_MEM=32g for 100×.
+  */
+object ScaleGen {
+  /** j-th positive integer not divisible by 25 (see scaladoc above). */
+  private def skip25(id: org.apache.spark.sql.Column) =
+    id + floor(id / lit(24)).cast("long") + lit(1L)
+
+  /** Replica-offset id: original for rep 0; r·base + f(id) (never ≡0 mod
+    * 25) for probe-bearing tables, r·base + id for plain fact keys. */
+  private def offId(id: String, rep: org.apache.spark.sql.Column, base: Long,
+      probeSafe: Boolean): org.apache.spark.sql.Column = {
+    require(base % 25 == 0, s"base $base must be a multiple of 25")
+    val shifted =
+      if (probeSafe) rep * lit(base) + skip25(col(id))
+      else rep * lit(base) + col(id)
+    when(rep === 0, col(id)).otherwise(shifted).as(id)
+  }
+
+  def generate(s: SparkSession, src: String, n: Int, out: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val done = Paths.get(out, "_DONE")
+    if (Files.exists(done)) return
+    val t0 = System.nanoTime()
+    val rep = col("rep")
+    def reps(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(s.range(n).toDF("rep")))
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+    def tbl(name: String) = s.read.parquet(s"$src/$name.parquet")
+
+    // dimensions: single copy — they don't grow with fact volume
+    write(tbl("region"), "region", 1)
+    write(tbl("nation"), "nation", 1)
+
+    write(reps(tbl("customer")).select(
+      offId("c_custkey", rep, 100000L, probeSafe = false),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"),
+      col("c_mktsegment")), "customer", math.max(4, n / 4))
+    write(reps(tbl("supplier")).select(
+      offId("s_suppkey", rep, 10000L, probeSafe = false),
+      col("s_name"), col("s_nationkey"), col("s_acctbal")),
+      "supplier", math.max(2, n / 10))
+    write(reps(tbl("part")).select(
+      offId("p_partkey", rep, 100000L, probeSafe = false),
+      col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      col("p_retailprice")), "part", math.max(4, n / 4))
+    write(reps(tbl("orders")).select(
+      offId("o_orderkey", rep, 1000000L, probeSafe = false),
+      offId("o_custkey", rep, 100000L, probeSafe = false),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")), "orders", math.max(8, n / 2))
+    write(reps(tbl("lineitem")).select(
+      offId("l_orderkey", rep, 1000000L, probeSafe = false),
+      offId("l_partkey", rep, 100000L, probeSafe = false),
+      offId("l_suppkey", rep, 10000L, probeSafe = false),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")), "lineitem", math.max(16, n))
+    write(reps(Tables.events(s, src)).select(
+      offId("event_id", rep, 1000000L, probeSafe = false),
+      col("ts"),
+      offId("user_id", rep, 10000L, probeSafe = false),
+      col("event_type"), col("value"), col("props")),
+      "events", math.max(8, n / 2))
+
+    // documents: probe-safe ids; replica texts in hash-canonical word
+    // order keyed by (word, rep) — see the replication-model scaladoc
+    val shuffledText = array_join(
+      transform(
+        array_sort(transform(split(col("text"), " "),
+          w => struct(xxhash64(w, rep).as("h"), w.as("w")))),
+        p => p.getField("w")),
+      " ")
+    write(reps(tbl("documents")).select(
+      offId("doc_id", rep, 10000L, probeSafe = true),
+      when(rep === 0, col("text")).otherwise(shuffledText).as("text"),
+      col("lang"), col("source"), col("n_chars")),
+      "documents", math.max(4, n / 4))
+
+    // embeddings: probe-safe ids; replica vectors jittered ±0.02 per
+    // coordinate (deterministic in (vec_id, rep, coordinate))
+    val jittered = transform(col("embedding"), (x, j) =>
+      (x + ((pmod(xxhash64(col("vec_id"), rep, j), lit(1001L)) - lit(500L))
+        .cast("double") / lit(500.0) * lit(0.02))).cast("float"))
+    write(reps(tbl("embeddings")).select(
+      offId("vec_id", rep, 10000L, probeSafe = true),
+      when(rep === 0, col("embedding")).otherwise(jittered).as("embedding"),
+      col("label")), "embeddings", math.max(4, n / 4))
+
+    Files.write(done, java.util.Arrays.asList(n.toString))
+    System.err.println(
+      f"[scale] generated x$n at $out in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+}
+
+object ScaleBench {
+  /** The headline set from VERDICT r6 §Next-round #1. */
+  val headline: Seq[String] = Seq(
+    "q02_knn_exact", "q08_search_routed", "q25_minhash_lsh",
+    "q41_kanndi_search", "q100_graph_ann", "q103_graph_pq_probe",
+    "q110_dup_spans", "q114_span_dedup", "q133_bloom_join",
+    "q145_phrase_search", "q150_phrase_bigram")
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "/root/repo/target/scale")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val passes = sys.env.get("SPARK_GRAFT_SCALE_PASSES").map(_.toInt).getOrElse(2)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val names = headline.filter(n => only.forall(_.exists(n.contains)))
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = // scale -> (memoSecs, name -> min secs)
+      scala.collection.mutable.LinkedHashMap
+        .empty[Int, (Double, Map[String, Double])]
+    for (n <- scales) {
+      val dir = if (n == 1) src else s"$outBase/x$n"
+      if (n > 1) ScaleGen.generate(spark, src, n, dir)
+      // shard COUNT scales with the corpus so shard SIZE stays bounded
+      System.setProperty("graft.shards", (8 * n).toString)
+      spark.conf.set("spark.sql.shuffle.partitions", math.max(32, n))
+      // first-touch warm-up, then the (timed, untimed-in-queries) index
+      // builds — memo scaling is itself part of the evidence
+      for (t <- Seq("lineitem", "orders", "documents", "embeddings"))
+        spark.read.parquet(s"$dir/$t.parquet").count()
+      Tables.events(spark, dir).count()
+      val m0 = System.nanoTime()
+      SparkEntry.prebuildScaleMemos(spark, dir)
+      val memoSecs = (System.nanoTime() - m0) / 1e9
+
+      val timings = scala.collection.mutable.LinkedHashMap(
+        names.map(_ -> Vector.empty[Double]): _*)
+      for (_ <- 1 to passes; name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        timings(name) :+= dt
+        System.err.println(f"[scale x$n] $name%-22s $dt%8.2f s  ($rows rows)")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!SparkEntry.pinnedRddIds.contains(id)) rdd.unpersist(blocking = true)
+        }
+      }
+      val mins = names.map(q => q -> timings(q).min).toMap
+      results(n) = (memoSecs, mins)
+      val qs = names.map(q => "\"" + q + "\":" + f"${mins(q)}%.3f")
+        .mkString("{", ",", "}")
+      println(s"""{"scale":$n,"dir":"$dir","memo_build_s":${f"$memoSecs%.1f"},"passes":$passes,"queries":$qs}""")
+      System.setProperty("graft.shards", "8")
+    }
+    // ratio summary vs the smallest scale
+    val base = scales.min
+    for (n <- scales if n != base; (bm, bq) = results(base); (nm, nq) = results(n)) {
+      val rq = names.map { q =>
+        val r = nq(q) / math.max(bq(q), 1e-9)
+        "\"" + q + "\":" + f"$r%.1f"
+      }.mkString("{", ",", "}")
+      println(s"""{"ratio_x$n/x$base":$rq,"memo_ratio":${f"${nm / math.max(bm, 1e-9)}%.1f"}}""")
+    }
+    spark.stop()
+  }
+}

@@ -630,6 +630,12 @@ object SparkEntry {
     // The plan is TakeOrderedAndProject (per-partition top-k, merge of
     // k-sized heads), never a global sort — the mixture-sampling shape
     // that scales to any corpus
+    // Cross-engine float edge (ADVICE r6): the hash relies on JVM
+    // Math.log and DuckDB ln agreeing after rHU(…,9) — libm log is not
+    // required to be correctly rounded, so a 1-ulp divergence landing
+    // exactly on a 9-dp half-up boundary would flip it. Green on this
+    // platform; if it ever flakes elsewhere, round at fewer decimals (the
+    // repo-wide ln convention) or derive the key from integer arithmetic.
     "q144_weighted_sample" -> ((s, dir) => {
       import graft.functions.VectorFunctions.roundHU
       val u = (conv(substring(md5(concat(lit("wsamp:"),
@@ -1485,6 +1491,22 @@ object SparkEntry {
         coLocated = true)
     }),
 
+    // ---- q145's phrase probe over the BIGRAM positional index: the join
+    // key becomes the adjacent word pair, so the probe's join output is
+    // the pairs' co-occurrence count instead of Σ df(term) — measured
+    // 100× smaller on this corpus (54M → 498k joined rows at 10× sf0.1,
+    // where the small synthetic vocabulary makes every unigram a
+    // stopword). Same answers (the q145 oracle replays unchanged), same
+    // index size, same equi-join shape — selectivity moved into the key
+    "q150_phrase_bigram" -> ((s, dir) => {
+      val phrases = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+        .where(size(split(col("text"), " ")) >= 3 && col("doc_id") % 25 === 0)
+        .select(col("id").as("qid"),
+          posexplode(slice(split(col("text"), " "), 1, 3)).as(Seq("i", "term")))
+      Retrieval.phraseMatchBigram(bigramIndexPinned(s, dir), phrases)
+    }),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -1949,6 +1971,16 @@ object SparkEntry {
             .select(col("doc_id").as("id"), col("text"))
             .where(size(split(col("text"), " ")) >= 3)).coalesce(8)))
 
+  /** q150's bigram postings over the same ≥3-word corpus slice as
+    * [[posIndexPinned]] — one row per token, key = adjacent word pair. */
+  private def bigramIndexPinned(s: SparkSession, dir: String): DataFrame =
+    ivmStateMemo.computeIfAbsent(s"bgidx:$dir", _ =>
+      pinLocalCheckpoint(
+        Retrieval.positionalBigramIndex(
+          Tables.documents(s, dir)
+            .select(col("doc_id").as("id"), col("text"))
+            .where(size(split(col("text"), " ")) >= 3)).coalesce(8)))
+
   /** q149's postings written BUCKETED BY TERM (the q127 layout discipline
     * applied to the positional index — SCALE.md's "partitioned by term"
     * claim, demonstrated): the probe's sort-merge join then reads the
@@ -2074,6 +2106,7 @@ object SparkEntry {
     bm25IndexMemo(s, dir)                                    // q107 index
     posIndexPinned(s, dir)                                   // q145 index
     bucketedPosIndexMemo(s, dir)                             // q149 layout
+    bigramIndexPinned(s, dir)                                // q150 index
     bm25ListPinned(s, dir)                                   // q108 inputs
     annListPinned(s, dir)
     bpeRulesMemo(s, dir)                                     // q111 rules
@@ -2085,6 +2118,25 @@ object SparkEntry {
     histStatePinned(s, dir)                                  // q137 state
     hllRegsPinned(s, dir)                                    // q138 state
     covMatrixPinned(s, dir)                                  // q139 state
+  }
+
+  /** The memo subset the SCALE-evidence headline queries touch (q02, q08,
+    * q25, q41, q100, q103, q110, q114, q133, q145) — ScaleBench's warm-up.
+    * A separate list because the FULL prebuildMemos builds ~30 artifacts
+    * (BPE rules, covariance pins, bucketed OLAP layouts, …) the headline
+    * set never reads; at 100× testdata that is an hour of untimed build
+    * work for nothing. Index-build scaling is itself reported (ScaleBench
+    * times this call per scale). */
+  def prebuildScaleMemos(s: SparkSession, dir: String): Unit = {
+    centroidArrMemo(s, dir)                   // q08 router fit
+    queryBatchMemoArr(s, dir)                 // search probes
+    kanndiMemoRes(s, dir, m = 4, sampleSize = 200) // q41
+    pqCbMemo(s, dir)                          // q103 codebooks
+    ivfCodesMemoDf(s, dir)                    // q103 codes
+    shardedLayoutPath(s, dir)                 // graph index input
+    graphIndexDir(s, dir)                     // q100/q103 index
+    posIndexPinned(s, dir)                    // q145 index
+    bigramIndexPinned(s, dir)                 // q150 index
   }
 
   private val chunkIndexMemoMap =
@@ -2299,7 +2351,14 @@ object SparkEntry {
   /** Shared knobs for the sharding family (kept small so the unrolled
     * Lloyd's oracle SQL stays readable). */
   object Params {
-    val k = 8      // shards (reference M ∈ {10,100,1000}, scaled to testdata)
+    /** Shard count. 8 is the verified testdata contract (reference M ∈
+      * {10,100,1000}, scaled down); the scale harness (graft.ScaleBench)
+      * raises it via `-Dgraft.shards` so shard SIZE stays bounded as the
+      * corpus grows — the knob a cluster operator scales with the data,
+      * and what keeps the O(Σ|shard|²) graph-index build linear in the
+      * corpus. Correctness paths (Verify, ScalaTest) never set the
+      * property, so every oracle still sees k=8. */
+    def k: Int = Integer.getInteger("graft.shards", 8)
     val iters = 3  // Lloyd's rounds (reference MAX_ITER=50; deterministic subset)
     val t = 2      // probe count (reference MAX_CENTROIDS=3, searches top-1)
     /** First-N stats sample (reference SAMPLE_SIZE, config_*.py: 100k-5M of
@@ -4483,6 +4542,23 @@ object SparkEntry {
     // the bucketed layout changes the PLAN, never the rows: same phrase
     // replay as q145
     "q149_phrase_bucketed" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |dd AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),
+         |q AS (SELECT doc_id AS qid, ws FROM dd WHERE doc_id % 25 = 0),
+         |pt AS (SELECT qid, unnest(generate_series(1, 3)) AS i FROM q),
+         |ph AS (SELECT p.qid, p.i, q.ws[p.i] AS term FROM pt p JOIN q ON p.qid = q.qid),
+         |idx AS (SELECT doc_id AS id, i AS pos, ws[i] AS term
+         |  FROM dd, unnest(generate_series(1, len(ws))) AS u(i)
+         |  WHERE ws[i] <> ''),
+         |m AS (SELECT ph.qid, idx.id, idx.pos - ph.i AS s
+         |  FROM ph JOIN idx ON ph.term = idx.term),
+         |occ AS (SELECT qid, id, s FROM m GROUP BY qid, id, s HAVING count(*) = 3)
+         |SELECT qid, id, count(*) AS n_occ FROM occ GROUP BY qid, id""".stripMargin,
+
+    // the bigram index changes the JOIN KEY, never the rows: same phrase
+    // replay as q145 (bigram chaining ⇔ unigram offsets, proven in
+    // Retrieval.phraseMatchBigram's scaladoc and RetrievalSpec)
+    "q150_phrase_bigram" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |dd AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),
          |q AS (SELECT doc_id AS qid, ws FROM dd WHERE doc_id % 25 = 0),

@@ -159,6 +159,59 @@ object Retrieval {
       .agg(count(lit(1)).as("n_occ"))
   }
 
+  /** Bigram positional index: (id, pos, b) with b = word(pos) ⊕ ' ' ⊕
+    * word(pos+1) over the same raw split positions as [[positionalIndex]]
+    * (a row only when both component words are non-empty, mirroring the
+    * unigram index's empty-term filter; words cannot contain the space
+    * delimiter, so the concatenation is collision-free).
+    *
+    * Why a second index layout: phrase probes over UNIGRAM postings pay
+    * Σ df(term) join output — on a stopword-heavy (or small-vocabulary)
+    * corpus that is corpus-sized per frequent term (measured 54M joined
+    * rows for 200 three-word phrases at 10× sf0.1, the q145 scaling
+    * ceiling). Adjacent-PAIR postings make the join key the pair, whose
+    * df is the co-occurrence count — measured 100× smaller on the same
+    * probe (498k rows). Same index size (one row per token), same
+    * equi-join shape, same bucketable-by-key layout; this is the
+    * selectivity step a positional index takes before full n-gram
+    * indexing. */
+  def positionalBigramIndex(docs: DataFrame): DataFrame =
+    docs
+      .select(col("id"), split(col("text"), " ").as("ws"))
+      .select(col("id"), posexplode(expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), " +
+          "(w, i) -> struct(w AS w1, ws[i + 1] AS w2))")).as(Seq("pos", "p")))
+      .where(length(col("p.w1")) > 0 && length(col("p.w2")) > 0)
+      .select(col("id"), col("pos"),
+        concat(col("p.w1"), lit(" "), col("p.w2")).as("b"))
+
+  /** EXACT phrase search over the bigram positional index — identical
+    * answers to [[phraseMatch]] for phrases of ≥ 2 terms (RetrievalSpec
+    * asserts row-identity): the phrase's n−1 adjacent-pair constraints
+    * at offsets i ∈ [0, n−2] each join the index on the pair key and
+    * project candidate start `pos − i`; a (qid, id, start) group holding
+    * all n−1 pairs chains into the full n-term adjacency. Multiplicity
+    * is impossible for the same reason as the unigram proof: constraint
+    * i can only produce a given start from position start+i, once.
+    * Single-term phrases have no pair constraint and are out of this
+    * operator's contract — route those to [[phraseMatch]]. */
+  def phraseMatchBigram(bgIndex: DataFrame, phraseTerms: DataFrame): DataFrame = {
+    val a = phraseTerms.select(col("qid"), col("i"), col("term"))
+    val bg = a.as("a").join(a.as("b"),
+        col("a.qid") === col("b.qid") && col("b.i") === col("a.i") + 1)
+      .select(col("a.qid").as("qid"), col("a.i").as("i"),
+        concat(col("a.term"), lit(" "), col("b.term")).as("b"))
+    val n = bg.groupBy(col("qid")).agg(count(lit(1)).as("n_pairs"))
+    broadcast(bg).join(bgIndex, "b")
+      .select(col("qid"), col("id"), (col("pos") - col("i")).as("start"))
+      .groupBy(col("qid"), col("id"), col("start"))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(n), "qid")
+      .where(col("n_hit") === col("n_pairs"))
+      .groupBy(col("qid"), col("id"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
   /** The chunk index: sparse (id, ci, bucket, cc) hashed-BOW chunk
     * vectors + per-chunk norms — built ONCE over the corpus (index-build
     * work, like [[Bm25Index]] or the PQ codes) and consumed by every

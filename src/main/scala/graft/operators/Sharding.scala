@@ -81,14 +81,27 @@ object Sharding {
       points: DataFrame,
       cents: Array[(Int, Array[Double])],
       keepVec: Boolean = false): DataFrame = {
-    val cands = array(cents.map { case (sid, c) =>
-      struct(
-        round(l2Dist(col("vec"), typedLit(c.toSeq)), 4).as("dist"),
-        lit(sid).as("shard_id"))
-    }: _*)
+    // Two physical forms, identical semantics (ShardingSpec row-identity):
+    // small k unrolls one candidate struct per centroid (the plan the
+    // verified sf contract audits); large k switches to the loop-codegen
+    // NearestCentroid kernel — the unrolled projection overflows janino's
+    // 64 KB method limit around k≈80 and falls back to interpreted mode,
+    // exactly when k is scaling with the corpus (see ScaleBench).
+    val m =
+      if (cents.length <= 16) {
+        array_min(array(cents.map { case (sid, c) =>
+          struct(
+            round(l2Dist(col("vec"), typedLit(c.toSeq)), 4).as("dist"),
+            lit(sid).as("shard_id"))
+        }: _*))
+      } else {
+        val dim = cents.head._2.length
+        graft.functions.VectorExpressions.nearestCentroid(
+          col("vec"), cents.map(_._1), cents.flatMap(_._2), dim)
+      }
     val cols = Seq(col("id"), col("m.shard_id").as("shard_id"), col("m.dist").as("dist")) ++
       (if (keepVec) Seq(col("vec")) else Nil)
-    points.withColumn("m", array_min(cands)).select(cols: _*)
+    points.withColumn("m", m).select(cols: _*)
   }
 
   /** Recompute centroids as the per-shard elementwise mean (Lloyd's M-step):

@@ -24,6 +24,38 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Set((10L, 1L, 2L), (11L, 4L, 2L)))
   }
 
+  test("phraseMatchBigram: row-identical to phraseMatch for n >= 2 phrases") {
+    val docs = Seq(
+      (1L, "a b c a b c"),
+      (2L, "a b x c"),
+      (3L, "c b a"),
+      (4L, "a b a b a"),
+      (5L, "x a b y a b c z")
+    ).toDF("id", "text")
+    val uni = Retrieval.positionalIndex(docs)
+    val bg = Retrieval.positionalBigramIndex(docs)
+    def phrase(qid: Long, words: String*) =
+      words.zipWithIndex.map { case (w, i) => (qid, i, w) }
+    val phrases = (phrase(10L, "a", "b", "c") ++ phrase(11L, "a", "b", "a") ++
+      phrase(12L, "b", "c") ++ phrase(13L, "c", "z"))
+      .toDF("qid", "i", "term")
+    val viaUni = Retrieval.phraseMatch(uni, phrases)
+    val viaBg = Retrieval.phraseMatchBigram(bg, phrases)
+    assert(viaBg.except(viaUni).count() === 0)
+    assert(viaUni.except(viaBg).count() === 0)
+    // and the expected occurrences are what both report
+    val got = viaBg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((10L, 1L, 2L), (10L, 5L, 1L), (11L, 4L, 2L),
+      (12L, 1L, 2L), (12L, 5L, 1L), (13L, 5L, 1L)))
+  }
+
+  test("positionalBigramIndex: one row per adjacent pair, raw split positions") {
+    val docs = Seq((7L, "a b c")).toDF("id", "text")
+    val rows = Retrieval.positionalBigramIndex(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows === Set((7L, 0, "a b"), (7L, 1, "b c")))
+  }
+
   test("bm25TopK matches a hand computation (idf, tf saturation, length norm)") {
     val docs = Seq(
       (1L, "cat sat mat"),

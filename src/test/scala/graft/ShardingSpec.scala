@@ -36,6 +36,19 @@ class ShardingSpec extends SparkSpec {
     assert(withVec.select("id", "shard_id", "dist").except(rel).count() === 0)
   }
 
+  test("assignLit loop kernel (k > 16) is row-identical to assign") {
+    // 20 centroids forces the NearestCentroid loop-codegen path (the
+    // unrolled candidate array overflows janino around k≈80; the spec
+    // pins semantic parity at a size both forms can run)
+    val cents20 = Sharding.fitCentroids(spark, pts, k = 20, iters = 1)
+    val centArr = cents20.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    assert(centArr.length === 20)
+    val rel = Sharding.assign(pts, cents20)
+    val loop = Sharding.assignLit(pts, centArr)
+    assert(loop.except(rel).count() === 0)
+    assert(rel.except(loop).count() === 0)
+  }
+
   test("assignment is to the truly nearest centroid (rounded ranking)") {
     val assigned = Sharding.assign(pts, cents)
     // brute-force check on a few points

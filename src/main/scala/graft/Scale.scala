@@ -29,10 +29,20 @@ import org.apache.spark.sql.functions._
   *    the next multiple of 25; bases are multiples of 25). Replica 0 keeps
   *    original ids. Corpus ×N, query batch ×1 — the benchmark contract a
   *    real cluster is sized against.
-  *  - Replica texts (r>0) are word-shuffled into the hash-canonical order
-  *    sort_by(xxhash64(word, r)): similar word sets shuffle similarly, so
-  *    WITHIN-replica near-dups survive (dup RATE is scale-invariant) while
-  *    cross-replica shingles are destroyed (no phantom 100-way dups).
+  *  - Replica texts (r>0) are renamed through a per-replica VOCABULARY
+  *    BIJECTION π_r (vocab sorted by a deterministic (word, r) hash,
+  *    zipped against alphabetical order) with the ORIGINAL word order
+  *    kept. Each replica is then exactly isomorphic to the base corpus —
+  *    near-dup structure, shingle/winnowing spans, and band sizes all
+  *    replicate 1:1 (dup RATE and candidate volume scale ×N, the honest
+  *    shape) — while cross-replica shingles only collide when two
+  *    independent permutations agree on a whole n-gram (~V^-n: no
+  *    phantom 100-way dups). Unigram df still grows ×N through shared
+  *    vocab, so postings-probe costs scale realistically. (The first cut
+  *    word-SHUFFLED each replica into one hash-canonical order; that
+  *    collapsed the shingle space onto sorted word subsets and measured
+  *    a 1000× candidate blow-up at 10× — a generator artifact no grown
+  *    corpus has, hence the bijection design.)
   *  - Replica embeddings (r>0) get deterministic ±0.02 per-coordinate
   *    jitter (coordinate σ is 0.125): cluster geometry preserved, exact
   *    ties broken.
@@ -115,27 +125,47 @@ object ScaleGen {
       col("event_type"), col("value"), col("props")),
       "events", math.max(8, n / 2))
 
-    // documents: probe-safe ids; replica texts in hash-canonical word
-    // order keyed by (word, rep) — see the replication-model scaladoc
-    val shuffledText = array_join(
-      transform(
-        array_sort(transform(split(col("text"), " "),
-          w => struct(xxhash64(w, rep).as("h"), w.as("w")))),
-        p => p.getField("w")),
+    // documents: probe-safe ids; replica texts renamed through a
+    // per-replica VOCABULARY BIJECTION with the original word order kept
+    // (see the replication-model scaladoc). The base is 1e6 (not 1e5-
+    // adjacent) so the dedup queries' planted-dup ids (`id + 100000`)
+    // can never collide with a replica's real id range.
+    val vocab = tbl("documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .distinct().orderBy("w")
+      .collect().map(_.getString(0))
+    require(vocab.length <= 100000,
+      s"vocab ${vocab.length} too large to permute driver-side")
+    def permHash(w: String, r: Int): Long =
+      // deterministic across JVMs (unlike String.hashCode collisions-wise
+      // this is fine too, but MurmurHash3 mixes better on tiny vocabs)
+      scala.util.hashing.MurmurHash3.stringHash(w, r + 0x9e3779b9) & 0xffffffffL
+    val vocabMaps = (0 until n).map { r =>
+      val permuted = vocab.sortBy(w => (permHash(w, r), w))
+      (r, vocab.zip(permuted).toMap)
+    }
+    val wmapDf = broadcast(s.createDataFrame(
+      s.sparkContext.parallelize(vocabMaps, 1)).toDF("rep", "wmap"))
+    val renamed = array_join(
+      transform(split(col("text"), " "),
+        w => when(length(w) === 0, w)
+          .otherwise(coalesce(element_at(col("wmap"), w), w))),
       " ")
-    write(reps(tbl("documents")).select(
-      offId("doc_id", rep, 10000L, probeSafe = true),
-      when(rep === 0, col("text")).otherwise(shuffledText).as("text"),
+    write(reps(tbl("documents")).join(wmapDf, "rep").select(
+      offId("doc_id", rep, 1000000L, probeSafe = true),
+      when(rep === 0, col("text")).otherwise(renamed).as("text"),
       col("lang"), col("source"), col("n_chars")),
       "documents", math.max(4, n / 4))
 
     // embeddings: probe-safe ids; replica vectors jittered ±0.02 per
-    // coordinate (deterministic in (vec_id, rep, coordinate))
+    // coordinate (deterministic in (vec_id, rep, coordinate)); base 1e6
+    // for the same planted-dup-id reason as documents
     val jittered = transform(col("embedding"), (x, j) =>
       (x + ((pmod(xxhash64(col("vec_id"), rep, j), lit(1001L)) - lit(500L))
         .cast("double") / lit(500.0) * lit(0.02))).cast("float"))
     write(reps(tbl("embeddings")).select(
-      offId("vec_id", rep, 10000L, probeSafe = true),
+      offId("vec_id", rep, 1000000L, probeSafe = true),
       when(rep === 0, col("embedding")).otherwise(jittered).as("embedding"),
       col("label")), "embeddings", math.max(4, n / 4))
 

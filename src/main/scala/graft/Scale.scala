@@ -192,7 +192,14 @@ object ScaleBench {
     val passes = sys.env.get("SPARK_GRAFT_SCALE_PASSES").map(_.toInt).getOrElse(2)
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val names = headline.filter(n => only.forall(_.exists(n.contains)))
+    // the filter selects over ALL queries (not just the headline), so any
+    // SparkEntry family can be swept at scale; no filter = the headline
+    val names = only match {
+      case Some(pats) =>
+        SparkEntry.queries.keys.toSeq.sorted
+          .filter(n => pats.exists(n.contains))
+      case None => headline
+    }
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -1507,6 +1507,43 @@ object SparkEntry {
       Retrieval.phraseMatchBigram(bigramIndexPinned(s, dir), phrases)
     }),
 
+    // ---- watermarked stream-stream ATTRIBUTION join (view→click within
+    // 6 h per user), run through REAL Structured Streaming machinery: two
+    // file sources (single file each ⇒ one micro-batch, so the 1-day
+    // watermark is live but deterministically drops nothing), the
+    // stream-stream inner join with keyed state, append sink; the result
+    // read back is the hash-checked output. The oracle replays the batch
+    // twin — the module's batch/stream-one-definition contract
+    "q151_stream_attribution" -> ((s, dir) => {
+      val base = tmpArtifact("attrib", dir, "")
+      fileOnce.computeIfAbsent(base, _ => {
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(del)
+          f.delete()
+        }
+        val root = new java.io.File(base)
+        if (root.exists) del(root)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        ev.where(col("event_type") === "view").coalesce(1)
+          .write.parquet(s"$base/views")
+        ev.where(col("event_type") === "click").coalesce(1)
+          .write.parquet(s"$base/clicks")
+        val sch = ev.drop("event_type").schema
+        val q = Streaming.attributionJoin(
+            s.readStream.schema(sch).parquet(s"$base/views"),
+            s.readStream.schema(sch).parquet(s"$base/clicks"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$base/joined")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        true
+      })
+      s.read.parquet(s"$base/joined")
+        .orderBy(col("view_id"), col("click_id"))
+    }),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -3389,6 +3426,20 @@ object SparkEntry {
          |SELECT user_id, session_id, count(*) AS n_events, min(ms) AS start_ms,
          |  max(ms) AS end_ms, round(sum(value), 2) AS sum_value
          |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // the batch twin of the stream-stream attribution join: epoch_ms
+    // matches Spark's unix_millis truncation, timestamp comparisons and
+    // the 6-hour interval bound are exact in both engines
+    "q151_stream_attribution" ->
+      s"""WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+         |  FROM events WHERE event_type = 'view'),
+         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+         |  FROM events WHERE event_type = 'click')
+         |SELECT v.view_id, c.click_id, v.user_id,
+         |  epoch_ms(c.click_ts) - epoch_ms(v.view_ts) AS delta_ms
+         |FROM v JOIN c ON v.user_id = c.user_id AND c.click_ts > v.view_ts
+         |  AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR
+         |ORDER BY view_id, click_id""".stripMargin,
 
     "q36_multimodal_decode" ->
       s"""WITH d AS (SELECT doc_id AS id, text FROM documents),

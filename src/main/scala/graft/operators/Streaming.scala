@@ -45,6 +45,43 @@ object Streaming {
         unix_millis(col("w.end")).as("end_ms"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked stream-stream ATTRIBUTION join: every click is matched to
+    * the same user's views in the preceding `withinHours` window — the
+    * canonical event-enrichment join (impression→conversion) and the one
+    * streaming shape the engine was missing next to its windowed aggs and
+    * stateful operators.
+    *
+    * Written ONCE for both execution modes (the module contract): on
+    * batch frames the watermark is skipped and it is a plain interval
+    * equi-join (the DuckDB-oracle form); on streaming frames both sides
+    * get event-time watermarks and Spark's stream-stream join machinery
+    * buffers each side in keyed state, with the range condition + the
+    * watermarks bounding exactly how much: a view is evicted once the
+    * click-side watermark passes view_ts + withinHours, a click once its
+    * own watermark passes.
+    *
+    * Scale shape: both sides shuffle on user_id into co-partitioned state
+    * stores (the only shuffle); state per partition is the watermark
+    * horizon × arrival rate, NOT history size; the time bound makes the
+    * join's output and state finite — without it Spark rejects the plan.
+    * delta_ms is an exact integer (unix_millis truncation matches DuckDB
+    * epoch_ms), so the result is hash-comparable cross-engine. */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+      withinHours: Int = 6, watermark: String = "1 day"): DataFrame = {
+    val v0 = views.select(col("event_id").as("view_id"),
+      col("user_id"), col("ts").as("view_ts"))
+    val c0 = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("click_user"), col("ts").as("click_ts"))
+    val v = if (v0.isStreaming) v0.withWatermark("view_ts", watermark) else v0
+    val c = if (c0.isStreaming) c0.withWatermark("click_ts", watermark) else c0
+    v.join(c,
+        col("user_id") === col("click_user") &&
+          col("click_ts") > col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $withinHours HOURS"))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        (unix_millis(col("click_ts")) - unix_millis(col("view_ts"))).as("delta_ms"))
+  }
+
   /** Continuous index ingest (SURVEY §2.8's "idiomatic form" of streaming
     * for this engine): a stream of new points is assigned to the broadcast
     * centroid router per micro-batch and appended to the partitionBy

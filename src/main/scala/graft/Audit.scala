@@ -476,6 +476,26 @@ object Audit {
       ("batch equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
       ("per-src re-cut partial limit", _.contains("WindowGroupLimit")))
+    // q151's BATCH twin (the query entry reads the streaming sink, so the
+    // plan to audit is the shared definition itself): the attribution
+    // join must plan as a user_id equi-join with the time-range bound as
+    // a join-level post-condition — a nested loop would mean Spark saw
+    // only the range predicate and paid views × clicks
+    locally {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val plan = graft.operators.Streaming.attributionJoin(
+          ev.where(col("event_type") === "view"),
+          ev.where(col("event_type") === "click"))
+        .queryExecution.executedPlan.toString
+      val ok1 = !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct")
+      val ok2 = plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin")
+      println(f"attributionJoin(batch)  ${if (ok1) "OK " else "MISS"} no nested-loop/cartesian")
+      println(f"attributionJoin(batch)  ${if (ok2) "OK " else "MISS"} user_id equi-join")
+    }
     spark.stop()
   }
 }

@@ -218,6 +218,11 @@ object ScaleBench {
       if (n > 1) ScaleGen.generate(spark, src, n, dir)
       // shard COUNT scales with the corpus so shard SIZE stays bounded
       System.setProperty("graft.shards", (8 * n).toString)
+      // SRP projections grow ~log2(N) so kNN-graph BUCKET SIZE stays
+      // bounded (candidates are Σ bucket²: fixed nProj measured 96.6×
+      // wall at 100× — the LSH more-projections-at-scale knob)
+      System.setProperty("graft.knnproj",
+        (8 + math.ceil(math.log(n) / math.log(2)).toInt).toString)
       spark.conf.set("spark.sql.shuffle.partitions", math.max(32, n))
       // first-touch warm-up, then the (timed, untimed-in-queries) index
       // builds — memo scaling is itself part of the evidence
@@ -248,6 +253,7 @@ object ScaleBench {
         .mkString("{", ",", "}")
       println(s"""{"scale":$n,"dir":"$dir","memo_build_s":${f"$memoSecs%.1f"},"passes":$passes,"queries":$qs}""")
       System.setProperty("graft.shards", "8")
+      System.setProperty("graft.knnproj", "8")
     }
     // ratio summary vs the smallest scale
     val base = scales.min

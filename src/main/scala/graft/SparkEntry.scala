@@ -853,7 +853,7 @@ object SparkEntry {
     // graph-based ANN indexes): SRP buckets -> within-bucket exact cosine
     // top-k per source point; one bucket-keyed self-equi-join
     "q87_knn_graph" -> ((s, dir) =>
-      Knn.knnGraph(Tables.points(s, dir), k = 5)),
+      Knn.knnGraph(Tables.points(s, dir), k = 5, nProj = Params.knnProj)),
 
     // ---- perceptual image dHash (image near-dup analogue of SimHash):
     // real BMP encode -> decode -> block-mosaic grayscale -> adjacent-cell
@@ -1755,7 +1755,20 @@ object SparkEntry {
     val cap = math.max(20000L, 25L * Params.k)
     val n = pts.count()
     if (n <= cap) pts
-    else pts.where(pmod(xxhash64(col("id")), lit((n + cap - 1) / cap)) === 0)
+    else {
+      // hash-rank the sample ids: initCentroids takes `id < k`, and on a
+      // replicated corpus the lowest ids all live in replica 0 — k=800
+      // seeds drawn from ~770 replica-0 points collapse under Lloyd's to
+      // ~69 survivors (caught by q05's row count in the x100 sweep),
+      // silently breaking the bounded-shard-size premise. Ranking by
+      // xxhash64 spreads the first-k seeds uniformly over the corpus.
+      // The global window is bounded by the cap (≤ ~2·cap rows), not the
+      // corpus, so the single-partition sort is a driver-scale artifact.
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(xxhash64(col("id")), col("id"))
+      pts.where(pmod(xxhash64(col("id")), lit((n + cap - 1) / cap)) === 0)
+        .select((row_number().over(w) - 1).cast("long").as("id"), col("vec"))
+    }
   }
 
   private def fitCentroidsMemo(s: SparkSession, dir: String): DataFrame = {
@@ -2220,7 +2233,7 @@ object SparkEntry {
   private def knnEdgesPinned(s: SparkSession, dir: String): DataFrame =
     knnEdgesMemo.computeIfAbsent(dir, _ =>
       pinLocalCheckpoint(
-        Knn.knnGraph(Tables.points(s, dir), k = 5)
+        Knn.knnGraph(Tables.points(s, dir), k = 5, nProj = Params.knnProj)
           .select(col("src_id"), col("nbr_id")).coalesce(1)))
 
   /** q106's learned merge rules pinned for q111's encode — training is
@@ -2416,6 +2429,14 @@ object SparkEntry {
       * corpus. Correctness paths (Verify, ScalaTest) never set the
       * property, so every oracle still sees k=8. */
     def k: Int = Integer.getInteger("graft.shards", 8)
+    /** SRP projection count for the kNN-graph build (q87/q117). 8 is the
+      * verified testdata contract; the scale harness raises it by
+      * ~log2(N) so BUCKET SIZE stays bounded as the corpus grows — the
+      * LSH knob knnGraph's scaladoc names (candidate volume is
+      * Σ bucket², so a fixed nProj is quadratic in the scale factor:
+      * measured 96.6× wall at 100× before wiring this). Correctness
+      * paths never set the property; the oracle replays nProj=8. */
+    def knnProj: Int = Integer.getInteger("graft.knnproj", 8)
     val iters = 3  // Lloyd's rounds (reference MAX_ITER=50; deterministic subset)
     val t = 2      // probe count (reference MAX_CENTROIDS=3, searches top-1)
     /** First-N stats sample (reference SAMPLE_SIZE, config_*.py: 100k-5M of

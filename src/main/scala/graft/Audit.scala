@@ -395,6 +395,18 @@ object Audit {
       ("sort-merge join on term", _.contains("SortMergeJoin")),
       ("postings never re-shuffled (one term exchange: the phrase side)",
         p => "Exchange hashpartitioning\\(term".r.findAllIn(p).size == 1))
+    audit("q150_phrase_bigram")(
+      // the pair constraints (n−1 per phrase) are the tiny side: they
+      // broadcast-hash-join the pinned index, never the reverse, and the
+      // probe has no nested-loop anywhere
+      ("pair constraints broadcast-joined", _.contains("BroadcastHashJoin")),
+      ("no nested-loop join", p => !p.contains("BroadcastNestedLoopJoin")),
+      ("pinned index never the broadcast side", p => {
+        val ls = p.linesIterator.toVector
+        !ls.zipWithIndex.exists { case (l, i) =>
+          l.contains("Scan ExistingRDD") && i > 0 &&
+            ls(i - 1).contains("BroadcastExchange") }
+      }))
     audit("q143_heavy_hitters")(
       // the two-pass claim: the returned plan is ONE probe scan whose
       // map-side literal CMS filter precedes the count shuffle — the

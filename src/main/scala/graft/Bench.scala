@@ -96,7 +96,17 @@ object Bench {
     val total = mins.values.filterNot(_.isNaN).sum
     // a failed query must be impossible to miss: named in the JSON line AND
     // a nonzero exit code
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qmax,"failed":$fl,"passes":$passes,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qmax,"failed":$fl,"passes":$passes,"sf":"$sfDir"}"""
+    println(fullLine)
+    // both the driver's tail archive AND sbt's own log can truncate the
+    // ~5 KB per-query line — persist the full map to a file so analysis
+    // never depends on a log line surviving intact
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
+        fullLine.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // the driver archives only a ~2 KB TAIL of this process's output, which
     // truncates the full per-query line mid-map and loses the total — so the
     // LAST line is a compact self-contained summary (total + slowest 5 +

@@ -1544,6 +1544,56 @@ object SparkEntry {
         .orderBy(col("view_id"), col("click_id"))
     }),
 
+    // ---- streaming EXACT DEDUP under at-least-once delivery: the feed
+    // is the events table plus exact re-deliveries of every 7th event,
+    // written as TWO files so maxFilesPerTrigger=1 forces the duplicates
+    // into a LATER micro-batch — the dedup must hit keyed state carried
+    // across batches, not same-batch distinct. The oracle is the
+    // batch-twin contract: dedup(feed) == the original events table
+    "q152_stream_dedup" -> ((s, dir) => {
+      val base = tmpArtifact("sdedup", dir, "")
+      fileOnce.computeIfAbsent(base, _ => {
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(del)
+          f.delete()
+        }
+        val root = new java.io.File(base)
+        if (root.exists) del(root)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"))
+        ev.coalesce(1).write.parquet(s"$base/feed")
+        // second part file (later mtime) = second micro-batch
+        ev.where(col("event_id") % 7 === 0).coalesce(1)
+          .write.mode("append").parquet(s"$base/feed")
+        val q = Streaming.dedupWithinWatermark(
+            s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(s"$base/feed"),
+            keys = Seq("event_id"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$base/deduped")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        true
+      })
+      s.read.parquet(s"$base/deduped")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- deterministic seeded epoch shuffle: the global training-order
+    // deal (shard = rank % S, pos = rank / S over the md5(seed:id)
+    // order). The rank is distributed (range-partition + per-partition
+    // offsets — never a single-partition window); the oracle replays the
+    // same hash order with a plain row_number
+    "q153_epoch_shuffle" -> ((s, dir) =>
+      Corpus.epochShuffle(
+        Tables.documents(s, dir).select(col("doc_id").as("id")),
+        seed = "ep1", nShards = 8)
+        .orderBy(col("shard"), col("pos"))),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -3461,6 +3511,18 @@ object SparkEntry {
          |FROM v JOIN c ON v.user_id = c.user_id AND c.click_ts > v.view_ts
          |  AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR
          |ORDER BY view_id, click_id""".stripMargin,
+
+    // dedup of exact re-deliveries == the original table (batch twin)
+    "q152_stream_dedup" ->
+      s"""SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q153_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id AS id,
+         |    md5('ep1:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |r AS (SELECT id, row_number() OVER (ORDER BY h, id) - 1 AS rk FROM h)
+         |SELECT id, CAST(rk % 8 AS INT) AS shard, rk // 8 AS pos
+         |FROM r ORDER BY shard, pos""".stripMargin,
 
     "q36_multimodal_decode" ->
       s"""WITH d AS (SELECT doc_id AS id, text FROM documents),

@@ -383,10 +383,14 @@ object Corpus {
   def curriculumBuckets(scored: DataFrame, nBuckets: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
+    // materialize the RDD handle ONCE so the rank pass reuses the count
+    // pass's shuffle map outputs (same lineage -> same shuffle id ->
+    // skipped stages) instead of re-shuffling the corpus
     val parted = scored.select(col("id").cast("long"), col("score"))
       .repartitionByRange(col("score"), col("id"))
       .sortWithinPartitions(col("score"), col("id"))
-    val counts = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      .rdd
+    val counts = parted.mapPartitionsWithIndex { (pid, it) =>
       Iterator.single((pid, it.length.toLong))
     }.collect().sortBy(_._1)
     val offsets = new Array[Long](counts.length)
@@ -395,13 +399,55 @@ object Corpus {
     val n = acc
     val bc = spark.sparkContext.broadcast(offsets)
     val b = nBuckets.toLong
-    parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    parted.mapPartitionsWithIndex { (pid, it) =>
       var rk = bc.value(pid)
       it.map { r =>
         rk += 1
         (r.getLong(0), r.getDouble(1), rk, (rk - 1) * b / n)
       }
     }.toDF("id", "score", "rank", "bucket")
+  }
+
+  /** Deterministic seeded EPOCH SHUFFLE: the global training-order
+    * shuffle every LLM data pipeline runs before sequence packing. Each
+    * row gets a reproducible pseudorandom sort key md5(seed:id); the
+    * corpus is ordered by that key and dealt round-robin into `nShards`
+    * worker shards (shard = rank % S, pos = rank / S) — every worker
+    * streams an evenly-sized, disjoint, well-mixed slice, and changing
+    * the seed re-deals the next epoch with zero data movement of the
+    * underlying docs (the shuffle output is an (id, shard, pos) manifest
+    * to join or zip against the packed blocks).
+    *
+    * Scale: the global order is computed WITHOUT a single-partition
+    * window — repartitionByRange on the hash range-partitions the
+    * corpus, each partition sorts locally, and the global rank is the
+    * local rank plus a per-partition offset (one count row per
+    * partition, driver-merged: the [[curriculumBuckets]] discipline).
+    * One range shuffle, linear in the corpus. */
+  def epochShuffle(docs: DataFrame, seed: String, nShards: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col("id").cast("long"),
+        md5(concat_ws(":", lit(seed), col("id").cast("string"))).as("h"))
+      .repartitionByRange(col("h"), col("id"))
+      .sortWithinPartitions(col("h"), col("id"))
+      .rdd
+    val counts = keyed.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single((pid, it.length.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](counts.length)
+    var acc = 0L
+    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val s = nShards.toLong
+    keyed.mapPartitionsWithIndex { (pid, it) =>
+      var rk = bc.value(pid) // 0-based global rank in hash order
+      it.map { r =>
+        val k = rk
+        rk += 1
+        (r.getLong(0), (k % s).toInt, k / s)
+      }
+    }.toDF("id", "shard", "pos")
   }
 
   /** Boilerplate removal (CCNet-shape): split each doc into fixed

@@ -262,6 +262,35 @@ object Streaming {
       }
   }
 
+  /** Streaming EXACT DEDUP under at-least-once delivery — the ingest-side
+    * twin of the batch dedup family (q24): re-delivered events carry the
+    * same key and must be emitted exactly once, across micro-batch
+    * boundaries.
+    *
+    * Written ONCE for both execution modes (the module contract): on a
+    * streaming frame it is `dropDuplicatesWithinWatermark(keys)` — Spark
+    * keeps one state row per key and EVICTS it once the event-time
+    * watermark passes the first-seen timestamp + `watermark`, so state is
+    * bounded by the re-delivery horizon × arrival rate, NOT by history
+    * size (plain `dropDuplicates` on a stream retains every key forever —
+    * the unbounded-state trap this operator exists to avoid). On a batch
+    * frame the same definition is a plain `dropDuplicates(keys)`, the
+    * DuckDB-oracle form.
+    *
+    * Scale shape: one shuffle on the key columns into co-partitioned
+    * dedup state stores; output volume = distinct keys. The horizon
+    * contract (StreamDedupSpec): a re-delivery within `watermark` of the
+    * first copy is suppressed by state; one arriving BEHIND the watermark
+    * is discarded as late data before it reaches the state store — so
+    * bounded state never costs duplicate leakage, only the general
+    * lateness rule every watermarked operator already imposes. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      tsCol: String = "ts", watermark: String = "1 day"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else events.dropDuplicates(keys)
+
   /** Gap-based sessionization (batch form): a new session starts when the
     * gap to the previous event of the same user reaches `gapMs` (split on
     * gap >= gapMs — the same boundary rule as Spark's `session_window`, so

@@ -89,6 +89,33 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("epochShuffle equals the single-partition window deal; seed re-deals") {
+    val ids = (0L until 300L).map(i => i * 3 + 1) // sparse, non-contiguous
+    for (parts <- Seq(1, 4, 13)) {
+      val df = ids.toDF("id").repartition(parts)
+      val got = Corpus.epochShuffle(df, seed = "e7", nShards = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      // reference: rank in md5("e7:" || id) order, dealt round-robin
+      val hashes = ids.toDF("id")
+        .select(col("id"), md5(concat_ws(":", lit("e7"), col("id").cast("string"))))
+        .as[(Long, String)].collect().toMap
+      val exp = ids.sortBy(i => (hashes(i), i)).zipWithIndex.map {
+        case (id, k) => id -> (((k % 4).toInt, k.toLong / 4))
+      }.toMap
+      assert(got === exp, s"parts=$parts")
+    }
+    // shards are balanced to within one row, and a different seed deals a
+    // different order (the next epoch)
+    val a = Corpus.epochShuffle(ids.toDF("id"), "e7", 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val sizes = a.groupBy(_._2).view.mapValues(_.length).values.toSet
+    assert(sizes === Set(75))
+    val b = Corpus.epochShuffle(ids.toDF("id"), "e8", 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSet !== b.toSet, "a new seed must re-deal the epoch")
+    assert(a.map(_._1).sorted === b.map(_._1).sorted, "same corpus either way")
+  }
+
   test("boilerplateClean drops high-df chunks and reassembles in order") {
     val header = (1 to 10).map(i => s"h$i").mkString(" ")
     val docs = Seq(

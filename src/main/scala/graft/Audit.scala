@@ -407,6 +407,14 @@ object Audit {
           l.contains("Scan ExistingRDD") && i > 0 &&
             ls(i - 1).contains("BroadcastExchange") }
       }))
+    audit("q154_dsir_select")(
+      // the nBuckets-row log-ratio table is the broadcast side; the
+      // exploded gram stream is never shuffled for the join
+      ("log-ratio table broadcast-joined", _.contains("BroadcastHashJoin")),
+      ("no nested-loop on the gram stream", p =>
+        // the 1-row totals crossJoin is the only (intentional) BNLJ
+        "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1),
+      ("top-k never a global sort", _.contains("TakeOrderedAndProject")))
     audit("q143_heavy_hitters")(
       // the two-pass claim: the returned plan is ONE probe scan whose
       // map-side literal CMS filter precedes the count shuffle — the

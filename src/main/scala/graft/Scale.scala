@@ -229,8 +229,14 @@ object ScaleBench {
       for (t <- Seq("lineitem", "orders", "documents", "embeddings"))
         spark.read.parquet(s"$dir/$t.parquet").count()
       Tables.events(spark, dir).count()
+      // SPARK_GRAFT_SCALE_NOMEMO=1 skips the ANN-stack index builds — for
+      // sweeps over queries that touch none of them (streaming, dedup,
+      // text), the ~30 min of 100× build work is pure waste; queries that
+      // DO need a memo still build it lazily inside their first pass
+      // (min-of-passes then times the probe, as always)
       val m0 = System.nanoTime()
-      SparkEntry.prebuildScaleMemos(spark, dir)
+      if (!sys.env.get("SPARK_GRAFT_SCALE_NOMEMO").contains("1"))
+        SparkEntry.prebuildScaleMemos(spark, dir)
       val memoSecs = (System.nanoTime() - m0) / 1e9
 
       val timings = scala.collection.mutable.LinkedHashMap(

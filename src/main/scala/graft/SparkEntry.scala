@@ -1594,6 +1594,41 @@ object SparkEntry {
         seed = "ep1", nShards = 8)
         .orderBy(col("shard"), col("pos"))),
 
+    // ---- DSIR importance-resampling selection: rank non-English docs by
+    // how English-like their hashed word-bigram features are (target =
+    // the en subset, raw = the whole corpus) — the cheap domain-matching
+    // score a pretraining pipeline runs before sampling. The nBuckets-row
+    // log-ratio table broadcasts; everything else is linear passes
+    "q154_dsir_select" -> ((s, dir) =>
+      Corpus.dsirScores(
+        Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("text"), col("lang")),
+        isTarget = col("lang") === "en")
+        .orderBy(desc("score"), asc("id"))
+        .limit(100)),
+
+    // ---- SOFT dedup via weighted sampling: each exact-text group gets
+    // ONE doc's expected representation (weight 1/n_copies through the
+    // q144 ES-key machinery — ln(u)·n_copies is an exact integer multiply
+    // both engines replay); nothing is deleted, duplication is just
+    // downweighted — the sampling-policy counterpart of q24's hard dedup
+    "q155_softdedup_sample" -> ((s, dir) =>
+      Dedup.softDedupKeys(docsWithDups(s, dir))
+        .orderBy(desc("es_key"), asc("id"))
+        .limit(100)),
+
+    // ---- leakage-safe split: the split key hashes the TEXT (exact dups
+    // co-travel, so test can never hold a train twin); the query reports
+    // the per-(lang, split) doc and distinct-text counts
+    "q156_safe_split" -> ((s, dir) =>
+      Corpus.safeSplit(
+        Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("text"), col("lang")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_texts"))
+        .orderBy(col("lang"), col("split"))),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -3523,6 +3558,40 @@ object SparkEntry {
          |r AS (SELECT id, row_number() OVER (ORDER BY h, id) - 1 AS rk FROM h)
          |SELECT id, CAST(rk % 8 AS INT) AS shard, rk // 8 AS pos
          |FROM r ORDER BY shard, pos""".stripMargin,
+
+    "q154_dsir_select" ->
+      s"""WITH d AS (SELECT doc_id AS id, lang, string_split(text, ' ') AS w FROM documents),
+         |bi AS (SELECT id, lang,
+         |    (('0x' || substr(md5('dsir:' || s['w1'] || ' ' || s['w2']), 1, 8))::BIGINT % 512) AS b
+         |  FROM (SELECT id, lang, unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> {'w1': w[i], 'w2': w[i+1]})) AS s FROM d WHERE len(w) >= 2)),
+         |st AS (SELECT b, count(*) AS cr,
+         |    count(*) FILTER (WHERE lang = 'en') AS ct FROM bi GROUP BY b),
+         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM st),
+         |lr AS (SELECT b, ln((ct + 0.5) / (nt + 256.0)) - ln((cr + 0.5) / (nr + 256.0)) AS lr
+         |  FROM st, tot),
+         |sc AS (SELECT bi.id, count(*) AS n_grams,
+         |    ${Oracles.rHU("avg(lr)", 4)} AS score
+         |  FROM bi JOIN lr USING (b) WHERE bi.lang <> 'en' GROUP BY bi.id)
+         |SELECT id, n_grams, score FROM sc ORDER BY score DESC, id LIMIT 100""".stripMargin,
+
+    "q155_softdedup_sample" ->
+      s"""WITH ${Oracles.dupDocsCte},
+         |c AS (SELECT id, count(*) OVER (PARTITION BY md5(text)) AS n_copies FROM ddocs),
+         |k AS (SELECT id, n_copies,
+         |    ${Oracles.rHU("ln((('0x' || substr(md5('sdsamp:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0) * n_copies", 9)} AS es_key
+         |  FROM c)
+         |SELECT id, n_copies, es_key FROM k ORDER BY es_key DESC, id LIMIT 100""".stripMargin,
+
+    "q156_safe_split" ->
+      s"""WITH d AS (SELECT doc_id AS id, lang, text,
+         |    ('0x' || substr(md5('split:' || text), 1, 8))::BIGINT % 100 AS b
+         |  FROM documents),
+         |s AS (SELECT lang, CASE WHEN b < 80 THEN 'train'
+         |    WHEN b < 90 THEN 'val' ELSE 'test' END AS split, text FROM d)
+         |SELECT lang, split, count(*) AS n_docs,
+         |  count(DISTINCT md5(text)) AS n_texts
+         |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "q36_multimodal_decode" ->
       s"""WITH d AS (SELECT doc_id AS id, text FROM documents),

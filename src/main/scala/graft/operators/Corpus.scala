@@ -450,6 +450,78 @@ object Corpus {
     }.toDF("id", "shard", "pos")
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each candidate
+    * document by how much more likely its hashed word-bigram features are
+    * under the TARGET distribution than under the RAW corpus
+    * distribution. score(doc) = avg over its bigrams of
+    * ln p̂_tgt(bucket) − ln p̂_raw(bucket), with add-0.5 smoothing over
+    * `nBuckets` hashed feature buckets; high scores = raw docs that look
+    * like the target domain — the standard cheap proxy for "select
+    * pretraining data resembling a trusted corpus".
+    *
+    * Bucket hash is md5-based so an external engine replays it verbatim;
+    * the per-doc average is half-up rounded to 4 dp (the repo-wide ln
+    * convention) so summation order never flips a comparison.
+    *
+    * Scale: one explode pass over the corpus (linear), TWO aggregations
+    * whose result is `nBuckets` rows (map-side combined — the shuffle
+    * carries ≤ nBuckets rows per partition regardless of corpus size), a
+    * broadcast of the nBuckets-row log-ratio table back onto the
+    * exploded grams, and a per-doc aggregation. No all-pairs, no
+    * corpus-sized broadcast, no driver loop — the same shape at 100 TB
+    * with a bigger bucket count. */
+  def dsirScores(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+      nBuckets: Int = 512): DataFrame = {
+    import graft.functions.VectorFunctions.roundHU
+    val bkt = docs
+      .select(col("id"), isTarget.as("tgt"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("id"), col("tgt"), explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1), " +
+          "(w, i) -> concat(w, ' ', ws[i + 1]))")).as("g"))
+      .select(col("id"), col("tgt"),
+        (conv(substring(md5(concat(lit("dsir:"), col("g"))), 1, 8), 16, 10)
+          .cast("long") % nBuckets).as("b"))
+    val stats = bkt.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    // corpus-total gram counts: one broadcast-able row
+    val tot = stats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val half = lit(nBuckets * 0.5)
+    val lr = stats.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + lit(0.5)) / (col("nt") + half)) -
+          log((col("cr") + lit(0.5)) / (col("nr") + half))).as("lr"))
+    // buckets absent from the corpus cannot occur in any doc (docs are a
+    // subset of the corpus), so the stats table is complete for the join
+    bkt.where(!col("tgt"))
+      .join(broadcast(lr), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), roundHU(avg(col("lr")), 4).as("score"))
+  }
+
+  /** LEAKAGE-SAFE deterministic train/val/test split: the split key is a
+    * hash of the TEXT, not the id — exact duplicates always land in the
+    * same split, so a held-out doc can never have a train-set twin (the
+    * classic contamination bug an id-keyed split invites; q115 audits
+    * NEAR-dup leakage across a given split, this prevents the exact-dup
+    * case by construction). Deterministic, data-independent, map-only:
+    * any executor can split any row with no coordination, and re-running
+    * on a grown corpus never moves a previously-assigned text.
+    *
+    * Buckets are md5-derived (the oracle-replayable convention);
+    * `trainPct`/`valPct` are integer percents of the 100-bucket space. */
+  def safeSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "need a nonempty test slice")
+    val b = conv(substring(md5(concat(lit("split:"), col("text"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    docs.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Boilerplate removal (CCNet-shape): split each doc into fixed
     * `chunkWords`-word chunks, count each chunk text's document frequency
     * WITHIN its source (the "per-domain" grouping), drop chunks appearing

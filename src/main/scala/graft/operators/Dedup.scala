@@ -744,4 +744,31 @@ object Dedup {
         roundHU(cosineSim(col("vec_a"), col("vec_b")), 4).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** SOFT dedup by sampling instead of dropping: every doc gets an
+    * Efraimidis–Spirakis key for weight 1/n_copies (n_copies = size of
+    * its exact-text group), so a text duplicated c times has each copy
+    * sampled with 1/c of a unique doc's intensity — the group as a whole
+    * carries ONE doc's expected representation, without ever deleting a
+    * row (the soft policy real pipelines prefer over hard dedup when
+    * duplication correlates with quality). Key arithmetic: for weight w,
+    * the ES key is ln(u)/w = ln(u)·n_copies — an exact integer multiply
+    * of the q144 hash-derived u, so both engines compute the identical
+    * product before the half-up rounding; top-k by key descending is the
+    * weighted sample without replacement.
+    *
+    * Scale: one shuffle on the text hash (the per-hash window's partition
+    * is a dup group, bounded), map-only key arithmetic, and a
+    * TakeOrderedAndProject top-k — never a global sort. */
+  def softDedupKeys(docs: DataFrame): DataFrame = {
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val u = (conv(substring(md5(concat(lit("sdsamp:"),
+      col("id").cast("string"))), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    docs
+      .withColumn("n_copies", count(lit(1)).over(byHash))
+      .select(col("id"), col("n_copies"),
+        roundHU(log(u) * col("n_copies").cast("double"), 9).as("es_key"))
+  }
 }

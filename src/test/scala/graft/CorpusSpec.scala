@@ -116,6 +116,64 @@ class CorpusSpec extends SparkSpec {
     assert(a.map(_._1).sorted === b.map(_._1).sorted, "same corpus either way")
   }
 
+  test("dsirScores: hand-replayed smoothed log-ratio; target-like doc wins") {
+    // grams: d1(tgt): "a b","b a","a b"; d2(tgt): "a b","b c";
+    //        d3(cand): "a b","b q","q q"; d4(cand): "q q","q q"
+    val docs = Seq(
+      (1L, "a b a b", "en"), (2L, "a b c", "en"),
+      (3L, "a b q q", "de"), (4L, "q q q", "de")).toDF("id", "text", "lang")
+    val nB = 512
+    val got = Corpus.dsirScores(docs, col("lang") === "en", nB)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // replay: bucket each distinct gram with the operator's md5 formula,
+    // then the smoothed ratio arithmetic in plain doubles
+    val grams = Seq( // (gram, raw occurrences, target occurrences)
+      ("a b", 4L, 3L), ("b a", 1L, 1L), ("b c", 1L, 1L),
+      ("b q", 1L, 0L), ("q q", 3L, 0L))
+    val bOf = grams.map(_._1).map { g =>
+      val h = Seq((g, 0)).toDF("g", "z")
+        .select(conv(substring(md5(concat(lit("dsir:"), col("g"))), 1, 8), 16, 10)
+          .cast("long") % nB).as[Long].head()
+      g -> h
+    }.toMap
+    // buckets must be collision-free for this fixture or the replay below
+    // is wrong by construction
+    assert(bOf.values.toSet.size === grams.size)
+    val nr = 10.0; val nt = 5.0
+    def lr(g: String): Double = {
+      val (_, cr, ct) = grams.find(_._1 == g).get
+      math.log((ct + 0.5) / (nt + nB * 0.5)) - math.log((cr + 0.5) / (nr + nB * 0.5))
+    }
+    def rh(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp3 = rh((lr("a b") + lr("b q") + lr("q q")) / 3)
+    val exp4 = rh((lr("q q") + lr("q q")) / 2)
+    assert(got === Map(3L -> ((3L, exp3)), 4L -> ((2L, exp4))))
+    assert(exp3 > exp4, "the doc sharing a target gram must rank higher")
+  }
+
+  test("safeSplit: exact dups co-travel; deterministic; slices partition 100") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "alpha beta gamma"), // exact dup of 1 — must share 1's split
+      (4L, "eta theta iota"), (5L, "kappa lambda mu")).toDF("id", "text")
+    val s1 = Corpus.safeSplit(docs).select("id", "split").as[(Long, String)]
+      .collect().toMap
+    assert(s1(1L) === s1(3L), "exact dups must land in the same split")
+    // deterministic across invocations and row order
+    val s2 = Corpus.safeSplit(docs.orderBy(desc("id")))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(s1 === s2)
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    // boundary contract on the bucket space itself: 80/10/10
+    val buckets = (0 until 100).map { b =>
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    assert(buckets.count(_ == "train") === 80)
+    assert(buckets.count(_ == "val") === 10)
+    assert(buckets.count(_ == "test") === 10)
+    intercept[IllegalArgumentException](Corpus.safeSplit(docs, 95, 5))
+  }
+
   test("boilerplateClean drops high-df chunks and reassembles in order") {
     val header = (1 to 10).map(i => s"h$i").mkString(" ")
     val docs = Seq(

@@ -291,4 +291,25 @@ class DedupSpec extends SparkSpec {
     val hits = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(hits.exists(h => h._1 == 7L && h._2 == 100007L && h._3 == 1.0))
   }
+
+  test("softDedupKeys: n_copies from exact-text groups; ln(u)·c replayed") {
+    val got = Dedup.softDedupKeys(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // docs 0 and 3 share a text (n_copies 2); 1 and 2 are unique
+    assert(got.view.mapValues(_._1).toMap ===
+      Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // replay the key arithmetic: u from the md5 hex prefix, times n_copies
+    def key(id: Long, c: Long): Double = {
+      val hex = Seq((id, 0)).toDF("id", "z")
+        .select(substring(md5(concat(lit("sdsamp:"), col("id").cast("string"))), 1, 8))
+        .as[String].head()
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      BigDecimal(math.log(u) * c)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { case (id, (c, k)) => assert(k === key(id, c), s"id=$id") }
+    // the weight contract: a copy's key is its unique-weight key DOUBLED
+    // (more negative), so each dup group competes as one doc in the top-k
+    assert(got(0L)._2 < key(0L, 1L))
+  }
 }

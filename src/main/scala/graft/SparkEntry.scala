@@ -1629,6 +1629,15 @@ object SparkEntry {
           countDistinct(md5(col("text"))).as("n_texts"))
         .orderBy(col("lang"), col("split"))),
 
+    // ---- INTER-frame video: animated GIF89a round trip — keyframe plus
+    // per-frame changed RECTANGLES, LZW-compressed and composited over
+    // the running canvas (disposal 1); the oracle computes each composited
+    // canvas analytically (latest rect covering each pixel wins), so the
+    // hash proves parse + LZW + compositing end-to-end
+    "q157_gif_anim" -> ((s, dir) =>
+      Multimodal.gifAnimRoundTripStats(s,
+        Tables.documents(s, dir).select(col("doc_id").as("id")))),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -3592,6 +3601,34 @@ object SparkEntry {
          |SELECT lang, split, count(*) AS n_docs,
          |  count(DISTINCT md5(text)) AS n_texts
          |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    // the composited canvas computed analytically: for each pixel, the
+    // LATEST frame rect covering it wins, else the keyframe formula
+    "q157_gif_anim" ->
+      s"""WITH v AS (SELECT doc_id AS id, 16 + (doc_id % 3) * 8 AS w,
+         |    16 + (doc_id % 2) * 8 AS h, 2 + doc_id % 3 AS nf FROM documents),
+         |fr AS (SELECT id, w, h, unnest(generate_series(0, nf - 1)) AS f FROM v),
+         |px AS (SELECT id, w, h, f, unnest(generate_series(0, w * h - 1)) AS i FROM fr),
+         |pt AS (SELECT id, w, h, f, i % w AS x, i // w AS y FROM px),
+         |rects AS (SELECT id, (id + 3 * g) % (w - 8) AS rx,
+         |    (id * 2 + 5 * g) % (h - 8) AS ry, g
+         |  FROM (SELECT id, w, h, unnest(generate_series(1, nf - 1)) AS g FROM v)),
+         |lg AS (SELECT p.id, p.w, p.h, p.f, p.x, p.y, max(r.g) AS g
+         |  FROM pt p LEFT JOIN rects r ON r.id = p.id AND r.g <= p.f
+         |    AND p.x >= r.rx AND p.x < r.rx + 8
+         |    AND p.y >= r.ry AND p.y < r.ry + 8
+         |  GROUP BY p.id, p.w, p.h, p.f, p.x, p.y),
+         |vv AS (SELECT id, w, h, f,
+         |    CASE WHEN g IS NULL THEN (id * 7 + x * 3 + y * 5) % 256
+         |      ELSE (id * 11 + g * 13 + x * 3 + y * 5) % 256 END AS v
+         |  FROM lg)
+         |SELECT id, CAST(f AS INT) AS frame_idx,
+         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CAST(CASE WHEN f = 0 THEN 0 ELSE (id + 3 * f) % (w - 8) END AS INT) AS rect_x,
+         |  CAST(CASE WHEN f = 0 THEN 0 ELSE (id * 2 + 5 * f) % (h - 8) END AS INT) AS rect_y,
+         |  CAST(sum(v) AS BIGINT) AS pix_sum,
+         |  CAST(min(v) AS INT) AS pix_min, CAST(max(v) AS INT) AS pix_max
+         |FROM vv GROUP BY id, f, w, h""".stripMargin,
 
     "q36_multimodal_decode" ->
       s"""WITH d AS (SELECT doc_id AS id, text FROM documents),

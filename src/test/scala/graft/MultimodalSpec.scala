@@ -120,4 +120,74 @@ class MultimodalSpec extends SparkSpec {
       assert((x & ~0x1ffL) === 0L, s"id=$id flipped bits outside band 0")
     }
   }
+
+  test("GIF LZW round-trips, including the 4096-table overflow + CLEAR path") {
+    val rnd = new scala.util.Random(42)
+    // random bytes defeat the dictionary -> table overflows 4096 and the
+    // encoder must emit CLEAR; structured runs exercise long matches
+    val cases = Seq(
+      Array.tabulate(10000)(_ => rnd.nextInt(256).toByte),
+      Array.tabulate(5000)(i => (i / 100).toByte),
+      Array.fill(3000)(7.toByte),
+      Array[Byte](42),
+      Array.tabulate(64)(i => i.toByte))
+    cases.foreach { data =>
+      val enc = Multimodal.lzwEncode(data, 8)
+      val dec = Multimodal.lzwDecode(enc, 8, data.length)
+      assert(dec.toSeq === data.toSeq, s"n=${data.length}")
+    }
+  }
+
+  test("encodeGif conforms to GIF89a: javax.imageio reads every frame back") {
+    import javax.imageio.ImageIO
+    for (id <- Seq(0L, 1L, 5L, 12345L)) {
+      val (w, h, frames) = Multimodal.syntheticGifAnim(id)
+      val gif = Multimodal.encodeGif(w, h, frames)
+      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(gif))
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(iis)
+      assert(reader.getNumImages(true) === frames.length, s"id=$id")
+      frames.zipWithIndex.foreach { case ((rx, ry, rw, rh, px), f) =>
+        val img = reader.read(f) // the UNcomposited frame sub-image
+        assert(img.getWidth === rw && img.getHeight === rh, s"id=$id f=$f")
+        // identity grayscale palette: index i -> gray i, so the red
+        // channel of the JDK's independent decode must equal our indices
+        for (y <- 0 until rh; x <- 0 until rw) {
+          val got = (img.getRGB(x, y) >> 16) & 0xff
+          assert(got === (px(y * rw + x) & 0xff), s"id=$id f=$f ($x,$y)")
+        }
+        // the frame's canvas position survives the container round trip
+        val md = reader.getImageMetadata(f)
+          .getAsTree("javax_imageio_gif_image_1.0")
+        val desc = {
+          var n = md.getFirstChild
+          while (n != null && n.getNodeName != "ImageDescriptor") n = n.getNextSibling
+          n.getAttributes
+        }
+        assert(desc.getNamedItem("imageLeftPosition").getNodeValue.toInt === rx)
+        assert(desc.getNamedItem("imageTopPosition").getNodeValue.toInt === ry)
+      }
+      reader.dispose()
+    }
+  }
+
+  test("decodeGif composites dirty rects over the running canvas") {
+    val w = 16; val h = 16
+    val key = Array.fill(w * h)(5.toByte)
+    val rect = Array.fill(64)(7.toByte)
+    val gif = Multimodal.encodeGif(w, h,
+      Seq((0, 0, w, h, key), (2, 3, 8, 8, rect)))
+    val (dw, dh, frames) = Multimodal.decodeGif(gif)
+    assert(dw === w && dh === h && frames.length === 2)
+    assert(frames(0)._3.forall(_ === 5.toByte))
+    val (rx, ry, canvas) = frames(1)
+    assert((rx, ry) === ((2, 3)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val in = x >= 2 && x < 10 && y >= 3 && y < 11
+      assert((canvas(y * w + x) & 0xff) === (if (in) 7 else 5), s"($x,$y)")
+    }
+    // truncation is rejected loudly, not mis-decoded
+    intercept[IllegalArgumentException](
+      Multimodal.decodeGif(gif.take(gif.length - 10)))
+  }
 }

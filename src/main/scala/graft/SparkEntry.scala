@@ -1629,6 +1629,55 @@ object SparkEntry {
           countDistinct(md5(col("text"))).as("n_texts"))
         .orderBy(col("lang"), col("split"))),
 
+    // ---- timeout-finalized sessionization on Spark 4's
+    // transformWithState (event-time timers + two named state variables,
+    // RocksDB state store): sessions are PUSHED as closed the moment the
+    // watermark passes last_event + gap, vs q35's pull-based batch
+    // recompute. A far-future sentinel (filtered from the output, its own
+    // session never closes) advances the watermark so every real session
+    // finalizes; the oracle replays the batch gap-sessionization
+    "q158_timed_sessions" -> ((s, dir) => {
+      val base = tmpArtifact("tsess", dir, "")
+      fileOnce.computeIfAbsent(base, _ => {
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(del)
+          f.delete()
+        }
+        val root = new java.io.File(base)
+        if (root.exists) del(root)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        ev.coalesce(1).write.parquet(s"$base/feed")
+        ev.limit(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+            to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
+            lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").parquet(s"$base/feed")
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val q = Streaming.timedSessions(
+              s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+                .parquet(s"$base/feed"))
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$base/sessions")
+            .option("checkpointLocation", s"$base/ckpt")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+        true
+      })
+      s.read.parquet(s"$base/sessions")
+        .where(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // ---- INTER-frame video: animated GIF89a round trip — keyframe plus
     // per-frame changed RECTANGLES, LZW-compressed and composited over
     // the running canvas (disposal 1); the oracle computes each composited
@@ -3601,6 +3650,19 @@ object SparkEntry {
          |SELECT lang, split, count(*) AS n_docs,
          |  count(DISTINCT md5(text)) AS n_texts
          |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    // the stream's timer-closed sessions == the batch gap sessionization
+    // (every real session closes under the sentinel-advanced watermark)
+    "q158_timed_sessions" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events),
+         |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+         |n AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 300000 THEN 1 ELSE 0 END AS new_s FROM l),
+         |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n)
+         |SELECT user_id, session_id, count(*) AS n_events, min(ms) AS start_ms,
+         |  max(ms) AS end_ms, round(sum(value), 2) AS sum_value
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
 
     // the composited canvas computed analytically: for each pixel, the
     // LATEST frame rect covering it wins, else the keyframe formula

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor}
 
 /** Event-stream operators over the `events` table. The transformations are
   * written once as DataFrame functions and run EITHER on a batch read or a
@@ -260,6 +260,110 @@ object Streaming {
           state.update(BandState(seen))
           out.iterator
       }
+  }
+
+  final case class SessEv(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  final case class OpenSess(sid: Long, n: Long, start: Long, last: Long,
+      sum: Double, tmr: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      start_ms: Long, end_ms: Long, sum_value: Double)
+
+  /** Timeout-finalized sessionization on Spark 4's `transformWithState` —
+    * the arbitrary-state API with EXPLICIT event-time timers and multiple
+    * named state variables (the successor to [[runningUserTotals]]'s
+    * flatMapGroupsWithState). Per user: an `open` ValueState accumulates
+    * the current session; every batch re-registers one event-time timer
+    * at last_event + gap; when the WATERMARK passes that instant the
+    * timer fires, the session is emitted as CLOSED and its state cleared
+    * — the push-based "session ended" signal a downstream consumer wants,
+    * vs. q35's pull-based batch recompute. A second `next_sid` state
+    * variable persists the per-user session counter across closes, so
+    * numbering matches the batch oracle exactly.
+    *
+    * Scale shape: one shuffle on user_id into RocksDB-backed state
+    * stores (transformWithState requires the RocksDB provider — its
+    * multi-column-family layout holds the state variables and timers);
+    * state per user = one open session + one long, evicted on close;
+    * timers are one per user. In-batch events are sorted per key by
+    * (ms, event_id) — the oracle's tie order — before folding. */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessEv, SessionOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var open: ValueState[OpenSess] = _
+    @transient private var nextSid: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[OpenSess]("open",
+        Encoders.product[OpenSess], TTLConfig.NONE)
+      nextSid = getHandle.getValueState[Long]("next_sid",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def emit(uid: Long, c: OpenSess): SessionOut =
+      SessionOut(uid, c.sid, c.n, c.start, c.last,
+        BigDecimal(c.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEv],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = Vector.empty[SessionOut]
+      var cur: Option[OpenSess] = if (open.exists()) Some(open.get()) else None
+      // the old timer is superseded by whatever this batch ends on
+      cur.foreach(c => getHandle.deleteTimer(c.tmr))
+      sorted.foreach { e =>
+        val ms = e.ts.getTime
+        cur match {
+          case Some(c) if ms - c.last < gapMs =>
+            cur = Some(c.copy(n = c.n + 1, last = ms, sum = c.sum + e.value))
+          case Some(c) => // gap inside the batch: close inline, open next
+            out :+= emit(key, c)
+            cur = Some(OpenSess(c.sid + 1, 1, ms, ms, e.value, 0L))
+          case None =>
+            val sid = if (nextSid.exists()) nextSid.get() else 1L
+            cur = Some(OpenSess(sid, 1, ms, ms, e.value, 0L))
+        }
+      }
+      cur.foreach { c =>
+        val t = c.last + gapMs
+        open.update(c.copy(tmr = t))
+        nextSid.update(c.sid + 1)
+        getHandle.registerTimer(t)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (open.exists()) {
+        val c = open.get()
+        if (info.getExpiryTimeInMs == c.tmr) { // the live session's timer
+          open.clear() // next_sid survives: numbering continues after close
+          Iterator.single(emit(key, c))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** Streaming entry for [[SessionTimeoutProcessor]]. Input must be a
+    * STREAMING frame with (user_id, event_id, ts, value); emits one row
+    * per CLOSED session (closure = event-time watermark passes
+    * last_event + gap). The batch twin is [[sessionize]] — same gap rule,
+    * same tie order, same rounding — restricted to sessions the watermark
+    * has passed. */
+  def timedSessions(events: DataFrame, gapMs: Long = 300000L,
+      watermark: String = "1 minute"): Dataset[SessionOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withWatermark("ts", watermark)
+      .as[SessEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** Streaming EXACT DEDUP under at-least-once delivery — the ingest-side

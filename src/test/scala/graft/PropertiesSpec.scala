@@ -203,4 +203,56 @@ class PropertiesSpec extends SparkSpec {
       assert(rebuilt.toString === word, s"$vocab $word -> $toks")
     }
   }
+
+  test("epochShuffle is a balanced permutation for any id set and shard count") {
+    val idsGen = Gen.containerOfN[Set, Long](60, Gen.chooseNum(0L, 100000L))
+    forAll(idsGen.suchThat(_.nonEmpty), Gen.chooseNum(1, 8)) { (ids, shards) =>
+      val out = graft.operators.Corpus
+        .epochShuffle(ids.toSeq.toDF("id"), seed = "p", nShards = shards)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      // a permutation: same ids out, every (shard, pos) slot distinct
+      assert(out.map(_._1).sorted === ids.toSeq.sorted)
+      assert(out.map(t => (t._2, t._3)).distinct.length === out.length)
+      // round-robin deal: shard sizes differ by <= 1, positions contiguous
+      val bySh = out.groupBy(_._2)
+      assert(bySh.values.map(_.length).max - bySh.values.map(_.length).min <= 1)
+      bySh.foreach { case (_, rows) =>
+        assert(rows.map(_._3).sorted === (0L until rows.length).toVector)
+      }
+    }
+  }
+
+  test("safeSplit: same text same split, any (train, val) percents") {
+    val txtGen = Gen.containerOfN[Vector, String](30,
+      Gen.oneOf("a b", "c d e", "f", "g h i j", "k l"))
+    forAll(txtGen, Gen.chooseNum(1, 70)) { (texts, tp) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val got = graft.operators.Corpus.safeSplit(docs, tp, 10)
+        .select("id", "text", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // the split is a FUNCTION of the text alone
+      got.groupBy(_._2).foreach { case (_, rows) =>
+        assert(rows.map(_._3).distinct.length === 1)
+      }
+      assert(got.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    }
+  }
+
+  test("GIF LZW encode/decode round-trips arbitrary byte arrays") {
+    val bytesGen = for {
+      n <- Gen.chooseNum(0, 3000)
+      mode <- Gen.oneOf("random", "runs", "cycle")
+    } yield mode match {
+      case "random" =>
+        val r = new scala.util.Random(n); Array.fill(n)(r.nextInt(256).toByte)
+      case "runs" => Array.tabulate(n)(i => (i / 37).toByte)
+      case "cycle" => Array.tabulate(n)(i => (i % 5).toByte)
+    }
+    forAll(bytesGen, 15) { data =>
+      val enc = graft.operators.Multimodal.lzwEncode(data, 8)
+      val dec = graft.operators.Multimodal.lzwDecode(enc, 8, data.length)
+      assert(dec.toSeq === data.toSeq, s"n=${data.length}")
+    }
+  }
 }

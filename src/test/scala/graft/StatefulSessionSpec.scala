@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.Streaming
+import graft.operators.Streaming.SessEv
+
+/** Streaming.timedSessions — timeout-finalized sessionization on Spark 4's
+  * transformWithState (event-time timers + two named state variables,
+  * RocksDB state store). Pins: in-batch gap closes a session inline; the
+  * event-time TIMER closes the trailing session once the watermark passes
+  * last + gap; the `next_sid` state variable keeps per-user numbering
+  * continuous across timer closes; an open session is never emitted. */
+class StatefulSessionSpec extends SparkSpec {
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("in-batch close, timer close on watermark, sid continuity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[SessEv]
+    val q = Streaming.timedSessions(in.toDS().toDF())
+      .writeStream.outputMode("append").format("memory").queryName("tsess")
+      .start()
+    try {
+      def rows() = spark.table("tsess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+      in.addData(Seq(
+        SessEv(7L, 1L, t("2024-01-10 12:00:00"), 1.0),
+        SessEv(7L, 2L, t("2024-01-10 12:02:00"), 2.0),
+        SessEv(7L, 3L, t("2024-01-10 12:20:00"), 3.0), // 18 min gap: new session
+        SessEv(8L, 9L, t("2024-01-20 00:00:00"), 5.0))) // watermark advancer
+      q.processAllAvailable()
+      val ms0 = t("2024-01-10 12:00:00").getTime
+      val s1 = (7L, 1L, 2L, ms0, ms0 + 120000L, 3.0)
+      val ms2 = t("2024-01-10 12:20:00").getTime
+      val s2 = (7L, 2L, 1L, ms2, ms2, 3.0)
+      // s1 closes INLINE (the 18-min gap inside the batch); s2 closes by
+      // TIMER in the no-data micro-batch Spark runs once the watermark
+      // (Jan 19 23:59, from the advancer) has passed s2's last + gap.
+      // User 8's own session stays open — never emitted.
+      assert(rows() === Set(s1, s2),
+        "inline gap close + timer close; open sessions never emit")
+      // user 7 returns much later: numbering continues at 3 (next_sid
+      // survived the timer close); a far advancer closes it via timer
+      in.addData(Seq(SessEv(7L, 11L, t("2024-01-21 08:00:00"), 4.0)))
+      q.processAllAvailable()
+      // the Jan-21 watermark also passes user 8's Jan-20 timer — that
+      // session closes too; user 7's NEW session stays open
+      val ms8 = t("2024-01-20 00:00:00").getTime
+      val u8 = (8L, 1L, 1L, ms8, ms8, 5.0)
+      assert(rows() === Set(s1, s2, u8), "user 7's new session still open")
+      in.addData(Seq(SessEv(8L, 12L, t("2024-01-25 00:00:00"), 5.0)))
+      q.processAllAvailable()
+      val ms3 = t("2024-01-21 08:00:00").getTime
+      val s3 = (7L, 3L, 1L, ms3, ms3, 4.0)
+      assert(rows() === Set(s1, s2, u8, s3), "sid continuity across timer closes")
+    } finally {
+      q.stop()
+      if (prevProvider.isEmpty)
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+    }
+  }
+}

@@ -407,6 +407,14 @@ object Audit {
           l.contains("Scan ExistingRDD") && i > 0 &&
             ls(i - 1).contains("BroadcastExchange") }
       }))
+    audit("q159_phrase_prod_layout")(
+      // the composed layout: bucketed bigram scan feeds the SMJ directly;
+      // the only hash Exchange on the bigram key is the tiny pair side
+      ("bucketed bigram scan (8 buckets)",
+        _.contains("SelectedBucketsCount: 8 out of 8")),
+      ("sort-merge join on the pair key", _.contains("SortMergeJoin")),
+      ("index never re-shuffled (one pair-key exchange: the phrase side)",
+        p => "Exchange hashpartitioning\\(b#".r.findAllIn(p).size == 1))
     audit("q154_dsir_select")(
       // the nBuckets-row log-ratio table is the broadcast side; the
       // exploded gram stream is never shuffled for the join

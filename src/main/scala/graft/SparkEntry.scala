@@ -1629,6 +1629,20 @@ object SparkEntry {
           countDistinct(md5(col("text"))).as("n_texts"))
         .orderBy(col("lang"), col("split"))),
 
+    // ---- the PRODUCTION phrase layout: bigram key (q150's selectivity)
+    // bucketed by that key (q149's zero-Exchange discipline) — the
+    // composition SCALE.md's finding 2 concludes with; answers identical
+    // to q145/q149/q150 (the same oracle replays)
+    "q159_phrase_prod_layout" -> ((s, dir) => {
+      val phrases = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text"))
+        .where(size(split(col("text"), " ")) >= 3 && col("doc_id") % 25 === 0)
+        .select(col("id").as("qid"),
+          posexplode(slice(split(col("text"), " "), 1, 3)).as(Seq("i", "term")))
+      Retrieval.phraseMatchBigram(s.table(bucketedBigramIndexMemo(s, dir)),
+        phrases, coLocated = true)
+    }),
+
     // ---- timeout-finalized sessionization on Spark 4's
     // transformWithState (event-time timers + two named state variables,
     // RocksDB state store): sessions are PUSHED as closed the moment the
@@ -2215,6 +2229,25 @@ object SparkEntry {
     t
   }
 
+  /** The PRODUCTION phrase layout: the bigram index (selectivity in the
+    * key, q150) written `bucketBy(b)` (zero index-side Exchange, q149's
+    * layout discipline) — both measured fixes composed. */
+  private def bucketedBigramIndexMemo(s: SparkSession, dir: String): String = {
+    val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val t = s"graft_bkt_bgidx_$slug"
+    fileOnce.computeIfAbsent(s"bktbgidx:$dir", _ => {
+      Layout.writeBucketed(
+        Retrieval.positionalBigramIndex(
+          Tables.documents(s, dir)
+            .select(col("doc_id").as("id"), col("text"))
+            .where(size(split(col("text"), " ")) >= 3)),
+        numBuckets = 8, key = "b", tableName = t,
+        path = tmpArtifact("bkt_bgidx", dir, ""))
+      true
+    })
+    t
+  }
+
   /** The BM25 index pinned (tf/dl/idf tables + avgdl) — index-BUILD work
     * by the same rule as the PQ codes; q107 times the PROBE over it. */
   private val bm25IdxMemo =
@@ -2320,6 +2353,7 @@ object SparkEntry {
     posIndexPinned(s, dir)                                   // q145 index
     bucketedPosIndexMemo(s, dir)                             // q149 layout
     bigramIndexPinned(s, dir)                                // q150 index
+    bucketedBigramIndexMemo(s, dir)                          // q159 layout
     bm25ListPinned(s, dir)                                   // q108 inputs
     annListPinned(s, dir)
     bpeRulesMemo(s, dir)                                     // q111 rules
@@ -4881,6 +4915,22 @@ object SparkEntry {
     // replay as q145 (bigram chaining ⇔ unigram offsets, proven in
     // Retrieval.phraseMatchBigram's scaladoc and RetrievalSpec)
     "q150_phrase_bigram" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |dd AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),
+         |q AS (SELECT doc_id AS qid, ws FROM dd WHERE doc_id % 25 = 0),
+         |pt AS (SELECT qid, unnest(generate_series(1, 3)) AS i FROM q),
+         |ph AS (SELECT p.qid, p.i, q.ws[p.i] AS term FROM pt p JOIN q ON p.qid = q.qid),
+         |idx AS (SELECT doc_id AS id, i AS pos, ws[i] AS term
+         |  FROM dd, unnest(generate_series(1, len(ws))) AS u(i)
+         |  WHERE ws[i] <> ''),
+         |m AS (SELECT ph.qid, idx.id, idx.pos - ph.i AS s
+         |  FROM ph JOIN idx ON ph.term = idx.term),
+         |occ AS (SELECT qid, id, s FROM m GROUP BY qid, id, s HAVING count(*) = 3)
+         |SELECT qid, id, count(*) AS n_occ FROM occ GROUP BY qid, id""".stripMargin,
+
+    // identical answers to q145/q149/q150 — the layout changes the plan,
+    // never the result (same unigram-replay oracle)
+    "q159_phrase_prod_layout" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |dd AS (SELECT doc_id, ws FROM d WHERE len(ws) >= 3),
          |q AS (SELECT doc_id AS qid, ws FROM dd WHERE doc_id % 25 = 0),

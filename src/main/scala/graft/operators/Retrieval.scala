@@ -195,14 +195,21 @@ object Retrieval {
     * i can only produce a given start from position start+i, once.
     * Single-term phrases have no pair constraint and are out of this
     * operator's contract — route those to [[phraseMatch]]. */
-  def phraseMatchBigram(bgIndex: DataFrame, phraseTerms: DataFrame): DataFrame = {
+  def phraseMatchBigram(bgIndex: DataFrame, phraseTerms: DataFrame,
+      coLocated: Boolean = false): DataFrame = {
     val a = phraseTerms.select(col("qid"), col("i"), col("term"))
     val bg = a.as("a").join(a.as("b"),
         col("a.qid") === col("b.qid") && col("b.i") === col("a.i") + 1)
       .select(col("a.qid").as("qid"), col("a.i").as("i"),
         concat(col("a.term"), lit(" "), col("b.term")).as("b"))
     val n = bg.groupBy(col("qid")).agg(count(lit(1)).as("n_pairs"))
-    broadcast(bg).join(bgIndex, "b")
+    // coLocated: the index is a bucketBy(b) table — the SMJ reads its
+    // hash distribution, so ONLY the tiny pair-constraint side shuffles
+    // (the q149 layout discipline applied to the selective bigram key)
+    val probe =
+      if (coLocated) bg.join(bgIndex.hint("merge"), "b")
+      else broadcast(bg).join(bgIndex, "b")
+    probe
       .select(col("qid"), col("id"), (col("pos") - col("i")).as("start"))
       .groupBy(col("qid"), col("id"), col("start"))
       .agg(count(lit(1)).as("n_hit"))

@@ -1692,6 +1692,46 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // ---- online trailing-window features (ListState ring buffer): per
+    // event, the mean of the user's last 5 values including it — the
+    // feature a serving pipeline attaches as events arrive; the oracle is
+    // the batch window (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    "q160_trailing_features" -> ((s, dir) => {
+      val base = tmpArtifact("trail", dir, "")
+      fileOnce.computeIfAbsent(base, _ => {
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(del)
+          f.delete()
+        }
+        val root = new java.io.File(base)
+        if (root.exists) del(root)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        ev.coalesce(1).write.parquet(s"$base/feed")
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val q = Streaming.trailingFeatures(
+              s.readStream.schema(ev.schema).parquet(s"$base/feed"))
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$base/features")
+            .option("checkpointLocation", s"$base/ckpt")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+        true
+      })
+      s.read.parquet(s"$base/features")
+        .orderBy(col("user_id"), col("ms"), col("event_id"))
+    }),
+
     // ---- INTER-frame video: animated GIF89a round trip — keyframe plus
     // per-frame changed RECTANGLES, LZW-compressed and composited over
     // the running canvas (disposal 1); the oracle computes each composited
@@ -3684,6 +3724,16 @@ object SparkEntry {
          |SELECT lang, split, count(*) AS n_docs,
          |  count(DISTINCT md5(text)) AS n_texts
          |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    // the stream's per-event running feature == the batch trailing window
+    "q160_trailing_features" ->
+      s"""SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         |  count(*) OVER win AS trail_n,
+         |  ${Oracles.rHU("avg(value) OVER win", 4)} AS trail_avg
+         |FROM events
+         |WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ms, event_id""".stripMargin,
 
     // the stream's timer-closed sessions == the batch gap sessionization
     // (every real session closes under the sentinel-advanced watermark)

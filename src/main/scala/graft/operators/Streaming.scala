@@ -366,6 +366,64 @@ object Streaming {
         OutputMode.Append())
   }
 
+  final case class TrailEv(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  final case class TrailOut(user_id: Long, event_id: Long, ms: Long,
+      trail_n: Long, trail_avg: Double)
+
+  /** ONLINE trailing-window features: per user, per event (in event
+    * order), the mean of the last `n` values INCLUDING the current one —
+    * the running feature a serving pipeline attaches to each event as it
+    * arrives (the streaming counterpart of q72's batch moving average).
+    * State is a `ListState` ring buffer of the last `n` values — the
+    * transformWithState primitive built for exactly this bounded-buffer
+    * shape (append-friendly, no whole-value rewrite), next to q158's
+    * ValueState + timers. No timers, no watermark: every event emits its
+    * feature immediately; state per user is exactly `n` doubles.
+    *
+    * In-batch events are sorted per key by (ms, event_id) — the batch
+    * oracle's tie order; the buffer carries ACROSS micro-batches, so an
+    * event's feature sees the previous batch's tail exactly like the
+    * batch window does. The 4-dp half-up rounding is the repo-wide
+    * cross-engine float convention. */
+  class TrailingFeatureProcessor(n: Int)
+      extends StatefulProcessor[Long, TrailEv, TrailOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, TimerValues}
+    @transient private var buf: ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Double]("trail",
+        Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TrailEv],
+        tv: TimerValues): Iterator[TrailOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      var window = if (buf.exists()) buf.get().toVector else Vector.empty[Double]
+      val out = sorted.map { e =>
+        window = (window :+ e.value).takeRight(n)
+        val avg = BigDecimal(window.sum / window.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        TrailOut(key, e.event_id, e.ts.getTime, window.length, avg)
+      }
+      buf.put(window.toArray)
+      out.iterator
+    }
+  }
+
+  /** Streaming entry for [[TrailingFeatureProcessor]]. */
+  def trailingFeatures(events: DataFrame, n: Int = 5): Dataset[TrailOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[TrailEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new TrailingFeatureProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming EXACT DEDUP under at-least-once delivery — the ingest-side
     * twin of the batch dedup family (q24): re-delivered events carry the
     * same key and must be emitted exactly once, across micro-batch

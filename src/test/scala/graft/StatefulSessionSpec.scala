@@ -13,6 +13,42 @@ import graft.operators.Streaming.SessEv
 class StatefulSessionSpec extends SparkSpec {
   private def t(s: String) = Timestamp.valueOf(s)
 
+  test("trailingFeatures: ListState ring buffer carries across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Streaming.TrailEv
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TrailEv]
+    val q = Streaming.trailingFeatures(in.toDS().toDF(), n = 3)
+      .writeStream.outputMode("append").format("memory").queryName("trail")
+      .start()
+    try {
+      def byEv() = spark.table("trail").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getDouble(4)))).toMap
+      in.addData(Seq(
+        TrailEv(7L, 1L, t("2024-01-10 12:00:00"), 1.0),
+        TrailEv(7L, 2L, t("2024-01-10 12:01:00"), 2.0),
+        TrailEv(7L, 3L, t("2024-01-10 12:02:00"), 3.0)))
+      q.processAllAvailable()
+      assert(byEv() === Map(1L -> ((1L, 1.0)), 2L -> ((2L, 1.5)), 3L -> ((3L, 2.0))))
+      // batch 2: the buffer (1,2,3) carried in ListState; n=3 truncates
+      in.addData(Seq(TrailEv(7L, 4L, t("2024-01-10 12:03:00"), 4.0)))
+      q.processAllAvailable()
+      assert(byEv()(4L) === ((3L, 3.0)), "trailing-3 of (2,3,4) across batches")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("in-batch close, timer close on watermark, sid continuity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -424,6 +424,87 @@ object Streaming {
         OutputMode.Append())
   }
 
+  final case class ProfEv(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp, value: Double)
+  final case class TypeAgg(n: Long, sum: Double)
+  final case class ProfileOut(user_id: Long, event_type: String,
+      n_events: Long, sum_value: Double)
+
+  /** Streaming USER PROFILE with a final-flush timer: each user's
+    * per-event-type (count, sum) accumulates in a `MapState` — the keyed
+    * sub-map primitive (point lookups/updates per event type, no
+    * whole-profile rewrite) — and ONE event-time timer per user,
+    * re-registered to last-seen + `flushGapMs` each batch, emits the
+    * completed profile once the watermark passes it (the "user went
+    * quiet, publish their profile" push). With q158's ValueState+timers
+    * and q160's ListState buffer this completes the transformWithState
+    * state-primitive tour.
+    *
+    * Scale: state per user = |distinct event types| map entries + one
+    * long; one user_id shuffle; profile emission is push-based and
+    * clears the map, so a flushed user costs nothing until they return. */
+  class UserProfileProcessor(flushGapMs: Long)
+      extends StatefulProcessor[Long, ProfEv, ProfileOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var profile: MapState[String, TypeAgg] = _
+    @transient private var tmr: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      profile = getHandle.getMapState[String, TypeAgg]("profile",
+        Encoders.STRING, Encoders.product[TypeAgg], TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long]("tmr",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[ProfEv],
+        tv: TimerValues): Iterator[ProfileOut] = {
+      var maxMs = Long.MinValue
+      rows.foreach { e =>
+        val prev =
+          if (profile.containsKey(e.event_type)) profile.getValue(e.event_type)
+          else TypeAgg(0L, 0.0)
+        profile.updateValue(e.event_type,
+          TypeAgg(prev.n + 1, prev.sum + e.value))
+        if (e.ts.getTime > maxMs) maxMs = e.ts.getTime
+      }
+      if (maxMs != Long.MinValue) {
+        if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+        val t = maxMs + flushGapMs
+        tmr.update(t)
+        getHandle.registerTimer(t)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ProfileOut] = {
+      if (tmr.exists() && info.getExpiryTimeInMs == tmr.get()) {
+        val out = profile.iterator().map { p =>
+          ProfileOut(key, p._1, p._2.n,
+            BigDecimal(p._2.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toVector.sortBy(_.event_type)
+        profile.clear(); tmr.clear()
+        out.iterator
+      } else Iterator.empty
+    }
+  }
+
+  /** Streaming entry for [[UserProfileProcessor]]. */
+  def userProfiles(events: DataFrame, flushGapMs: Long = 3600000L,
+      watermark: String = "1 minute"): Dataset[ProfileOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+      .withWatermark("ts", watermark)
+      .as[ProfEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserProfileProcessor(flushGapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Streaming EXACT DEDUP under at-least-once delivery — the ingest-side
     * twin of the batch dedup family (q24): re-delivered events carry the
     * same key and must be emitted exactly once, across micro-batch

@@ -49,6 +49,48 @@ class StatefulSessionSpec extends SparkSpec {
     }
   }
 
+  test("userProfiles: MapState accumulates per type; flush timer publishes and resets") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Streaming.ProfEv
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[ProfEv]
+    val q = Streaming.userProfiles(in.toDS().toDF())
+      .writeStream.outputMode("append").format("memory").queryName("uprof")
+      .start()
+    try {
+      def rows() = spark.table("uprof").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      in.addData(Seq(
+        ProfEv(7L, "view", t("2024-01-10 12:00:00"), 1.0),
+        ProfEv(7L, "click", t("2024-01-10 12:10:00"), 2.0),
+        ProfEv(7L, "view", t("2024-01-10 12:20:00"), 3.0),
+        ProfEv(8L, "view", t("2024-01-20 00:00:00"), 5.0))) // advancer
+      q.processAllAvailable()
+      // watermark Jan 19 23:59 passes user 7's flush (last + 1 h): the
+      // whole per-type map publishes at once; user 8's stays pending
+      assert(rows() === Set((7L, "view", 2L, 4.0), (7L, "click", 1L, 2.0)))
+      // after the flush the map is CLEARED: a returning user starts fresh
+      in.addData(Seq(ProfEv(7L, "view", t("2024-01-21 08:00:00"), 5.0)))
+      q.processAllAvailable()
+      in.addData(Seq(ProfEv(8L, "x", t("2024-01-25 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      assert(rows().contains((7L, "view", 1L, 5.0)),
+        "post-flush profile restarts from empty")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("in-batch close, timer close on watermark, sid continuity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

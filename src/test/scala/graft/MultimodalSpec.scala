@@ -171,6 +171,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("LZW table-overflow path is conformant: JDK reader decodes a large frame") {
+    import javax.imageio.ImageIO
+    // 96x96 random pixels defeat the dictionary -> the encoder's 4096-
+    // table CLEAR path runs INSIDE a real GIF stream, and the JDK's
+    // independent decoder must still reproduce every pixel
+    val rnd = new scala.util.Random(7)
+    val w = 96; val h = 96
+    val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val gif = Multimodal.encodeGif(w, h, Seq((0, 0, w, h, px)))
+    val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(gif))
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(iis)
+    val img = reader.read(0)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(((img.getRGB(x, y) >> 16) & 0xff) === (px(y * w + x) & 0xff), s"($x,$y)")
+    reader.dispose()
+    // and our own decoder agrees
+    val (_, _, frames) = Multimodal.decodeGif(gif)
+    assert(frames.head._3.toSeq === px.toSeq)
+  }
+
   test("decodeGif composites dirty rects over the running canvas") {
     val w = 16; val h = 16
     val key = Array.fill(w * h)(5.toByte)

@@ -1779,6 +1779,58 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // ---- BATCH-BOOTSTRAPPED streaming profiles (the lambda→kappa
+    // migration): the first half of the events (by time) is aggregated
+    // as a batch and seeds the streaming state via handleInitialState;
+    // the second half streams on top. The migration guarantee IS the
+    // oracle: bootstrap + stream == one batch aggregate over everything
+    "q162_profile_bootstrap" -> ((s, dir) => {
+      val base = tmpArtifact("bprof", dir, "")
+      fileOnce.computeIfAbsent(base, _ => {
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(del)
+          f.delete()
+        }
+        val root = new java.io.File(base)
+        if (root.exists) del(root)
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+        val r = ev.agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx")).collect()(0)
+        val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+        ev.where(unix_millis(col("ts")) >= cut).coalesce(1)
+          .write.parquet(s"$base/live")
+        ev.limit(1).select(lit(-1L).as("user_id"), lit("x").as("event_type"),
+            to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
+            lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").parquet(s"$base/live")
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val q = Streaming.userProfilesBootstrapped(
+              history = ev.where(unix_millis(col("ts")) < cut),
+              live = s.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(s"$base/live"))
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$base/profiles")
+            .option("checkpointLocation", s"$base/ckpt")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+        true
+      })
+      s.read.parquet(s"$base/profiles")
+        .where(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // ---- INTER-frame video: animated GIF89a round trip — keyframe plus
     // per-frame changed RECTANGLES, LZW-compressed and composited over
     // the running canvas (disposal 1); the oracle computes each composited
@@ -3771,6 +3823,12 @@ object SparkEntry {
          |SELECT lang, split, count(*) AS n_docs,
          |  count(DISTINCT md5(text)) AS n_texts
          |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    // bootstrap(first half) + stream(second half) == batch(everything)
+    "q162_profile_bootstrap" ->
+      s"""SELECT user_id, event_type, count(*) AS n_events,
+         |  round(sum(value), 2) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
     // the flushed profiles == the plain per-(user, type) batch aggregate
     "q161_user_profiles" ->

@@ -490,6 +490,104 @@ object Streaming {
     }
   }
 
+  final case class InitProfile(user_id: Long, types: Map[String, TypeAgg],
+      last_ms: Long)
+
+  /** [[UserProfileProcessor]] with BATCH-BOOTSTRAPPED state — the
+    * lambda→kappa migration pattern: a batch job aggregates history into
+    * one `InitProfile` row per user, `handleInitialState` seeds the
+    * MapState (and a flush timer at the history's last-seen + horizon, so
+    * a user with NO live events still publishes), and the stream
+    * continues from there. The migration guarantee is row identity:
+    * bootstrap(first half) + stream(second half) == batch(everything) —
+    * q162 hash-checks exactly that. */
+  class BootstrappedProfileProcessor(flushGapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, ProfEv, ProfileOut, InitProfile] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var profile: MapState[String, TypeAgg] = _
+    @transient private var tmr: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      profile = getHandle.getMapState[String, TypeAgg]("profile",
+        Encoders.STRING, Encoders.product[TypeAgg], TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long]("tmr",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInitialState(key: Long, init: InitProfile,
+        tv: TimerValues): Unit = {
+      init.types.foreach { case (t, agg) => profile.updateValue(t, agg) }
+      val t = init.last_ms + flushGapMs
+      tmr.update(t)
+      getHandle.registerTimer(t)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[ProfEv],
+        tv: TimerValues): Iterator[ProfileOut] = {
+      var maxMs = Long.MinValue
+      rows.foreach { e =>
+        val prev =
+          if (profile.containsKey(e.event_type)) profile.getValue(e.event_type)
+          else TypeAgg(0L, 0.0)
+        profile.updateValue(e.event_type,
+          TypeAgg(prev.n + 1, prev.sum + e.value))
+        if (e.ts.getTime > maxMs) maxMs = e.ts.getTime
+      }
+      if (maxMs != Long.MinValue) {
+        if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+        val t = maxMs + flushGapMs
+        tmr.update(t)
+        getHandle.registerTimer(t)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ProfileOut] = {
+      if (tmr.exists() && info.getExpiryTimeInMs == tmr.get()) {
+        val out = profile.iterator().map { p =>
+          ProfileOut(key, p._1, p._2.n,
+            BigDecimal(p._2.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toVector.sortBy(_.event_type)
+        profile.clear(); tmr.clear()
+        out.iterator
+      } else Iterator.empty
+    }
+  }
+
+  /** Streaming entry for [[BootstrappedProfileProcessor]]: `history` is a
+    * BATCH frame (user_id, event_type, ts, value) aggregated here into
+    * the one-row-per-user initial state; `live` is the STREAMING frame
+    * the state continues from. */
+  def userProfilesBootstrapped(history: DataFrame, live: DataFrame,
+      flushGapMs: Long = 3600000L, watermark: String = "1 minute")
+      : Dataset[ProfileOut] = {
+    val s = live.sparkSession
+    import s.implicits._
+    val init = history
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum"),
+        max(unix_millis(col("ts"))).as("lm"))
+      .groupBy(col("user_id"))
+      .agg(
+        map_from_entries(collect_list(
+          struct(col("event_type"),
+            struct(col("n").as("n"), col("sum").as("sum"))))).as("types"),
+        max(col("lm")).as("last_ms"))
+      .as[InitProfile]
+      .groupByKey(_.user_id)
+    live
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+      .withWatermark("ts", watermark)
+      .as[ProfEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new BootstrappedProfileProcessor(flushGapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(), init)
+  }
+
   /** Streaming entry for [[UserProfileProcessor]]. */
   def userProfiles(events: DataFrame, flushGapMs: Long = 3600000L,
       watermark: String = "1 minute"): Dataset[ProfileOut] = {

@@ -91,6 +91,46 @@ class StatefulSessionSpec extends SparkSpec {
     }
   }
 
+  test("userProfilesBootstrapped: initial state seeds the map; history-only users flush") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Streaming.ProfEv
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // history: user 7 has 2 views (sum 3.0); user 9 appears ONLY here
+    val history = Seq(
+      ProfEv(7L, "view", t("2024-01-10 10:00:00"), 1.0),
+      ProfEv(7L, "view", t("2024-01-10 11:00:00"), 2.0),
+      ProfEv(9L, "click", t("2024-01-10 09:00:00"), 9.0)).toDF()
+    val in = MemoryStream[ProfEv]
+    val q = Streaming.userProfilesBootstrapped(history, in.toDS().toDF())
+      .writeStream.outputMode("append").format("memory").queryName("bprof")
+      .start()
+    try {
+      def rows() = spark.table("bprof").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      in.addData(Seq(
+        ProfEv(7L, "view", t("2024-01-10 12:00:00"), 4.0), // continues history
+        ProfEv(10L, "view", t("2024-01-10 12:00:00"), 5.0), // live-only user
+        ProfEv(8L, "x", t("2024-01-20 00:00:00"), 0.0)))   // advancer
+      q.processAllAvailable()
+      // user 7: 2 bootstrapped + 1 live = 3 views summing 7.0; user 9's
+      // history-only profile flushes off the timer handleInitialState set
+      assert(rows() === Set(
+        (7L, "view", 3L, 7.0), (9L, "click", 1L, 9.0), (10L, "view", 1L, 5.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("in-batch close, timer close on watermark, sid continuity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -1779,6 +1779,53 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // ---- CHAINED stateful streaming: at-least-once dedup feeding a
+    // watermarked windowed aggregation in ONE query — two stateful
+    // operators back to back (the multi-stateful-operator pipeline Spark
+    // supports since 3.4/3.5). Re-deliveries are suppressed (or
+    // late-dropped) upstream, so the windowed counts downstream equal
+    // q34's batch aggregate over the ORIGINAL events
+    "q163_dedup_windowed" -> ((s, dir) => {
+      val base = tmpArtifact("dedupwin", dir, "")
+      fileOnce.computeIfAbsent(base, _ => {
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(del)
+          f.delete()
+        }
+        val root = new java.io.File(base)
+        if (root.exists) del(root)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"))
+        ev.coalesce(1).write.parquet(s"$base/feed")
+        // second file: exact re-deliveries (a later micro-batch)
+        ev.where(col("event_id") % 7 === 0).coalesce(1)
+          .write.mode("append").parquet(s"$base/feed")
+        // third file: watermark advancer so every real window closes
+        ev.limit(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+            to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
+            lit("__adv").as("event_type"), lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").parquet(s"$base/feed")
+        val deduped = Streaming.dedupWithinWatermark(
+          s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/feed"),
+          keys = Seq("event_id"))
+        // the ONE-definition contract pays off here: the agg must NOT
+        // re-watermark (chained stateful operators share the upstream
+        // watermark), so the batch form runs on the deduped stream as-is
+        val q = Streaming.windowedCounts(deduped)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$base/counts")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        true
+      })
+      s.read.parquet(s"$base/counts")
+        .where(col("event_type") =!= "__adv")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // ---- BATCH-BOOTSTRAPPED streaming profiles (the lambda→kappa
     // migration): the first half of the events (by time) is aggregated
     // as a batch and seeds the streaming state via handleInitialState;
@@ -3823,6 +3870,13 @@ object SparkEntry {
          |SELECT lang, split, count(*) AS n_docs,
          |  count(DISTINCT md5(text)) AS n_texts
          |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    // dedup upstream makes the duplicated feed's windowed counts equal
+    // the ORIGINAL table's batch aggregate (q34's oracle + an ORDER BY)
+    "q163_dedup_windowed" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     // bootstrap(first half) + stream(second half) == batch(everything)
     "q162_profile_bootstrap" ->

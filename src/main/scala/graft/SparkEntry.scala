@@ -1563,9 +1563,11 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("ts"),
             col("event_type"), col("value"))
         ev.coalesce(1).write.parquet(s"$base/feed")
-        // second part file (later mtime) = second micro-batch
+        val b0 = stampBatch(s"$base/feed", Set.empty, 0)
+        // second part file (stamped strictly later) = second micro-batch
         ev.where(col("event_id") % 7 === 0).coalesce(1)
           .write.mode("append").parquet(s"$base/feed")
+        stampBatch(s"$base/feed", b0, 1)
         val q = Streaming.dedupWithinWatermark(
             s.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1).parquet(s"$base/feed"),
@@ -1662,10 +1664,12 @@ object SparkEntry {
         val ev = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         ev.coalesce(1).write.parquet(s"$base/feed")
+        val b0 = stampBatch(s"$base/feed", Set.empty, 0)
         ev.limit(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
             to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
             lit(0.0).as("value"))
           .coalesce(1).write.mode("append").parquet(s"$base/feed")
+        stampBatch(s"$base/feed", b0, 1)
         val key = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(key)
         s.conf.set(key,
@@ -1749,10 +1753,12 @@ object SparkEntry {
         val ev = Tables.events(s, dir)
           .select(col("user_id"), col("event_type"), col("ts"), col("value"))
         ev.coalesce(1).write.parquet(s"$base/feed")
+        val b0 = stampBatch(s"$base/feed", Set.empty, 0)
         ev.limit(1).select(lit(-1L).as("user_id"), lit("x").as("event_type"),
             to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
             lit(0.0).as("value"))
           .coalesce(1).write.mode("append").parquet(s"$base/feed")
+        stampBatch(s"$base/feed", b0, 1)
         val key = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(key)
         s.conf.set(key,
@@ -1798,14 +1804,17 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("ts"),
             col("event_type"), col("value"))
         ev.coalesce(1).write.parquet(s"$base/feed")
+        val b0 = stampBatch(s"$base/feed", Set.empty, 0)
         // second file: exact re-deliveries (a later micro-batch)
         ev.where(col("event_id") % 7 === 0).coalesce(1)
           .write.mode("append").parquet(s"$base/feed")
+        val b1 = stampBatch(s"$base/feed", b0, 1)
         // third file: watermark advancer so every real window closes
         ev.limit(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
             to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
             lit("__adv").as("event_type"), lit(0.0).as("value"))
           .coalesce(1).write.mode("append").parquet(s"$base/feed")
+        stampBatch(s"$base/feed", b1, 2)
         val deduped = Streaming.dedupWithinWatermark(
           s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(s"$base/feed"),
@@ -1847,10 +1856,12 @@ object SparkEntry {
         val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
         ev.where(unix_millis(col("ts")) >= cut).coalesce(1)
           .write.parquet(s"$base/live")
+        val b0 = stampBatch(s"$base/live", Set.empty, 0)
         ev.limit(1).select(lit(-1L).as("user_id"), lit("x").as("event_type"),
             to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
             lit(0.0).as("value"))
           .coalesce(1).write.mode("append").parquet(s"$base/live")
+        stampBatch(s"$base/live", b0, 1)
         val key = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(key)
         s.conf.set(key,
@@ -2159,6 +2170,27 @@ object SparkEntry {
     * the same file. */
   private def tmpArtifact(prefix: String, dir: String, ext: String): String =
     s"/tmp/graft_${prefix}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}$ext"
+
+  /** Stamp the part files written to `dir` since `known` with mtime
+    * `t0 + batch·60 s`, returning the updated known-set. The streaming
+    * feeds that carry re-deliveries / watermark sentinels rely on
+    * maxFilesPerTrigger=1 sequencing the files as separate micro-batches
+    * IN WRITE ORDER — but FileStreamSource orders candidates by
+    * modification time, and back-to-back parquet writes can tie (or
+    * invert on a coarse-granularity filesystem). A sentinel sorting
+    * BEFORE the originals would advance the watermark to 2030 first and
+    * drop every real event as late. Explicit strictly-increasing stamps
+    * make the intended batch order a property of the artifact, not of
+    * write-time luck. */
+  private def stampBatch(dir: String, known: Set[String], batch: Int): Set[String] = {
+    val t0 = 1600000000000L // fixed epoch base: only the ORDER matters
+    val fs = Option(new java.io.File(dir).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    fs.filterNot(f => known(f.getName))
+      .foreach(_.setLastModified(t0 + batch * 60000L))
+    fs.map(_.getName).toSet
+  }
 
   /** The Matryoshka layout artifact: `(id, pvec, vec)` with the 16-dim
     * prefix sliced ONCE at write time as its own parquet column — q141's
@@ -5878,7 +5910,17 @@ object Oracles {
     s"WITH ${sb.toString}\nSELECT id, shard_id, dist FROM fin"
   }
 
-  /** floor-based half-up rounding — mirrors VectorFunctions.roundHU. */
+  /** floor-based half-up rounding — mirrors VectorFunctions.roundHU.
+    *
+    * Cross-engine float edge (the q144/q155 ln caveat, recorded here with
+    * the convention itself): expressions fed through this fragment must
+    * evaluate bit-identically in the JVM and DuckDB for the hash compare
+    * to hold. `+ - *` on doubles are IEEE-exact, but transcendental
+    * `ln`/`log` is only faithfully rounded in libm — a 1-ulp divergence
+    * landing exactly on a d-dp half-up boundary would flip the rounded
+    * value. Green at d=9 on this platform; if a transcendental-fed rHU
+    * ever flakes elsewhere, lower d or move the key to integer
+    * arithmetic. */
   def rHU(e: String, d: Int): String = {
     val p = s"1${"0" * d}.0"
     s"floor(($e) * $p + 0.5) / $p"

@@ -1396,6 +1396,7 @@ object Multimodal {
           while ({ require(p < gif.length, "corrupt GIF: ext past end")
             val n = gif(p) & 0xff; p += 1 + n; n != 0 }) ()
         case 0x2c =>
+          require(p + 10 <= gif.length, "corrupt GIF: descriptor past end")
           val rx = u16(p + 1); val ry = u16(p + 3)
           val rw = u16(p + 5); val rh = u16(p + 7)
           val flags = gif(p + 9) & 0xff

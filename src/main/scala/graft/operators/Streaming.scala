@@ -368,6 +368,7 @@ object Streaming {
 
   final case class TrailEv(user_id: Long, event_id: Long,
       ts: java.sql.Timestamp, value: Double)
+  final case class TrailBuf(ms: Long, value: Double)
   final case class TrailOut(user_id: Long, event_id: Long, ms: Long,
       trail_n: Long, trail_avg: Double)
 
@@ -375,52 +376,103 @@ object Streaming {
     * order), the mean of the last `n` values INCLUDING the current one —
     * the running feature a serving pipeline attaches to each event as it
     * arrives (the streaming counterpart of q72's batch moving average).
-    * State is a `ListState` ring buffer of the last `n` values — the
-    * transformWithState primitive built for exactly this bounded-buffer
-    * shape (append-friendly, no whole-value rewrite), next to q158's
-    * ValueState + timers. No timers, no watermark: every event emits its
-    * feature immediately; state per user is exactly `n` doubles.
+    * State is a `ListState` buffer of the last `n` (ms, value) pairs,
+    * rewritten per batch (the truncation to `n` makes it a whole-value
+    * put, not a blind append), next to q158's ValueState + timers.
     *
-    * In-batch events are sorted per key by (ms, event_id) — the batch
-    * oracle's tie order; the buffer carries ACROSS micro-batches, so an
-    * event's feature sees the previous batch's tail exactly like the
-    * batch window does. The 4-dp half-up rounding is the repo-wide
-    * cross-engine float convention. */
-  class TrailingFeatureProcessor(n: Int)
+    * Bounded state (every sibling's eviction story, now this one's too):
+    * each batch re-registers ONE event-time cleanup timer at
+    * last_event + horizon; when the watermark passes it the user's buffer
+    * is EVICTED — state is n pairs × users active within the horizon,
+    * never all-time distinct users. An evicted user's next event starts a
+    * fresh window (trail_n restarts at 1), which matches the batch oracle
+    * restricted to the same horizon: a gap ≥ horizon means the previous
+    * values are older than the horizon and out of the feature's scope by
+    * contract.
+    *
+    * Ordering contract: in-batch events are sorted per key by
+    * (ms, event_id) — the batch oracle's tie order; the buffer carries
+    * ACROSS micro-batches, so an event's feature sees the previous
+    * batch's tail exactly like the batch window does. An event arriving
+    * in a LATER micro-batch with ms behind the buffer tail is already
+    * emitted-past — its true window position is gone — so it is DROPPED,
+    * not silently folded out of order (the lateness rule every
+    * watermarked operator imposes; the source watermark bounds how late
+    * such an event can even reach the processor). Batch/stream
+    * equivalence therefore holds exactly when cross-batch arrival is
+    * per-user non-decreasing in (ms, event_id) — true of any
+    * per-key-ordered feed (Kafka per-partition, the file feeds here).
+    * The 4-dp half-up rounding is the repo-wide cross-engine float
+    * convention. */
+  class TrailingFeatureProcessor(n: Int, horizonMs: Long)
       extends StatefulProcessor[Long, TrailEv, TrailOut] {
     import org.apache.spark.sql.Encoders
-    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, TimerValues}
-    @transient private var buf: ListState[Double] = _
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var buf: ListState[TrailBuf] = _
+    @transient private var tmr: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      buf = getHandle.getListState[Double]("trail",
-        Encoders.scalaDouble, TTLConfig.NONE)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[TrailBuf]("trail",
+        Encoders.product[TrailBuf], TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long]("tmr",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[TrailEv],
         tv: TimerValues): Iterator[TrailOut] = {
       val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
-      var window = if (buf.exists()) buf.get().toVector else Vector.empty[Double]
-      val out = sorted.map { e =>
-        window = (window :+ e.value).takeRight(n)
-        val avg = BigDecimal(window.sum / window.length)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        TrailOut(key, e.event_id, e.ts.getTime, window.length, avg)
+      var window = if (buf.exists()) buf.get().toVector else Vector.empty[TrailBuf]
+      // cross-batch regression guard: the tail is the newest ms already
+      // folded; an older event's window position was emitted past
+      val tail = window.lastOption.map(_.ms).getOrElse(Long.MinValue)
+      val out = sorted.flatMap { e =>
+        val ms = e.ts.getTime
+        if (ms < tail) None // late cross-batch arrival: dropped by contract
+        else {
+          window = (window :+ TrailBuf(ms, e.value)).takeRight(n)
+          val avg = BigDecimal(window.map(_.value).sum / window.length)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some(TrailOut(key, e.event_id, ms, window.length, avg))
+        }
       }
-      buf.put(window.toArray)
+      if (window.nonEmpty) {
+        buf.put(window.toArray)
+        // supersede the previous cleanup timer with last_event + horizon
+        if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+        val t = window.last.ms + horizonMs
+        getHandle.registerTimer(t)
+        tmr.update(t)
+      }
       out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[TrailOut] = {
+      // only the LIVE timer evicts (a superseded one may still fire)
+      if (tmr.exists() && info.getExpiryTimeInMs == tmr.get()) {
+        buf.clear()
+        tmr.clear()
+      }
+      Iterator.empty
     }
   }
 
-  /** Streaming entry for [[TrailingFeatureProcessor]]. */
-  def trailingFeatures(events: DataFrame, n: Int = 5): Dataset[TrailOut] = {
+  /** Streaming entry for [[TrailingFeatureProcessor]]. `horizonMs` is the
+    * state-eviction horizon (default 7 days): a user quiet that long has
+    * their buffer evicted and restarts fresh. The `watermark` delay bounds
+    * out-of-order arrival the usual way. */
+  def trailingFeatures(events: DataFrame, n: Int = 5,
+      horizonMs: Long = 7L * 24 * 3600 * 1000,
+      watermark: String = "1 minute"): Dataset[TrailOut] = {
     val s = events.sparkSession
     import s.implicits._
     events
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withWatermark("ts", watermark)
       .as[TrailEv]
       .groupByKey(_.user_id)
-      .transformWithState(new TrailingFeatureProcessor(n),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new TrailingFeatureProcessor(n, horizonMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }
 

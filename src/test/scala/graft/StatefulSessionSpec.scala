@@ -49,6 +49,96 @@ class StatefulSessionSpec extends SparkSpec {
     }
   }
 
+  test("trailingFeatures: cleanup timer evicts a gone-quiet user; next event restarts fresh") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Streaming.TrailEv
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TrailEv]
+    // horizon 10 min: user 7's buffer must be evicted once the watermark
+    // passes last_event + 10 min
+    val q = Streaming.trailingFeatures(in.toDS().toDF(), n = 3,
+        horizonMs = 600000L)
+      .writeStream.outputMode("append").format("memory").queryName("trail_ev")
+      .start()
+    try {
+      def byEv() = spark.table("trail_ev").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getDouble(4)))).toMap
+      in.addData(Seq(
+        TrailEv(7L, 1L, t("2024-01-10 12:00:00"), 2.0),
+        TrailEv(7L, 2L, t("2024-01-10 12:01:00"), 4.0)))
+      q.processAllAvailable()
+      assert(byEv() === Map(1L -> ((1L, 2.0)), 2L -> ((2L, 3.0))))
+      // advancer batches: watermark moves past 12:11 (last + horizon), the
+      // cleanup timer fires with NO output rows (eviction is silent)
+      in.addData(Seq(TrailEv(99L, 3L, t("2024-01-10 13:00:00"), 0.0)))
+      q.processAllAvailable()
+      in.addData(Seq(TrailEv(99L, 4L, t("2024-01-10 13:01:00"), 0.0)))
+      q.processAllAvailable()
+      // user 7 returns AFTER eviction: the window restarts at trail_n=1 —
+      // the previous (2.0, 4.0) tail is gone, not averaged in
+      in.addData(Seq(TrailEv(7L, 5L, t("2024-01-10 13:30:00"), 10.0)))
+      q.processAllAvailable()
+      assert(byEv()(5L) === ((1L, 10.0)),
+        "evicted user's next event starts a fresh window")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("trailingFeatures: cross-batch out-of-order arrival is dropped, not folded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Streaming.TrailEv
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TrailEv]
+    // generous 2 h watermark delay: the regressed event below PASSES the
+    // source lateness filter, so it is the processor's own tail guard
+    // (not Spark's watermark drop) being pinned here
+    val q = Streaming.trailingFeatures(in.toDS().toDF(), n = 3,
+        watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("trail_late")
+      .start()
+    try {
+      def ids() = spark.table("trail_late").collect().map(_.getLong(1)).toSet
+      def byEv() = spark.table("trail_late").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getDouble(4)))).toMap
+      in.addData(Seq(
+        TrailEv(7L, 1L, t("2024-01-10 12:00:00"), 2.0),
+        TrailEv(7L, 2L, t("2024-01-10 12:01:00"), 4.0)))
+      q.processAllAvailable()
+      // batch 2: 11:30 is behind the buffer tail (12:01) — its true window
+      // position was already emitted past; contract says DROP
+      in.addData(Seq(TrailEv(7L, 3L, t("2024-01-10 11:30:00"), 100.0)))
+      q.processAllAvailable()
+      assert(!ids().contains(3L), "regressed arrival must not emit")
+      // and it must not have contaminated the buffer either
+      in.addData(Seq(TrailEv(7L, 4L, t("2024-01-10 12:30:00"), 6.0)))
+      q.processAllAvailable()
+      assert(byEv()(4L) === ((3L, 4.0)), "window is (2,4,6) — no 100 folded in")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("userProfiles: MapState accumulates per type; flush timer publishes and resets") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Streaming.ProfEv

@@ -1835,6 +1835,59 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // ---- LEFT OUTER stream-stream attribution: q151's inner join plus
+    // the null-padded "view never converted" emissions — a view with no
+    // click within 6 h emits once, click_id/delta_ms NULL, as soon as the
+    // watermark PROVES no future click can match (state eviction doubles
+    // as the completion signal). Real two-source streaming run: the real
+    // events are batch 1 of each source, a far-future sentinel pair is
+    // batch 2 (maxFilesPerTrigger=1, stamped order) advancing both
+    // watermarks so every unmatched view finalizes; the oracle is the
+    // plain batch LEFT JOIN (all views are watermark-closed by the
+    // sentinel, so the restriction is vacuous)
+    "q164_stream_attrib_outer" -> ((s, dir) => {
+      val base = tmpArtifact("attribout", dir, "")
+      fileOnce.computeIfAbsent(base, _ => {
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(del)
+          f.delete()
+        }
+        val root = new java.io.File(base)
+        if (root.exists) del(root)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        val sentinel = ev.limit(1).select(lit(-1L).as("event_id"),
+          lit(-1L).as("user_id"),
+          to_timestamp(lit("2030-01-01 00:00:00")).as("ts"))
+        ev.where(col("event_type") === "view").drop("event_type").coalesce(1)
+          .write.parquet(s"$base/views")
+        val v0 = stampBatch(s"$base/views", Set.empty, 0)
+        sentinel.coalesce(1).write.mode("append").parquet(s"$base/views")
+        stampBatch(s"$base/views", v0, 1)
+        ev.where(col("event_type") === "click").drop("event_type").coalesce(1)
+          .write.parquet(s"$base/clicks")
+        val c0 = stampBatch(s"$base/clicks", Set.empty, 0)
+        sentinel.coalesce(1).write.mode("append").parquet(s"$base/clicks")
+        stampBatch(s"$base/clicks", c0, 1)
+        val sch = ev.drop("event_type").schema
+        val q = Streaming.attributionJoin(
+            s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+              .parquet(s"$base/views"),
+            s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+              .parquet(s"$base/clicks"),
+            joinType = "left_outer")
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$base/joined")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        true
+      })
+      s.read.parquet(s"$base/joined")
+        .where(col("user_id") >= 0)
+        .orderBy(col("view_id"), col("click_id"))
+    }),
+
     // ---- BATCH-BOOTSTRAPPED streaming profiles (the lambda→kappa
     // migration): the first half of the events (by time) is aggregated
     // as a batch and seeds the streaming state via handleInitialState;
@@ -3854,6 +3907,20 @@ object SparkEntry {
          |SELECT v.view_id, c.click_id, v.user_id,
          |  epoch_ms(c.click_ts) - epoch_ms(v.view_ts) AS delta_ms
          |FROM v JOIN c ON v.user_id = c.user_id AND c.click_ts > v.view_ts
+         |  AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR
+         |ORDER BY view_id, click_id""".stripMargin,
+
+    // the outer form: same join, unmatched views null-padded — the batch
+    // twin restricted to watermark-closed views, which the sentinel makes
+    // ALL views, so the restriction is vacuous
+    "q164_stream_attrib_outer" ->
+      s"""WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+         |  FROM events WHERE event_type = 'view'),
+         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+         |  FROM events WHERE event_type = 'click')
+         |SELECT v.view_id, c.click_id, v.user_id,
+         |  epoch_ms(c.click_ts) - epoch_ms(v.view_ts) AS delta_ms
+         |FROM v LEFT JOIN c ON v.user_id = c.user_id AND c.click_ts > v.view_ts
          |  AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR
          |ORDER BY view_id, click_id""".stripMargin,
 

@@ -67,17 +67,25 @@ object Streaming {
     * delta_ms is an exact integer (unix_millis truncation matches DuckDB
     * epoch_ms), so the result is hash-comparable cross-engine. */
   def attributionJoin(views: DataFrame, clicks: DataFrame,
-      withinHours: Int = 6, watermark: String = "1 day"): DataFrame = {
+      withinHours: Int = 6, watermark: String = "1 day",
+      joinType: String = "inner"): DataFrame = {
     val v0 = views.select(col("event_id").as("view_id"),
       col("user_id"), col("ts").as("view_ts"))
     val c0 = clicks.select(col("event_id").as("click_id"),
       col("user_id").as("click_user"), col("ts").as("click_ts"))
     val v = if (v0.isStreaming) v0.withWatermark("view_ts", watermark) else v0
     val c = if (c0.isStreaming) c0.withWatermark("click_ts", watermark) else c0
+    // joinType "left_outer" is the other half of the canonical attribution
+    // shape: a view with NO click inside the window emits once, null-padded,
+    // as soon as the watermark proves no future click can match (view_ts +
+    // withinHours + delay behind the click-side watermark) — the state
+    // eviction that bounds the inner join doubles as the completion signal
+    // for the outer one. Same keyed state, same horizon, no extra shuffle.
     v.join(c,
         col("user_id") === col("click_user") &&
           col("click_ts") > col("view_ts") &&
-          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $withinHours HOURS"))
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $withinHours HOURS"),
+        joinType)
       .select(col("view_id"), col("click_id"), col("user_id"),
         (unix_millis(col("click_ts")) - unix_millis(col("view_ts"))).as("delta_ms"))
   }

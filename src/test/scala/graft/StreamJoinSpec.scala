@@ -79,4 +79,39 @@ class StreamJoinSpec extends SparkSpec {
       assert(batchAll.contains((2L, 102L)))
     } finally q.stop()
   }
+
+  test("left outer: null pad emits only once the watermark proves no match can come") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val vIn = MemoryStream[AttrEv]
+    val cIn = MemoryStream[AttrEv]
+    val q = Streaming.attributionJoin(vIn.toDS().toDF(), cIn.toDS().toDF(),
+        joinType = "left_outer")
+      .writeStream.outputMode("append").format("memory").queryName("attrib_out")
+      .start()
+    try {
+      def rows() = spark.table("attrib_out").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // batch 1: one never-converting view, click side silent — the join
+      // cannot yet prove no click will come, so NOTHING emits (the timing
+      // half of the outer-join contract: no premature null pad)
+      vIn.addData(Seq(AttrEv(1L, 7L, t("2024-01-10 12:00:00"))))
+      q.processAllAvailable()
+      assert(rows() === Set.empty,
+        "open view must not null-emit before its window is watermark-closed")
+      // batch 2: advancers on BOTH sides (also a valid inner pair). The
+      // global watermark moves past V1.ts + 6 h + delay, V1's state is
+      // evicted, and the eviction IS the null-padded emission
+      vIn.addData(Seq(AttrEv(9L, 8L, t("2024-01-20 00:00:00"))))
+      cIn.addData(Seq(AttrEv(109L, 8L, t("2024-01-20 01:00:00"))))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, -1L), (9L, 109L)),
+        "watermark-closed unmatched view emits exactly once, null-padded")
+      // the null row carries a null delta_ms too (both padded columns)
+      val pad = spark.table("attrib_out").collect().find(_.getLong(0) == 1L).get
+      assert(pad.isNullAt(1) && pad.isNullAt(3))
+    } finally q.stop()
+  }
 }

@@ -70,14 +70,19 @@ object SparkEntry {
     }),
 
     // ---- M4: shard-routed top-k search (SURVEY §2 J5/J10/W1-W2, E3).
-    // The sharded view is the map-only literal assignment carrying the
-    // vectors — no self-join, no assignment shuffle in the search plan.
+    // The probe reads the STORED partitionBy(shard_id) layout — the form
+    // a cluster actually serves from. The earlier inline-assign form
+    // (assignLit over the raw corpus at query time) computed the same
+    // rows but re-derived the full-corpus shard assignment inside every
+    // probe: map-only, yet corpus-sized — ScaleBench measured it 13.9× at
+    // 100× data while the stored-layout probe rides partition pruning
+    // like its ANN siblings (assignment cost lives in the layout build,
+    // where an index build belongs). Same oracle, same hash — q53 had
+    // already proven row-identity between the two forms.
     "q08_search_routed" -> ((s, dir) => {
-      val pts = Tables.points(s, dir)
       val cents = fitCentroidsMemo(s, dir)
-      val sharded = Sharding.assignLit(pts, centroidArrMemo(s, dir), keepVec = true)
-        .select(col("id"), col("vec"), col("shard_id"))
-      searchImpl(s, sharded, queryBatchDf(s, dir), cents, k = 10, t = Params.t)
+      searchImpl(s, s.read.parquet(shardedLayoutPath(s, dir)),
+        queryBatchDf(s, dir), cents, k = 10, t = Params.t)
     }),
 
     // ---- M4: recall of routed search vs exact kNN (SURVEY §2 A13/J7)
@@ -2223,6 +2228,34 @@ object SparkEntry {
     * the same file. */
   private def tmpArtifact(prefix: String, dir: String, ext: String): String =
     s"/tmp/graft_${prefix}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}$ext"
+
+  /** Queries whose OPERATOR is a streaming execution memoized behind
+    * [[fileOnce]] (name -> artifact prefix). The memo discipline is right
+    * for INDEX builds — their queries time the probe — but for these the
+    * streaming run IS the operator: a benchmark pass that times the
+    * 0.2 s parquet re-read of the sink instead of the 3–10 s streaming
+    * execution would let a 5× streaming regression hide outside the
+    * headline total (VERDICT r7). Bench and ScaleBench call
+    * [[resetSinkArtifact]] before every timed pass of these queries so
+    * each pass re-runs the full streaming execution. */
+  val sinkBackedQueries: Map[String, String] = Map(
+    "q104_stream_serving" -> "servann",
+    "q151_stream_attribution" -> "attrib",
+    "q152_stream_dedup" -> "sdedup",
+    "q158_timed_sessions" -> "tsess",
+    "q160_trailing_features" -> "trail",
+    "q161_user_profiles" -> "uprof",
+    "q162_profile_bootstrap" -> "bprof",
+    "q163_dedup_windowed" -> "dedupwin",
+    "q164_stream_attrib_outer" -> "attribout")
+
+  /** Drop `name`'s streaming-sink memo so its next invocation re-runs the
+    * full streaming execution (each build deletes and rewrites its
+    * artifact dirs, so the re-run starts clean). No-op for non-sink-backed
+    * queries. */
+  def resetSinkArtifact(name: String, dir: String): Unit =
+    sinkBackedQueries.get(name)
+      .foreach(p => fileOnce.remove(tmpArtifact(p, dir, "")))
 
   /** Stamp the part files written to `dir` since `known` with mtime
     * `t0 + batch·60 s`, returning the updated known-set. The streaming

@@ -13,6 +13,15 @@ import org.apache.spark.sql.SparkSession
   * alongside so a storm is visible in the artifact instead of silently
   * shaping it.
   *
+  * Timing convention: index-BUILD memos (K-Means fit, PQ codes, postings
+  * layouts) are prebuilt before pass 1 — their queries time the PROBE,
+  * the per-request cost a serving cluster pays. The sink-backed STREAMING
+  * queries ([[SparkEntry.sinkBackedQueries]]) are the opposite case: the
+  * streaming run IS the operator, so their fileOnce memo is dropped
+  * before every timed pass and each recorded number is a full streaming
+  * execution (ingest -> stateful operators -> sink), never the 0.2 s
+  * re-read of a sink built in an earlier pass.
+  *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_BENCH_PASSES (default 3), SPARK_GRAFT_BENCH_ONLY
   * (comma-separated name substrings — run a subset while profiling).
@@ -61,6 +70,11 @@ object Bench {
         queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
     val failedSet = scala.collection.mutable.LinkedHashSet.empty[String]
     for (_ <- 1 to passes; (name, fn) <- queries) {
+      // sink-backed streaming queries: drop the fileOnce memo so THIS pass
+      // re-runs the streaming execution — the operator being benchmarked —
+      // instead of timing a parquet re-read of a sink built in pass 1.
+      // (Index-build memos stay pinned: their queries time the probe.)
+      SparkEntry.resetSinkArtifact(name, sfDir)
       val t0 = System.nanoTime()
       var ok = true
       try { fn(spark, sfDir).count() } catch {

@@ -1636,6 +1636,20 @@ object SparkEntry {
           countDistinct(md5(col("text"))).as("n_texts"))
         .orderBy(col("lang"), col("split"))),
 
+    // ---- trigram STUPID-BACKOFF LM scoring (Brants 2007): counts
+    // trained on the even-id half of the corpus, EVERY doc scored by the
+    // avg log backoff score of its trigram instances — the CCNet-style
+    // train-on-reference / score-everything perplexity filter, with the
+    // held-out half genuinely exercising the backoff ladder (trigram →
+    // α·bigram → α²·unigram → α²·OOV floor). The oracle replays counts
+    // and the exact cascade; α arithmetic is written in the same
+    // evaluation order on both engines so the doubles are bit-identical
+    "q165_lm_backoff" -> ((s, dir) =>
+      TextStats.stupidBackoffScore(
+        Tables.documents(s, dir).select(col("doc_id").as("id"), col("text")),
+        isTrain = col("id") % 2 === 0)
+        .orderBy(col("id"))),
+
     // ---- the PRODUCTION phrase layout: bigram key (q150's selectivity)
     // bucketed by that key (q149's zero-Exchange discipline) — the
     // composition SCALE.md's finding 2 concludes with; answers identical
@@ -3322,6 +3336,43 @@ object SparkEntry {
          |  GROUP BY bi.id)
          |SELECT d.id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, sc.score
          |FROM d LEFT JOIN sc USING (id)""".stripMargin,
+
+    // the backoff cascade: CASE arms and α arithmetic in the same
+    // evaluation order as the Spark side, so every per-position double is
+    // bit-identical before the 4-dp rounded avg (the q77 convention)
+    "q165_lm_backoff" ->
+      s"""WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+         |tr AS (SELECT * FROM d WHERE id % 2 = 0),
+         |uni AS (SELECT u, count(*) AS c1 FROM (SELECT unnest(w) AS u FROM tr) GROUP BY u),
+         |n AS (SELECT CAST(sum(c1) AS DOUBLE) AS nt FROM uni),
+         |bi AS (SELECT s['w1'] AS w1, s['w2'] AS w2, count(*) AS c2 FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |      i -> {'w1': w[i], 'w2': w[i+1]})) AS s FROM tr WHERE len(w) >= 2)
+         |  GROUP BY 1, 2),
+         |tri AS (SELECT s['w1'] AS w1, s['w2'] AS w2, s['w3'] AS w3, count(*) AS c3 FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+         |      i -> {'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]})) AS s FROM tr WHERE len(w) >= 3)
+         |  GROUP BY 1, 2, 3),
+         |pos AS (SELECT id, s['w1'] AS w1, s['w2'] AS w2, s['w3'] AS w3 FROM (
+         |    SELECT id, unnest(list_transform(generate_series(1, len(w) - 2),
+         |      i -> {'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]})) AS s FROM d WHERE len(w) >= 3)),
+         |sc AS (SELECT p.id,
+         |    CASE WHEN t.c3 IS NOT NULL THEN CAST(t.c3 AS DOUBLE) / CAST(b1.c2 AS DOUBLE)
+         |         WHEN b2.c2 IS NOT NULL THEN 0.4 * CAST(b2.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)
+         |         WHEN u3.c1 IS NOT NULL THEN 0.4 * 0.4 * CAST(u3.c1 AS DOUBLE) / (SELECT nt FROM n)
+         |         ELSE 0.4 * 0.4 * 0.5 / (SELECT nt FROM n) END AS s
+         |  FROM pos p
+         |  LEFT JOIN tri t ON t.w1 = p.w1 AND t.w2 = p.w2 AND t.w3 = p.w3
+         |  LEFT JOIN bi b1 ON b1.w1 = p.w1 AND b1.w2 = p.w2
+         |  LEFT JOIN bi b2 ON b2.w1 = p.w2 AND b2.w2 = p.w3
+         |  LEFT JOIN uni u2 ON u2.u = p.w2
+         |  LEFT JOIN uni u3 ON u3.u = p.w3),
+         |agg AS (SELECT id, count(*) AS n_trigrams,
+         |    ${Oracles.rHU("avg(ln(s))", 4)} AS avg_logscore FROM sc GROUP BY id)
+         |SELECT d.id, CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         |  a.avg_logscore
+         |FROM d LEFT JOIN agg a USING (id)
+         |ORDER BY id""".stripMargin,
 
     // ratios are exact integer/integer doubles -> identical booleans
     "q64_gopher_rules" ->

@@ -123,6 +123,13 @@ object TextStats {
       i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
 
+  /** Adjacent word triples, [[bigramPairs]]' 3-gram sibling. */
+  def trigramTriples(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(w) >= 3, transform(sequence(lit(1), size(w) - 2),
+      i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"),
+        element_at(w, i + 2).as("w3"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+
   def pmiBigrams(docs: DataFrame, minCount: Long = 5, topN: Int = 50): DataFrame = {
     val w = split(col("text"), " ")
     val toks = docs.select(explode(w).as("tok"))
@@ -367,6 +374,83 @@ object TextStats {
       .select(col("id"),
         coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
         (coalesce(col("n_bench_docs"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Trigram STUPID-BACKOFF LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the distributed-counts LM
+    * built for exactly this MapReduce/Spark shape): score every doc by
+    * the average log stupid-backoff score of its trigram instances under
+    * counts trained on the `isTrain` half of the corpus — the
+    * train-on-reference / score-everything perplexity filter a CCNet-
+    * style pretraining pipeline runs (docs that look like the reference
+    * corpus score near 0, junk scores very negative). Unlike [[lmScore]]
+    * (self-counts, every n-gram seen), the held-out side genuinely
+    * exercises the backoff ladder:
+    *
+    *   S(w3|w1 w2) = c(w1 w2 w3)/c(w1 w2)            if the trigram is in train
+    *               = α·c(w2 w3)/c(w2)                 else if the bigram is
+    *               = α²·c(w3)/N                       else if w3 is in vocab
+    *               = α²·0.5/N                         else (OOV floor)
+    *
+    * with α = 0.4 (the paper's constant). Scores are NOT normalized
+    * probabilities — stupid backoff trades normalization for counts-only
+    * distributable training, which is the point at corpus scale.
+    *
+    * Scale shape: three count aggregations over the train half (uni/bi/
+    * tri — vocabulary-bounded, the heavy one is the trigram table, still
+    * sublinear in corpus size for natural text), then the score side is
+    * one exploded trigram-position table LEFT-joined against the count
+    * tables on their n-gram keys (equi-joins; Catalyst broadcasts the
+    * small orders automatically at small SF, hash-shuffles at scale) and
+    * one per-doc aggregation. No iteration, no global structure; the
+    * count tables are reusable artifacts (train once, score any stream —
+    * the natural split of a quality-filter deployment). Docs with < 3
+    * tokens emit n_trigrams = 0 and a null score. */
+  def stupidBackoffScore(docs: DataFrame,
+      isTrain: org.apache.spark.sql.Column, alpha: Double = 0.4): DataFrame = {
+    val w = split(col("text"), " ")
+    val train = docs.where(isTrain)
+    val uni = train.select(explode(w).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("c1"))
+    val nTok = train.select(explode(w).as("u")).count().toDouble
+    val bi = train
+      .select(explode(bigramPairs(w)).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val tri = train
+      .select(explode(trigramTriples(w)).as("t"))
+      .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    // score side: every trigram position of EVERY doc
+    val pos = docs
+      .select(col("id"), explode(trigramTriples(w)).as("t"))
+      .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    val joined = pos
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("c2").as("c2_ctx")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2_23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("u").as("w2"), col("c1").as("c1_2")), Seq("w2"), "left")
+      .join(uni.select(col("u").as("w3"), col("c1").as("c1_3")), Seq("w3"), "left")
+    val a = lit(alpha)
+    val score = when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2_ctx").cast("double"))
+      .when(col("c2_23").isNotNull,
+        a * col("c2_23").cast("double") / col("c1_2").cast("double"))
+      .when(col("c1_3").isNotNull,
+        a * a * col("c1_3").cast("double") / lit(nTok))
+      .otherwise(a * a * lit(0.5) / lit(nTok))
+    val scored = joined
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        roundHU(avg(log(score)), 4).as("avg_logscore"))
+    docs.select(col("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("avg_logscore"))
   }
 
   /** Corpus bigram-LM quality score (the CCNet-style perplexity proxy):

@@ -1650,6 +1650,23 @@ object SparkEntry {
         isTrain = col("id") % 2 === 0)
         .orderBy(col("id"))),
 
+    // ---- distributed SUFFIX ARRAY by prefix doubling (Manber–Myers —
+    // the Lee-et-al exact-substring-dedup infrastructure; q110's
+    // winnowed anchors are its sampled approximation): ranks every
+    // suffix of the concatenated corpus subset (text + a U+0001 terminator
+    // per doc, id order). ceil(log2 n) rounds of positional equi-join +
+    // range-partitioned dense rank — no unpartitioned window anywhere.
+    // The oracle replays the doubling unrolled to 18 FIXED rounds
+    // (2^18 > the sf0.01 subset's ~30 k chars; rounds past
+    // rank-distinctness are no-ops, so the early-exiting build and the
+    // fixed-round replay agree exactly); sampled every 97th position
+    "q166_suffix_array" -> ((s, dir) =>
+      operators.SuffixArray.build(
+        Tables.documents(s, dir).where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("id"), col("text")))
+        .where(col("pos") % 97 === 0)
+        .orderBy(col("pos"))),
+
     // ---- the PRODUCTION phrase layout: bigram key (q150's selectivity)
     // bucketed by that key (q149's zero-Exchange discipline) — the
     // composition SCALE.md's finding 2 concludes with; answers identical
@@ -3336,6 +3353,12 @@ object SparkEntry {
          |  GROUP BY bi.id)
          |SELECT d.id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, sc.score
          |FROM d LEFT JOIN sc USING (id)""".stripMargin,
+
+    // the doubling replay: fixed 18 rounds (no-ops past distinctness)
+    "q166_suffix_array" ->
+      s"""WITH ${Oracles.suffixArrayCtes("doc_id % 5 = 0", 18)}
+         |SELECT pos, r AS rank FROM sa18 WHERE pos % 97 = 0
+         |ORDER BY pos""".stripMargin,
 
     // the backoff cascade: CASE arms and α arithmetic in the same
     // evaluation order as the Spark side, so every per-position double is
@@ -6059,6 +6082,34 @@ object Oracles {
          |$unions
          |UNION ALL SELECT id, -2 AS shard_id, CAST(NULL AS DOUBLE) AS dist FROM u${m + 1})""".stripMargin)
     s"WITH ${sb.toString}\nSELECT id, shard_id, dist FROM fin"
+  }
+
+  /** Unrolled prefix-doubling suffix-array CTE chain over the corpus
+    * subset `WHERE <pred>` — mirrors SuffixArray.build (same corpus
+    * string: text || chr(1) in id order; same pair re-rank). Defines
+    * `sa0..sa<rounds>`, each (pos, r); the caller selects from the last.
+    * Rounds are FIXED (vs the build's early exit): once ranks are
+    * distinct, lead(r, k) is distinct too, so dense_rank over (r, r2)
+    * reproduces r and further rounds are exact no-ops — the two sides
+    * agree for any rounds ≥ ceil(log2 n). 18 covers n < 262 144. */
+  def suffixArrayCtes(pred: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("g AS (SELECT string_agg(text || chr(1), '' ORDER BY doc_id) AS s\n")
+    sb.append(s"  FROM documents WHERE $pred),\n")
+    sb.append("sa0 AS (SELECT CAST(i - 1 AS BIGINT) AS pos,\n")
+    sb.append("    CAST(unicode(substr((SELECT s FROM g), CAST(i AS INT), 1)) AS BIGINT) AS r\n")
+    // scalar-function generate_series (list) + unnest, not the table
+    // function: DuckDB's table-valued generate_series only accepts
+    // constant arguments, the list form takes the subquery
+    sb.append("  FROM (SELECT unnest(generate_series(1, (SELECT length(s) FROM g))) AS i))")
+    for (j <- 1 to rounds) {
+      val k = 1L << (j - 1)
+      sb.append(s""",
+         |p$j AS (SELECT pos, r,
+         |    coalesce(lead(r, $k) OVER (ORDER BY pos), -1) AS r2 FROM sa${j - 1}),
+         |sa$j AS (SELECT pos, dense_rank() OVER (ORDER BY r, r2) - 1 AS r FROM p$j)""".stripMargin)
+    }
+    sb.toString
   }
 
   /** floor-based half-up rounding — mirrors VectorFunctions.roundHU.

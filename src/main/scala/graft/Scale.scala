@@ -180,9 +180,10 @@ object ScaleGen {
   * claim that actually matters at 100 TB/day — "state = horizon × rate /
   * active keys, never history" — needs its own measurement. This main runs
   * the three canonical stateful pipelines over the 1×/10×/100× events
-  * replicas as REAL multi-batch streams (the 30-day span split into 6
-  * time-ordered files, maxFilesPerTrigger=1, so the watermark ratchets
-  * through the span and eviction actually happens mid-stream) and records
+  * replicas as REAL multi-batch streams (the 30-day span split into 15
+  * two-day time-ordered files, maxFilesPerTrigger=1, so the watermark
+  * ratchets through the span and eviction actually happens mid-stream)
+  * and records
   * `stateOperators.numRowsTotal` (and RocksDB SST bytes) per micro-batch
   * from the progress reports.
   *
@@ -249,13 +250,9 @@ object StateBench {
         ev.where(unix_millis(col("ts")) >= lo &&
             (unix_millis(col("ts")) < hi || lit(b == 14)))
           .coalesce(1).write.mode("append").parquet(s"$feedBase/feed")
-        // strictly increasing mtimes = deterministic batch order
-        val fs = Option(new java.io.File(s"$feedBase/feed").listFiles)
-          .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-        fs.filterNot(f => known(f.getName))
-          .foreach(_.setLastModified(1600000000000L + b * 60000L))
-        known = fs.map(_.getName).toSet
+        // strictly increasing mtimes = deterministic batch order (the
+        // shared helper SparkEntry.stampBatch — one definition, both feeds)
+        known = SparkEntry.stampBatch(s"$feedBase/feed", known, b)
       }
       def feed(): DataFrame =
         spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
@@ -276,13 +273,12 @@ object StateBench {
         val maxRows = if (sos.isEmpty) 0L else sos.map(_.numRowsTotal).max
         // store footprint: the provider-agnostic memoryUsedBytes, or the
         // RocksDB SST total where the store flushed to disk
-        val maxSst = sos.map(so =>
-          math.max(so.memoryUsedBytes,
-            Option(so.customMetrics.get("rocksdbSstFileSize"))
-              .map(_.longValue).getOrElse(0L))) match {
-          case Nil => 0L
-          case xs => xs.max
-        }
+        val maxSst =
+          if (sos.isEmpty) 0L
+          else sos.map(so =>
+            math.max(so.memoryUsedBytes,
+              Option(so.customMetrics.get("rocksdbSstFileSize"))
+                .map(_.longValue).getOrElse(0L))).max
         System.err.println(f"[state x$n] $tag%-12s state_max=$maxRows%9d " +
           f"sst_max=${maxSst / 1024}%8d KiB  wall=$wall%7.1f s")
         (maxRows, maxSst, wall)

@@ -1656,16 +1656,36 @@ object SparkEntry {
     // suffix of the concatenated corpus subset (text + a U+0001 terminator
     // per doc, id order). ceil(log2 n) rounds of positional equi-join +
     // range-partitioned dense rank — no unpartitioned window anywhere.
-    // The oracle replays the doubling unrolled to 18 FIXED rounds
-    // (2^18 > the sf0.01 subset's ~30 k chars; rounds past
-    // rank-distinctness are no-ops, so the early-exiting build and the
-    // fixed-round replay agree exactly); sampled every 97th position
+    // The oracle replays the doubling unrolled to 20 FIXED rounds
+    // (2^20 > the sf0.1 subset's ~300 k chars, and the SQL error()s if a
+    // larger corpus outgrows the budget; rounds past rank-distinctness
+    // are no-ops, so the early-exiting build and the fixed-round replay
+    // agree exactly); sampled every 97th position
     "q166_suffix_array" -> ((s, dir) =>
       operators.SuffixArray.build(
         Tables.documents(s, dir).where(col("doc_id") % 5 === 0)
           .select(col("doc_id").as("id"), col("text")))
         .where(col("pos") % 97 === 0)
         .orderBy(col("pos"))),
+
+    // ---- SA -> LCP -> EXACT duplicate spans (the Lee-et-al deliverable
+    // the suffix array exists for; the auditor for q110's winnowed
+    // approximation): adjacent-rank LCPs recovered from the STORED
+    // doubling history (log-round equi-join descent — the distributed
+    // stand-in for Kasai's inherently sequential pass), clipped at doc
+    // terminators, kept at >= 11 chars = the winnowing guarantee k+w-1,
+    // so every span reported here is one q110's anchors must catch.
+    // Reads the saidx artifact: the SA build is q166's timed operator;
+    // this query times the consumer pass (descent + mapping), the
+    // build-once / scan-many split a production dedup runs. The oracle
+    // replays the same descent over the fixed-round CTE chain.
+    "q167_exact_dup_spans" -> ((s, dir) =>
+      operators.SuffixArray.duplicateSpansFrom(
+        saIndexLoad(s, dir),
+        Tables.documents(s, dir).where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("id"), col("text")),
+        minLen = 11)
+        .orderBy(col("doc_a"), col("off_a"))),
 
     // ---- the PRODUCTION phrase layout: bigram key (q150's selectivity)
     // bucketed by that key (q149's zero-Exchange discipline) — the
@@ -2299,7 +2319,7 @@ object SparkEntry {
     * drop every real event as late. Explicit strictly-increasing stamps
     * make the intended batch order a property of the artifact, not of
     * write-time luck. */
-  private def stampBatch(dir: String, known: Set[String], batch: Int): Set[String] = {
+  private[graft] def stampBatch(dir: String, known: Set[String], batch: Int): Set[String] = {
     val t0 = 1600000000000L // fixed epoch base: only the ORDER matters
     val fs = Option(new java.io.File(dir).listFiles)
       .getOrElse(Array.empty[java.io.File])
@@ -2307,6 +2327,41 @@ object SparkEntry {
     fs.filterNot(f => known(f.getName))
       .foreach(_.setLastModified(t0 + batch * 60000L))
     fs.map(_.getName).toSet
+  }
+
+  /** The stored suffix-array index: final (pos, rank) plus the per-round
+    * doubling history tables and a one-line meta (rounds, n) — q166's
+    * build output persisted as the build-once / consume-many artifact of
+    * the Lee et al. pipeline. q167 reads this and times the LCP descent +
+    * span extraction (the consumer pass), never the build. */
+  private def saIndexMemo(s: SparkSession, dir: String): String = {
+    val base = tmpArtifact("saidx", dir, "")
+    fileOnce.computeIfAbsent(base, _ => {
+      val idx = operators.SuffixArray.buildFull(
+        Tables.documents(s, dir).where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("id"), col("text")))
+      idx.sa.write.mode("overwrite").parquet(s"$base/sa")
+      idx.history.zipWithIndex.foreach { case (h, k) =>
+        h.write.mode("overwrite").parquet(s"$base/h$k") }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$base/_meta"),
+        s"${idx.history.size} ${idx.n}")
+      idx.unpersist()
+      true
+    })
+    base
+  }
+
+  /** Load the [[saIndexMemo]] artifact back as a SaIndex (parquet-backed
+    * DataFrames — nothing pinned in memory). */
+  private def saIndexLoad(s: SparkSession, dir: String): operators.SuffixArray.SaIndex = {
+    val base = saIndexMemo(s, dir)
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$base/_meta")).trim.split(" ")
+    operators.SuffixArray.SaIndex(
+      s.read.parquet(s"$base/sa"),
+      (0 until meta(0).toInt).map(k => s.read.parquet(s"$base/h$k")),
+      meta(1).toLong)
   }
 
   /** The Matryoshka layout artifact: `(id, pvec, vec)` with the 16-dim
@@ -2700,6 +2755,7 @@ object SparkEntry {
     histStatePinned(s, dir)                                  // q137 state
     hllRegsPinned(s, dir)                                    // q138 state
     covMatrixPinned(s, dir)                                  // q139 state
+    saIndexMemo(s, dir)                                      // q167 index
   }
 
   /** The memo subset the SCALE-evidence headline queries touch (q02, q08,
@@ -3354,11 +3410,21 @@ object SparkEntry {
          |SELECT d.id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, sc.score
          |FROM d LEFT JOIN sc USING (id)""".stripMargin,
 
-    // the doubling replay: fixed 18 rounds (no-ops past distinctness)
+    // the doubling replay: fixed 20 rounds (no-ops past distinctness;
+    // 2^20 > the sf0.1 subset's ~300 k chars, and the generated SQL
+    // error()s if a larger corpus ever exceeds the round budget)
     "q166_suffix_array" ->
-      s"""WITH ${Oracles.suffixArrayCtes("doc_id % 5 = 0", 18)}
-         |SELECT pos, r AS rank FROM sa18 WHERE pos % 97 = 0
+      s"""WITH ${Oracles.suffixArrayCtes("doc_id % 5 = 0", 20)}
+         |SELECT pos, r AS rank FROM sa20 WHERE pos % 97 = 0
          |ORDER BY pos""".stripMargin,
+
+    // the same fixed-round chain, extended by the LCP descent replay:
+    // adjacent-rank pairs greedily re-derive their common prefix length
+    // from the per-round rank tables, then clip at doc terminators
+    "q167_exact_dup_spans" ->
+      s"""WITH ${Oracles.suffixArrayCtes("doc_id % 5 = 0", 20)}${Oracles.lcpSpansCtes("doc_id % 5 = 0", 20)}
+         |SELECT doc_a, off_a, doc_b, off_b, span_len FROM spans
+         |WHERE span_len >= 11 ORDER BY doc_a, off_a""".stripMargin,
 
     // the backoff cascade: CASE arms and α arithmetic in the same
     // evaluation order as the Spark side, so every per-position double is
@@ -4097,12 +4163,20 @@ object SparkEntry {
          |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
     // the stream's per-event running feature == the batch trailing window
+    // SEGMENTED at gaps ≥ the 7-day horizon (the operator's semantic
+    // cutoff: a user quiet that long restarts their window, and the
+    // restart point is a property of event times, not batch boundaries)
     "q160_trailing_features" ->
-      s"""SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      s"""WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events),
+         |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+         |g AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 604800000 THEN 1 ELSE 0 END AS new_seg FROM l),
+         |s AS (SELECT *, CAST(sum(new_seg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg FROM g)
+         |SELECT user_id, event_id, ms,
          |  count(*) OVER win AS trail_n,
          |  ${Oracles.rHU("avg(value) OVER win", 4)} AS trail_avg
-         |FROM events
-         |WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         |FROM s
+         |WINDOW win AS (PARTITION BY user_id, seg ORDER BY ms, event_id
          |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
          |ORDER BY user_id, ms, event_id""".stripMargin,
 
@@ -6091,11 +6165,19 @@ object Oracles {
     * Rounds are FIXED (vs the build's early exit): once ranks are
     * distinct, lead(r, k) is distinct too, so dense_rank over (r, r2)
     * reproduces r and further rounds are exact no-ops — the two sides
-    * agree for any rounds ≥ ceil(log2 n). 18 covers n < 262 144. */
+    * agree for any rounds ≥ ceil(log2 n).
+    *
+    * The generated SQL GUARDS its own round budget: the `g` CTE raises a
+    * DuckDB error() if the corpus reaches 2^rounds characters, so running
+    * the oracle at a larger SF than the rounds cover fails loudly instead
+    * of silently under-resolving surviving rank ties (round-9 ADVICE). */
   def suffixArrayCtes(pred: String, rounds: Int): String = {
     val sb = new StringBuilder
-    sb.append("g AS (SELECT string_agg(text || chr(1), '' ORDER BY doc_id) AS s\n")
-    sb.append(s"  FROM documents WHERE $pred),\n")
+    val cap = 1L << rounds
+    sb.append("g AS (SELECT CASE WHEN length(s0) < " + cap + " THEN s0\n")
+    sb.append(s"    ELSE error('suffix-array oracle under-resolved: corpus >= 2^$rounds chars; raise rounds') END AS s\n")
+    sb.append("  FROM (SELECT string_agg(text || chr(1), '' ORDER BY doc_id) AS s0\n")
+    sb.append(s"    FROM documents WHERE $pred)),\n")
     sb.append("sa0 AS (SELECT CAST(i - 1 AS BIGINT) AS pos,\n")
     sb.append("    CAST(unicode(substr((SELECT s FROM g), CAST(i AS INT), 1)) AS BIGINT) AS r\n")
     // scalar-function generate_series (list) + unnest, not the table
@@ -6104,11 +6186,54 @@ object Oracles {
     sb.append("  FROM (SELECT unnest(generate_series(1, (SELECT length(s) FROM g))) AS i))")
     for (j <- 1 to rounds) {
       val k = 1L << (j - 1)
+      // MATERIALIZED: the LCP descent (lcpSpansCtes) references each sa$j
+      // up to three times — force one evaluation per round rather than
+      // trusting the inliner with a 20-deep chain
       sb.append(s""",
          |p$j AS (SELECT pos, r,
          |    coalesce(lead(r, $k) OVER (ORDER BY pos), -1) AS r2 FROM sa${j - 1}),
-         |sa$j AS (SELECT pos, dense_rank() OVER (ORDER BY r, r2) - 1 AS r FROM p$j)""".stripMargin)
+         |sa$j AS MATERIALIZED (SELECT pos, dense_rank() OVER (ORDER BY r, r2) - 1 AS r FROM p$j)""".stripMargin)
     }
+    sb.toString
+  }
+
+  /** LCP-descent + duplicate-span CTEs, appended AFTER [[suffixArrayCtes]]
+    * (same `pred`, same `rounds` — the descent reads every sa0..saN).
+    * Mirrors SuffixArray.lcpAdjacent/duplicateSpansFrom: `pr` pairs each
+    * rank with its predecessor; l{rounds+1} starts every pair at l = 0;
+    * l{k} adds 2^k exactly when round-k ranks at the advanced positions
+    * agree (a NULL rank — position past corpus end — or unequal ranks add
+    * 0, the CASE's ELSE); `spans` maps both positions to (doc, off)
+    * through the running start-offset frame and clips the LCP at each
+    * side's terminator. Fixed rounds compose for the build's reason:
+    * all-distinct top rounds never advance l. */
+  def lcpSpansCtes(pred: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s""",
+       |pr AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j
+       |  FROM sa$rounds a JOIN sa$rounds b ON a.r = b.r + 1),
+       |l${rounds + 1} AS (SELECT i, j, CAST(0 AS BIGINT) AS l FROM pr)""".stripMargin)
+    for (k <- rounds to 0 by -1) {
+      val step = 1L << k
+      sb.append(s""",
+         |l$k AS MATERIALIZED (SELECT d.i, d.j,
+         |    d.l + CASE WHEN a.r = b.r THEN CAST($step AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS l
+         |  FROM l${k + 1} d
+         |  LEFT JOIN sa$k a ON a.pos = d.i + d.l
+         |  LEFT JOIN sa$k b ON b.pos = d.j + d.l)""".stripMargin)
+    }
+    sb.append(s""",
+       |dbnd AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS tlen,
+       |    CAST(coalesce(sum(length(text) + 1) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS so
+       |  FROM documents WHERE $pred),
+       |spans AS (SELECT da.doc_id AS doc_a, d.i - da.so AS off_a,
+       |    dbb.doc_id AS doc_b, d.j - dbb.so AS off_b,
+       |    least(d.l, da.so + da.tlen - d.i, dbb.so + dbb.tlen - d.j) AS span_len
+       |  FROM l0 d
+       |  JOIN dbnd da ON d.i >= da.so AND d.i <= da.so + da.tlen
+       |  JOIN dbnd dbb ON d.j >= dbb.so AND d.j <= dbb.so + dbb.tlen)""".stripMargin)
     sb.toString
   }
 

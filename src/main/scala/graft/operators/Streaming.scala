@@ -392,11 +392,16 @@ object Streaming {
     * each batch re-registers ONE event-time cleanup timer at
     * last_event + horizon; when the watermark passes it the user's buffer
     * is EVICTED — state is n pairs × users active within the horizon,
-    * never all-time distinct users. An evicted user's next event starts a
-    * fresh window (trail_n restarts at 1), which matches the batch oracle
-    * restricted to the same horizon: a gap ≥ horizon means the previous
-    * values are older than the horizon and out of the feature's scope by
-    * contract.
+    * never all-time distinct users. The horizon is SEMANTIC, not just a
+    * cleanup bound: handleInputRows itself restarts the window whenever
+    * an event arrives ≥ horizon after the buffer tail, so a gap ≥ horizon
+    * splits the window identically whether it falls inside one
+    * micro-batch, across batches, or behind a slow watermark — the
+    * restart point is a property of the event times, never of batch
+    * boundaries. The timer is then pure state hygiene (it frees the
+    * evicted user's rows; the cutoff would produce the same output
+    * without it), and stream output equals the batch oracle with windows
+    * segmented at gaps ≥ horizon, exactly.
     *
     * Ordering contract: in-batch events are sorted per key by
     * (ms, event_id) — the batch oracle's tie order; the buffer carries
@@ -437,6 +442,11 @@ object Streaming {
         val ms = e.ts.getTime
         if (ms < tail) None // late cross-batch arrival: dropped by contract
         else {
+          // semantic horizon cutoff: a gap ≥ horizon restarts the window
+          // wherever it falls (in-batch, cross-batch, or before the
+          // watermark catches up) — see the class scaladoc
+          if (window.lastOption.exists(w => ms - w.ms >= horizonMs))
+            window = Vector.empty
           window = (window :+ TrailBuf(ms, e.value)).takeRight(n)
           val avg = BigDecimal(window.map(_.value).sum / window.length)
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble

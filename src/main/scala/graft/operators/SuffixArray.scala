@@ -83,11 +83,35 @@ object SuffixArray {
     }.toDF("pos", "r")
   }
 
+  /** [[buildFull]]'s result: `sa` = final (pos, rank); `history(k)` =
+    * (pos, r) where r is the rank of the suffix TRUNCATED to its first
+    * 2^k characters (history(0) = raw code points — equality there is
+    * exactly character equality, which is all the LCP descent compares);
+    * `n` = corpus length in characters. Every table is localCheckpointed
+    * and stays pinned until [[SaIndex.unpersist]]. */
+  final case class SaIndex(sa: DataFrame, history: Seq[DataFrame], n: Long) {
+    def unpersist(): Unit = history.foreach(_.unpersist(blocking = false))
+  }
+
   /** Suffix-array ranks of the corpus string concat(text || chr(1)
     * ORDER BY id). Returns (pos, rank), one row per character position,
     * rank ∈ [0, n) = the suffix's position in the sorted suffix order.
     * `docs` must have (id, text). */
   def build(docs: DataFrame): DataFrame = {
+    val idx = buildFull(docs)
+    // keep only the final round's checkpoint (it backs the returned sa);
+    // the intermediate history is an LCP-consumer concern
+    idx.history.dropRight(1).foreach(_.unpersist(blocking = false))
+    idx.sa
+  }
+
+  /** [[build]], keeping the per-round rank tables — the index the LCP
+    * descent ([[lcpAdjacent]]) consumes. The prefix-doubling history IS
+    * the distributed answer to Kasai's (inherently sequential) LCP
+    * construction: lcp(i, j) is recovered in ceil(log2 n) rank-table
+    * equality probes, so keeping the O(n log n) rows the build already
+    * materialized buys exact LCPs with no sequential pass. */
+  def buildFull(docs: DataFrame): SaIndex = {
     // per-doc start offsets: the packCounts two-phase prefix sum over
     // (length + 1 terminator) in id order
     val offs = Packing.packCounts(
@@ -103,6 +127,7 @@ object SuffixArray {
         ascii(col("col")).cast("long").as("r"))
       .localCheckpoint()
     val n = sa.count()
+    var history = Vector(sa)
     var k = 1L
     var done = false
     while (!done && k < n) {
@@ -111,12 +136,110 @@ object SuffixArray {
         .select(col("pos"), col("r"),
           coalesce(col("r2"), lit(-1L)).as("r2")) // past-end = smallest
       val next = denseRankPairs(paired).localCheckpoint()
-      sa.unpersist(blocking = false)
       sa = next
+      history :+= sa
       // all ranks distinct <=> max rank == n-1: further rounds are no-ops
       done = sa.agg(max(col("r"))).collect()(0).getLong(0) == n - 1
       k *= 2
     }
-    sa.select(col("pos"), col("r").as("rank"))
+    SaIndex(sa.select(col("pos"), col("r").as("rank")), history, n)
+  }
+
+  /** LCP between RANK-ADJACENT suffixes: one row per rank t ∈ [1, n),
+    * (pos_a = suffix at rank t, pos_b = suffix at rank t-1, lcp). The
+    * duplicated-substring primitive: every duplicated substring of length
+    * L has some adjacent pair with lcp ≥ L (suffixes ranked between two
+    * occurrences of it all share the occurrences' common prefix).
+    *
+    * Descent over the doubling history, highest round first: maintain
+    * (pos_a, pos_b, l); at round k, if history(k)'s ranks at pos_a + l
+    * and pos_b + l are EQUAL then the truncated suffixes there agree on
+    * 2^k more characters — advance l += 2^k. Equal round-k ranks imply
+    * both positions have ≥ 2^k characters remaining (truncated suffixes
+    * of different lengths can only relate as strict prefix, and the
+    * doubling's past-end = -1 convention ranks the shorter strictly
+    * first, so they never tie), so the advance never overshoots; a
+    * missing rank row (pos + l = n, suffix exhausted) or unequal ranks
+    * advance nothing and the next round halves the probe. After round 0
+    * (character equality) l is exactly the LCP. Each round is two
+    * positional equi-joins over n-1 rows — the build's own shuffle
+    * discipline, no windows, nothing driver-sized — and the top round is
+    * a guaranteed no-op (final ranks are distinct), kept for the uniform
+    * argument. The fixed-round oracle replay composes for the same
+    * reason as the build's: extra all-distinct top rounds never advance. */
+  def lcpAdjacent(idx: SaIndex): DataFrame = {
+    val prevRank = idx.sa.select((col("rank") + 1).as("rank"),
+      col("pos").as("pos_b"))
+    var pairs = idx.sa
+      .join(prevRank, Seq("rank"))
+      .select(col("rank"), col("pos").as("pos_a"), col("pos_b"),
+        lit(0L).as("l"))
+      .localCheckpoint()
+    for (k <- idx.history.indices.reverse) {
+      val step = 1L << k
+      val ha = idx.history(k).select(col("pos").as("pa"), col("r").as("ra"))
+      val hb = idx.history(k).select(col("pos").as("pb"), col("r").as("rb"))
+      val next = pairs
+        .join(ha, col("pa") === col("pos_a") + col("l"), "left")
+        .join(hb, col("pb") === col("pos_b") + col("l"), "left")
+        .select(col("rank"), col("pos_a"), col("pos_b"),
+          (col("l") + when(col("ra").isNotNull && col("ra") === col("rb"),
+            lit(step)).otherwise(lit(0L))).as("l"))
+        .localCheckpoint()
+      pairs.unpersist(blocking = false)
+      pairs = next
+    }
+    pairs.select(col("rank"), col("pos_a"), col("pos_b"), col("l").as("lcp"))
+  }
+
+  /** EXACT duplicated-substring spans (the Lee et al. deliverable the
+    * suffix array exists for; Dedup.dupSpans' winnowed Karp–Rabin anchors
+    * are the sampled approximation this makes auditable): rank-adjacent
+    * suffix pairs whose common prefix, CLIPPED at each side's document
+    * terminator, is at least `minLen` characters — a verbatim run of
+    * ≥ minLen characters appearing at both (doc_a, off_a) and
+    * (doc_b, off_b). Within-doc repeats qualify (doc_a = doc_b at
+    * different offsets); the terminator clip keeps a span from leaking
+    * across document boundaries through the shared chr(1) separator.
+    *
+    * One row per surviving adjacent pair, keyed by the rank-t side:
+    * (doc_a, off_a) is unique across rows. Plan shape: buildFull +
+    * lcpAdjacent (log-round equi-joins), two positional equi-joins
+    * against the n-row (pos → doc, off, chars-to-terminator) frame, one
+    * filter — everything stays one-row-per-character, never pairwise. */
+  def duplicateSpans(docs: DataFrame, minLen: Int = 11): DataFrame = {
+    val idx = buildFull(docs)
+    val out = duplicateSpansFrom(idx, docs, minLen)
+    idx.unpersist()
+    out
+  }
+
+  /** [[duplicateSpans]] over an already-built [[SaIndex]] — the
+    * build-once / consume-many split a production corpus runs (the SA is
+    * the expensive artifact; span extraction is one descent over it). */
+  def duplicateSpansFrom(idx: SaIndex, docs: DataFrame,
+      minLen: Int): DataFrame = {
+    val offs = Packing.packCounts(
+        docs.select(col("id"), (length(col("text")) + 1).as("n")),
+        blockTokens = Long.MaxValue)
+      .select(col("id"), col("start_off"))
+    // (pos, doc, off, dist = chars between pos and the doc's terminator)
+    val posDoc = docs.join(offs, "id")
+      .select(col("id"), col("start_off"), length(col("text")).as("tlen"))
+      .select(col("id"), col("start_off"), col("tlen"),
+        posexplode(sequence(lit(0), col("tlen"))).as(Seq("off", "ignored")))
+      .select(col("id"), (col("start_off") + col("off")).as("pos"),
+        col("off").cast("long").as("off"),
+        (col("tlen") - col("off")).cast("long").as("dist"))
+    val da = posDoc.select(col("pos").as("pos_a"), col("id").as("doc_a"),
+      col("off").as("off_a"), col("dist").as("dist_a"))
+    val db = posDoc.select(col("pos").as("pos_b"), col("id").as("doc_b"),
+      col("off").as("off_b"), col("dist").as("dist_b"))
+    lcpAdjacent(idx)
+      .join(da, Seq("pos_a"))
+      .join(db, Seq("pos_b"))
+      .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
+        least(col("lcp"), col("dist_a"), col("dist_b")).as("span_len"))
+      .where(col("span_len") >= minLen)
   }
 }

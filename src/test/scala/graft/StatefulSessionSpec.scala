@@ -95,6 +95,47 @@ class StatefulSessionSpec extends SparkSpec {
     }
   }
 
+  test("trailingFeatures: gap >= horizon restarts the window even before any eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Streaming.TrailEv
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TrailEv]
+    val q = Streaming.trailingFeatures(in.toDS().toDF(), n = 3,
+        horizonMs = 600000L)
+      .writeStream.outputMode("append").format("memory").queryName("trail_gap")
+      .start()
+    try {
+      def byEv() = spark.table("trail_gap").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getDouble(4)))).toMap
+      // ONE batch: 12:00, 12:01, then a 29-min gap to 12:30 — no timer can
+      // have fired (same micro-batch), yet the window must restart: the
+      // horizon cutoff is semantic, not an eviction race
+      in.addData(Seq(
+        TrailEv(7L, 1L, t("2024-01-10 12:00:00"), 2.0),
+        TrailEv(7L, 2L, t("2024-01-10 12:01:00"), 4.0),
+        TrailEv(7L, 3L, t("2024-01-10 12:30:00"), 10.0)))
+      q.processAllAvailable()
+      assert(byEv()(3L) === ((1L, 10.0)),
+        "in-batch gap >= horizon restarts at trail_n=1")
+      // next batch continues the NEW segment (buffer holds only the 10.0)
+      in.addData(Seq(TrailEv(7L, 4L, t("2024-01-10 12:31:00"), 20.0)))
+      q.processAllAvailable()
+      assert(byEv()(4L) === ((2L, 15.0)), "new segment carries across batches")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("trailingFeatures: cross-batch out-of-order arrival is dropped, not folded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Streaming.TrailEv

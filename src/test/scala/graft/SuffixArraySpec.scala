@@ -51,4 +51,106 @@ class SuffixArraySpec extends SparkSpec {
     val got = ranks(Seq((0L, ""), (1L, "ba")))
     assert(got === brute("\u0001ba\u0001"))
   }
+
+  // ---- LCP descent + exact duplicate spans -------------------------------
+
+  /** Reference adjacent-LCPs: sort the actual suffixes, compare
+    * neighbours character by character. Map: rank t -> lcp. */
+  private def bruteLcp(corpus: String): Map[Long, Long] = {
+    val order = corpus.indices.map(i => corpus.substring(i)).zipWithIndex
+      .sortBy(_._1).map(_._2)
+    (1 until order.length).map { t =>
+      val (a, b) = (corpus.substring(order(t)), corpus.substring(order(t - 1)))
+      t.toLong -> a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    }.toMap
+  }
+
+  private def lcps(docs: Seq[(Long, String)]): Map[Long, Long] = {
+    import spark.implicits._
+    SuffixArray.lcpAdjacent(SuffixArray.buildFull(docs.toDF("id", "text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+  }
+
+  test("lcpAdjacent: brute-force parity, incl. the repetitive corpus") {
+    // banana: the classic LCP array (hand-checkable)
+    assert(lcps(Seq((0L, "banana"))) === bruteLcp("banana\u0001"))
+    // multi-doc: the shared "ab\u0001" prefix CROSSES a terminator -- the
+    // raw LCP sees through it (duplicateSpans is what clips)
+    assert(lcps(Seq((0L, "ab"), (1L, "ab"))) === bruteLcp("ab\u0001ab\u0001"))
+    // the repetitive small-alphabet corpus: long LCPs force the descent
+    // through several advancing rounds
+    val rnd = new scala.util.Random(7)
+    val texts = Seq.tabulate(5)(d =>
+      (d.toLong, Seq.fill(80)("abc" (rnd.nextInt(3))).mkString))
+    val corpus = texts.map(_._2).map(_ + "\u0001").mkString
+    assert(lcps(texts) === bruteLcp(corpus))
+  }
+
+  test("duplicateSpans: planted run found at exact offsets; spans verbatim and clipped") {
+    import spark.implicits._
+    // the 26-char needle sits at offset 6 of doc 0 and offset 3 of doc 2;
+    // everything else is distinct filler
+    val needle = "the quick brown fox jumped"
+    val texts = Map(0L -> ("xxxxxx" + needle + "yyyy"),
+      1L -> "completely unrelated content here",
+      2L -> ("zzz" + needle + "wwwwww"))
+    val docs = texts.toSeq.sortBy(_._1).toDF("id", "text")
+    val spans = SuffixArray.duplicateSpans(docs, minLen = 11).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // suffixes of the needle also clear minLen (offsets advance in step,
+    // lengths shrink by 1) -- the FULL needle pair must be the max span
+    val (da, oa, db, ob, len) = spans.maxBy(_._5)
+    assert(len === needle.length.toLong)
+    assert(Set(da, db) === Set(0L, 2L))
+    val offOf = Map(0L -> 6L, 2L -> 3L)
+    assert(oa === offOf(da) && ob === offOf(db))
+    // every reported span stays within-doc (the terminator clip) and is
+    // genuinely verbatim
+    spans.foreach { case (a, o1, b, o2, l) =>
+      assert(l <= texts(a).length - o1 && l <= texts(b).length - o2)
+      assert(texts(a).substring(o1.toInt, (o1 + l).toInt) ===
+        texts(b).substring(o2.toInt, (o2 + l).toInt))
+    }
+  }
+
+  test("duplicateSpans audits q110: winnowed coverage within exact; long exact runs anchored") {
+    import spark.implicits._
+    // one long cross-doc duplicate (30 chars >= k+w-1 = 11); docs 2/3 noise
+    val dup = "abcdefghijklmnopqrstuvwxyz0123"
+    val texts = Map(
+      0L -> ("AAAA " + dup + " BBBB"),
+      1L -> ("CCCCCC " + dup + " DD"),
+      2L -> "unrelated filler text block",
+      3L -> "more noise without repeats!!")
+    val docs = texts.toSeq.sortBy(_._1).toDF("id", "text")
+    // exact CROSS-DOC duplicated-position coverage per doc at minLen=8
+    // (q110's k-gram size) and the >= 11 spans (its winnowing guarantee)
+    val exact = SuffixArray.duplicateSpans(docs, minLen = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .filter { case (a, _, b, _, _) => a != b }
+    val cover8 = exact.flatMap { case (a, o1, b, o2, l) =>
+      (o1 until o1 + l).map((a, _)) ++ (o2 until o2 + l).map((b, _))
+    }.toSet
+    val long11 = SuffixArray.duplicateSpans(docs, minLen = 11).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+      .filter { case (a, b, _) => a != b }
+    assert(long11.nonEmpty, "the planted 30-char run must surface")
+    val q110 = graft.operators.Dedup.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap // id -> dup_chars
+    // soundness: q110 duplicated chars never exceed the exact cross-doc
+    // coverage (every shared winnowed anchor k-gram IS an exact duplicate)
+    for (id <- texts.keys) {
+      val exactChars = cover8.count(_._1 == id).toLong
+      assert(q110.getOrElse(id, 0L) <= exactChars,
+        s"doc $id: winnowed dup_chars > exact coverage")
+    }
+    // recall: every doc holding an exact >= 11 cross-doc run is flagged by
+    // q110 (winnowing guarantees an anchor in any shared >= k+w-1 run)
+    long11.flatMap { case (a, b, _) => Seq(a, b) }.distinct.foreach { id =>
+      assert(q110.getOrElse(id, 0L) > 0L,
+        s"doc $id has an exact >=11 dup but q110 reports none")
+    }
+    // and the noise docs are clean on both sides
+    assert(!cover8.exists(_._1 == 3L) && q110.getOrElse(3L, 0L) === 0L)
+  }
 }

@@ -17,10 +17,14 @@ import org.apache.spark.sql.SparkSession
   * layouts) are prebuilt before pass 1 — their queries time the PROBE,
   * the per-request cost a serving cluster pays. The sink-backed STREAMING
   * queries ([[SparkEntry.sinkBackedQueries]]) are the opposite case: the
-  * streaming run IS the operator, so their fileOnce memo is dropped
-  * before every timed pass and each recorded number is a full streaming
+  * streaming run IS the operator, so their RUN memo is dropped before
+  * every timed pass and each recorded number is a full streaming
   * execution (ingest -> stateful operators -> sink), never the 0.2 s
-  * re-read of a sink built in an earlier pass.
+  * re-read of a sink built in an earlier pass. The FEED files are a
+  * write-once artifact shared by all passes (r9): regenerating the
+  * source corpus is harness work a production stream never pays, and
+  * leaving it in the pass inflated the streaming scale exponents with a
+  * linear coalesce(1)-rewrite term (q152's 7.0x at 100x).
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_BENCH_PASSES (default 3), SPARK_GRAFT_BENCH_ONLY

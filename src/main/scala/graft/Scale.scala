@@ -224,6 +224,7 @@ object StateBench {
       f.delete()
     }
 
+    var lines = Vector.empty[String]
     for (n <- scales) {
       val dir = if (n == 1) src else s"$outBase/x$n"
       if (n > 1) ScaleGen.generate(spark, src, n, dir)
@@ -298,10 +299,21 @@ object StateBench {
 
       def j(t: (Long, Long, Double)) =
         s"""{"state_rows_max":${t._1},"sst_bytes_max":${t._2},"wall_s":${f"${t._3}%.1f"}}"""
-      println(s"""{"scale":$n,"events":$nEvents,"users":$nUsers,""" +
+      val line = s"""{"scale":$n,"events":$nEvents,"users":$nUsers,""" +
         s""""dedup_1d":${j(dedup1d)},"dedup_12h":${j(dedup12h)},""" +
-        s""""sessions":${j(sessions)},"profiles":${j(profiles)}}""")
+        s""""sessions":${j(sessions)},"profiles":${j(profiles)}}"""
+      println(line)
+      lines :+= line
     }
+    // persist the full run as a per-round artifact (SCALE.md's
+    // bounded-state table cites this file; a state-size regression shows
+    // as a diff here, not only in a one-off prose table)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/state_last.json"),
+        lines.mkString("[", ",\n ", "]\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -294,10 +294,91 @@ case class WordpieceTokens(child: Expression, vocab: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Length (in CHARACTERS) of the longest common prefix of two strings —
+  * the kernel of SuffixArray.duplicateSpans' fast path: one codegen'd
+  * byte loop per candidate pair replaces log(n) rank-table join rounds
+  * for every pair whose LCP fits the probe window. Steps CHARACTER-wise
+  * (UTF-8 lead-byte widths), so a multi-byte character either matches
+  * whole or not at all — identical to the oracle's codepoint substr
+  * comparison; pure ASCII degenerates to the byte loop. */
+case class CommonPrefixLen(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "common_prefix_len"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two string arguments")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String]
+    val b = r.asInstanceOf[UTF8String]
+    val la = a.numBytes(); val lb = b.numBytes()
+    var i = 0; var out = 0L; var break = false
+    while (!break && i < la && i < lb) {
+      val x = a.getByte(i)
+      val w = if (x >= 0) 1
+        else if ((x & 0xE0) == 0xC0) 2
+        else if ((x & 0xF0) == 0xE0) 3
+        else 4
+      if (i + w > la || i + w > lb) break = true
+      else {
+        var j = 0
+        while (j < w && !break) {
+          if (a.getByte(i + j) != b.getByte(i + j)) break = true
+          j += 1
+        }
+        if (!break) { i += w; out += 1 }
+      }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val la = ctx.freshName("la")
+      val lb = ctx.freshName("lb")
+      val x = ctx.freshName("x")
+      val w = ctx.freshName("w")
+      val j = ctx.freshName("j")
+      val loop = ctx.freshName("prefixLoop")
+      s"""
+         |int $la = $a.numBytes();
+         |int $lb = $b.numBytes();
+         |int $i = 0;
+         |${ev.value} = 0L;
+         |$loop:
+         |while ($i < $la && $i < $lb) {
+         |  byte $x = $a.getByte($i);
+         |  int $w = ($x >= 0) ? 1 : ((($x & 0xE0) == 0xC0) ? 2 : ((($x & 0xF0) == 0xE0) ? 3 : 4));
+         |  if ($i + $w > $la || $i + $w > $lb) break $loop;
+         |  for (int $j = 0; $j < $w; $j++)
+         |    if ($a.getByte($i + $j) != $b.getByte($i + $j)) break $loop;
+         |  $i += $w;
+         |  ${ev.value} += 1L;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 object TextExpressions {
   /** MinHash signature column: array of numHashes hex-string minima. */
   def minhashSig(shingles: Column, numHashes: Int = 16): Column =
     column(MinHashSignature(expression(shingles), numHashes))
+
+  /** Character count of the longest common prefix (codegen'd byte loop). */
+  def commonPrefixLen(a: Column, b: Column): Column =
+    column(CommonPrefixLen(expression(a), expression(b)))
 
   /** 32-bit SimHash bit string over a token array — single map-stage pass. */
   def simhash32(tokens: Column): Column =

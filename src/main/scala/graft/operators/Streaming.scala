@@ -658,6 +658,105 @@ object Streaming {
         OutputMode.Append(), init)
   }
 
+  final case class TypeAggV2(n: Long, sum: Double, mx: Double)
+  final case class ProfileOutV2(user_id: Long, event_type: String,
+      n_events: Long, sum_value: Double, max_value: Option[Double])
+  final case class InitProfileV2(user_id: Long, types: Map[String, TypeAggV2],
+      last_ms: Long)
+
+  /** STATE-EVOLUTION template (the offline migration path the statestore
+    * source's scaladoc promises): [[UserProfileProcessor]]'s schema grown
+    * by one field — `mx`, the max value seen per (user, type) — seeded
+    * from a V1 checkpoint read back offline. The migration contract this
+    * encodes:
+    *
+    *  - carried fields are EXACT: post-migration (n, sum) equal the
+    *    never-migrated batch aggregate over all events, because the V1
+    *    state rows are folded in verbatim via handleInitialState;
+    *  - the new field follows its documented default: history predates
+    *    the field, so `mx` starts at -∞ (unknowable) and reflects only
+    *    post-migration events — published as None when no live event
+    *    arrived before the flush.
+    *
+    * The V1 → V2 reshape itself is plain DataFrame code over
+    * `spark.read.format("statestore")` (StateMigrationSpec shows the
+    * whole loop: run V1 → read checkpoint → reshape → seed V2 → outputs
+    * equal the batch oracle). */
+  class MigratedProfileProcessor(flushGapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, ProfEv, ProfileOutV2, InitProfileV2] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var profile: MapState[String, TypeAggV2] = _
+    @transient private var tmr: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      profile = getHandle.getMapState[String, TypeAggV2]("profile",
+        Encoders.STRING, Encoders.product[TypeAggV2], TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long]("tmr",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInitialState(key: Long, init: InitProfileV2,
+        tv: TimerValues): Unit = {
+      init.types.foreach { case (t, agg) => profile.updateValue(t, agg) }
+      val t = init.last_ms + flushGapMs
+      tmr.update(t)
+      getHandle.registerTimer(t)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[ProfEv],
+        tv: TimerValues): Iterator[ProfileOutV2] = {
+      var maxMs = Long.MinValue
+      rows.foreach { e =>
+        val prev =
+          if (profile.containsKey(e.event_type)) profile.getValue(e.event_type)
+          else TypeAggV2(0L, 0.0, Double.NegativeInfinity)
+        profile.updateValue(e.event_type,
+          TypeAggV2(prev.n + 1, prev.sum + e.value, math.max(prev.mx, e.value)))
+        if (e.ts.getTime > maxMs) maxMs = e.ts.getTime
+      }
+      if (maxMs != Long.MinValue) {
+        if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+        val t = maxMs + flushGapMs
+        tmr.update(t)
+        getHandle.registerTimer(t)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ProfileOutV2] = {
+      if (tmr.exists() && info.getExpiryTimeInMs == tmr.get()) {
+        val out = profile.iterator().map { p =>
+          ProfileOutV2(key, p._1, p._2.n,
+            BigDecimal(p._2.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            if (p._2.mx.isNegInfinity) None else Some(p._2.mx))
+        }.toVector.sortBy(_.event_type)
+        profile.clear(); tmr.clear()
+        out.iterator
+      } else Iterator.empty
+    }
+  }
+
+  /** Streaming entry for [[MigratedProfileProcessor]]: `init` is the
+    * reshaped V1 state (one row per user), `live` the stream the evolved
+    * state continues from. */
+  def userProfilesMigrated(init: Dataset[InitProfileV2], live: DataFrame,
+      flushGapMs: Long = 3600000L, watermark: String = "1 minute")
+      : Dataset[ProfileOutV2] = {
+    val s = live.sparkSession
+    import s.implicits._
+    live
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+      .withWatermark("ts", watermark)
+      .as[ProfEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new MigratedProfileProcessor(flushGapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(), init.groupByKey(_.user_id))
+  }
+
   /** Streaming entry for [[UserProfileProcessor]]. */
   def userProfiles(events: DataFrame, flushGapMs: Long = 3600000L,
       watermark: String = "1 minute"): Dataset[ProfileOut] = {

@@ -167,24 +167,56 @@ object SuffixArray {
     * a guaranteed no-op (final ranks are distinct), kept for the uniform
     * argument. The fixed-round oracle replay composes for the same
     * reason as the build's: extra all-distinct top rounds never advance. */
-  def lcpAdjacent(idx: SaIndex): DataFrame = {
+  def lcpAdjacent(idx: SaIndex): DataFrame =
+    lcpDescent(idx, adjacentPairs(idx))
+
+  /** (rank, pos_a = suffix at rank t, pos_b = suffix at rank t-1) for
+    * every rank t ∈ [1, n) — one equi-join of the SA against itself. */
+  def adjacentPairs(idx: SaIndex): DataFrame = {
     val prevRank = idx.sa.select((col("rank") + 1).as("rank"),
       col("pos").as("pos_b"))
-    var pairs = idx.sa
+    idx.sa
       .join(prevRank, Seq("rank"))
-      .select(col("rank"), col("pos").as("pos_a"), col("pos_b"),
-        lit(0L).as("l"))
+      .select(col("rank"), col("pos").as("pos_a"), col("pos_b"))
+  }
+
+  /** The rank-history descent over an arbitrary (rank, pos_a, pos_b) pair
+    * set → (rank, pos_a, pos_b, lcp). When the pair set is small (it is,
+    * on the duplicateSpans fast path — only window-saturated pairs reach
+    * here) each round is a broadcast-INNER lookup: the pairs broadcast as
+    * the hash side, the history table is streamed map-side, nothing
+    * shuffles. Inner is safe because the history is first completed with
+    * a sentinel row (pos = n, rank -2) for the one probe position outside
+    * it — and the sentinel can never cause a false advance, since both
+    * sides reaching it would need pos_a + l = pos_b + l = n, impossible
+    * for distinct positions. Above the threshold the descent falls back
+    * to the shuffled left-join form that handles adversarially
+    * duplicate-heavy corpora. */
+  def lcpDescent(idx: SaIndex, pairSet: DataFrame,
+      broadcastThreshold: Long = 500000L): DataFrame = {
+    var pairs = pairSet
+      .select(col("rank"), col("pos_a"), col("pos_b"), lit(0L).as("l"))
       .localCheckpoint()
+    val small = pairs.count() <= broadcastThreshold
     for (k <- idx.history.indices.reverse) {
       val step = 1L << k
-      val ha = idx.history(k).select(col("pos").as("pa"), col("r").as("ra"))
-      val hb = idx.history(k).select(col("pos").as("pb"), col("r").as("rb"))
-      val next = pairs
-        .join(ha, col("pa") === col("pos_a") + col("l"), "left")
-        .join(hb, col("pb") === col("pos_b") + col("l"), "left")
+      val sent = idx.sa.sparkSession.range(1)
+        .select(lit(idx.n).as("pos"), lit(-2L).as("r"))
+      val hk = idx.history(k).unionByName(sent)
+      val ha = hk.select(col("pos").as("pa"), col("r").as("ra"))
+      val hb = hk.select(col("pos").as("pb"), col("r").as("rb"))
+      val next = (if (small)
+          hb.join(
+            broadcast(ha.join(broadcast(pairs),
+              col("pa") === col("pos_a") + col("l"))),
+            col("pb") === col("pos_b") + col("l"))
+        else
+          pairs
+            .join(ha, col("pa") === col("pos_a") + col("l"), "left")
+            .join(hb, col("pb") === col("pos_b") + col("l"), "left"))
         .select(col("rank"), col("pos_a"), col("pos_b"),
-          (col("l") + when(col("ra").isNotNull && col("ra") === col("rb"),
-            lit(step)).otherwise(lit(0L))).as("l"))
+          (col("l") + when(col("ra").isNotNull && col("ra") === col("rb") &&
+            col("ra") =!= lit(-2L), lit(step)).otherwise(lit(0L))).as("l"))
         .localCheckpoint()
       pairs.unpersist(blocking = false)
       pairs = next
@@ -214,32 +246,71 @@ object SuffixArray {
     out
   }
 
+  /** The fast path's probe width: pairs whose within-doc LCP verdict fits
+    * W characters skip the rank descent entirely. */
+  private val W = 64
+
   /** [[duplicateSpans]] over an already-built [[SaIndex]] — the
     * build-once / consume-many split a production corpus runs (the SA is
-    * the expensive artifact; span extraction is one descent over it). */
+    * the expensive artifact; span extraction is a pass over it).
+    *
+    * Fast path (the lever that makes exact spans affordable at corpus
+    * scale): every adjacent pair first compares the two suffixes'
+    * W-character DOC-LOCAL windows (text from the offset, terminator
+    * appended) with the codegen'd [[graft.functions.CommonPrefixLen]] —
+    * two equi-joins and a per-row byte loop instead of log(n) rank-table
+    * rounds. The window verdict is FINAL for the clipped span whenever
+    * (a) the windows mismatch inside W, or (b) either side's terminator
+    * is within W (the clip caps the span there anyway): the window
+    * diverges from the raw corpus only past the terminator, and the
+    * reported span is min(lcp, dist_a, dist_b), which those characters
+    * can never move. Only window-SATURATED pairs — W matching characters
+    * with both terminators beyond W, i.e. a genuine ≥ W-char duplicate —
+    * take the [[lcpDescent]], and they broadcast against the history
+    * (nothing shuffles) until an adversarially duplicate-heavy corpus
+    * pushes them past the threshold. The DuckDB oracle replays the pure
+    * descent for every pair; the two forms agree on every clipped span
+    * by the argument above (SuffixArraySpec pins both paths). */
   def duplicateSpansFrom(idx: SaIndex, docs: DataFrame,
       minLen: Int): DataFrame = {
     val offs = Packing.packCounts(
         docs.select(col("id"), (length(col("text")) + 1).as("n")),
         blockTokens = Long.MaxValue)
       .select(col("id"), col("start_off"))
-    // (pos, doc, off, dist = chars between pos and the doc's terminator)
+    // (pos, doc, off, dist = chars to the doc's terminator, win = the
+    // W-char doc-local probe window)
     val posDoc = docs.join(offs, "id")
-      .select(col("id"), col("start_off"), length(col("text")).as("tlen"))
-      .select(col("id"), col("start_off"), col("tlen"),
+      .select(col("id"), col("start_off"), length(col("text")).as("tlen"),
+        concat(col("text"), lit("")).as("padded"))
+      .select(col("id"), col("start_off"), col("tlen"), col("padded"),
         posexplode(sequence(lit(0), col("tlen"))).as(Seq("off", "ignored")))
       .select(col("id"), (col("start_off") + col("off")).as("pos"),
         col("off").cast("long").as("off"),
-        (col("tlen") - col("off")).cast("long").as("dist"))
+        (col("tlen") - col("off")).cast("long").as("dist"),
+        expr(s"substring(padded, off + 1, $W)").as("win"))
     val da = posDoc.select(col("pos").as("pos_a"), col("id").as("doc_a"),
-      col("off").as("off_a"), col("dist").as("dist_a"))
+      col("off").as("off_a"), col("dist").as("dist_a"), col("win").as("win_a"))
     val db = posDoc.select(col("pos").as("pos_b"), col("id").as("doc_b"),
-      col("off").as("off_b"), col("dist").as("dist_b"))
-    lcpAdjacent(idx)
+      col("off").as("off_b"), col("dist").as("dist_b"), col("win").as("win_b"))
+    val probed = adjacentPairs(idx)
       .join(da, Seq("pos_a"))
       .join(db, Seq("pos_b"))
+      .withColumn("l64", graft.functions.TextExpressions
+        .commonPrefixLen(col("win_a"), col("win_b")))
+      .drop("win_a", "win_b")
+      .localCheckpoint()
+    val saturated = col("l64") === W &&
+      least(col("dist_a"), col("dist_b")) >= W
+    val resolved = probed.where(!saturated)
+      .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
+        least(col("l64"), col("dist_a"), col("dist_b")).as("span_len"))
+    val deep = lcpDescent(idx,
+        probed.where(saturated).select(col("rank"), col("pos_a"), col("pos_b")))
+      .join(probed.select(col("rank"), col("doc_a"), col("off_a"),
+        col("doc_b"), col("off_b"), col("dist_a"), col("dist_b")), Seq("rank"))
       .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
         least(col("lcp"), col("dist_a"), col("dist_b")).as("span_len"))
+    resolved.unionByName(deep)
       .where(col("span_len") >= minLen)
   }
 }

@@ -113,6 +113,39 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans: window-saturated pairs (>= 64-char runs) take the descent and stay exact") {
+    import spark.implicits._
+    // a 100-char needle (> the 64-char probe window) shared by docs 0 and
+    // 2, plus a fully-identical doc pair (3, 4) whose clip must cap the
+    // span at the doc length
+    val needle = ("abcdefghij" * 10).take(100)
+    val twin = "identical twin documents! " * 6 // 156 chars
+    val texts = Map(
+      0L -> ("xx" + needle + "yy"),
+      1L -> "totally unrelated filler content",
+      2L -> ("zzzz" + needle),
+      3L -> twin,
+      4L -> twin)
+    val docs = texts.toSeq.sortBy(_._1).toDF("id", "text")
+    val spans = SuffixArray.duplicateSpans(docs, minLen = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the full needle pair survives with its exact length
+    val needleSpans = spans.filter { case (a, _, b, _, _) =>
+      Set(a, b) == Set(0L, 2L) }
+    assert(needleSpans.map(_._5).max === needle.length.toLong)
+    // the identical twins' best span is the whole doc -- the raw LCP
+    // crosses the terminator but the clip caps it at doc length
+    val twinSpans = spans.filter { case (a, _, b, _, _) =>
+      Set(a, b) == Set(3L, 4L) }
+    assert(twinSpans.map(_._5).max === twin.length.toLong)
+    // every span still verbatim + in-bounds (both paths agree on clips)
+    spans.foreach { case (a, o1, b, o2, l) =>
+      assert(l <= texts(a).length - o1 && l <= texts(b).length - o2)
+      assert(texts(a).substring(o1.toInt, (o1 + l).toInt) ===
+        texts(b).substring(o2.toInt, (o2 + l).toInt))
+    }
+  }
+
   test("duplicateSpans audits q110: winnowed coverage within exact; long exact runs anchored") {
     import spark.implicits._
     // one long cross-doc duplicate (30 chars >= k+w-1 = 11); docs 2/3 noise

@@ -504,6 +504,21 @@ object Audit {
       ("batch equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
       ("per-src re-cut partial limit", _.contains("WindowGroupLimit")))
+    audit("q166_suffix_array")(
+      // the doubling is positional equi-joins + the RDD range-rank; a
+      // cross product anywhere means a shift key stopped being equi
+      ("no cross product", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      // the only GLOBAL sort allowed is the final output ordering — the
+      // dense rank inside the build is range-partition + local sort
+      ("single global sort (output ordering only)", p =>
+        p.linesIterator.count(l => l.contains("Sort [") && l.contains("], true")) == 1))
+    audit("q167_exact_dup_spans")(
+      // window probe, doc mapping, and descent lookups are all equi-joins
+      ("equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("single global sort (output ordering only)", p =>
+        p.linesIterator.count(l => l.contains("Sort [") && l.contains("], true")) == 1))
     // q151's BATCH twin (the query entry reads the streaming sink, so the
     // plan to audit is the shared definition itself): the attribution
     // join must plan as a user_id equi-join with the time-range bound as

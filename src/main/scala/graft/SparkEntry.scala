@@ -1518,15 +1518,24 @@ object SparkEntry {
       def ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       streamArtifact(base, Seq("joined", "ckpt")) {
-        ev.where(col("event_type") === "view").coalesce(1)
-          .write.parquet(s"$base/views")
-        ev.where(col("event_type") === "click").coalesce(1)
-          .write.parquet(s"$base/clicks")
+        // both sides chunked on the SAME global span so micro-batches
+        // advance in step; a click's view is always in state when it
+        // arrives (view_ts < click_ts puts the view in an earlier-or-same
+        // chunk, and the 1-day watermark dwarfs chunk misalignment)
+        val r = ev.agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx")).collect()(0)
+        val bounds = Some((r.getLong(0), r.getLong(1)))
+        writeTimeOrderedFeed(ev.where(col("event_type") === "view")
+          .drop("event_type"), s"$base/views", bounds = bounds)
+        writeTimeOrderedFeed(ev.where(col("event_type") === "click")
+          .drop("event_type"), s"$base/clicks", bounds = bounds)
       } {
         val sch = ev.drop("event_type").schema
         val q = Streaming.attributionJoin(
-            s.readStream.schema(sch).parquet(s"$base/views"),
-            s.readStream.schema(sch).parquet(s"$base/clicks"))
+            s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+              .parquet(s"$base/views"),
+            s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+              .parquet(s"$base/clicks"))
           .writeStream.outputMode("append").format("parquet")
           .option("path", s"$base/joined")
           .option("checkpointLocation", s"$base/ckpt")
@@ -1538,23 +1547,27 @@ object SparkEntry {
     }),
 
     // ---- streaming EXACT DEDUP under at-least-once delivery: the feed
-    // is the events table plus exact re-deliveries of every 7th event,
-    // written as TWO files so maxFilesPerTrigger=1 forces the duplicates
-    // into a LATER micro-batch — the dedup must hit keyed state carried
-    // across batches, not same-batch distinct. The oracle is the
-    // batch-twin contract: dedup(feed) == the original events table
+    // is the events table in 15 time-ordered micro-batches plus exact
+    // re-deliveries of every 7th event as a LAST batch — the dedup must
+    // hit keyed state carried across batches (or the late gate), never
+    // same-batch distinct, while the ratcheting watermark evicts state
+    // mid-stream. The oracle is the batch-twin contract: dedup(feed) ==
+    // the original events table
     "q152_stream_dedup" -> ((s, dir) => {
       val base = tmpArtifact("sdedup", dir, "")
       def ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("event_type"), col("value"))
       streamArtifact(base, Seq("deduped", "ckpt")) {
-        ev.coalesce(1).write.parquet(s"$base/feed")
-        val b0 = stampBatch(s"$base/feed", Set.empty, 0)
-        // second part file (stamped strictly later) = second micro-batch
+        // 15 time-ordered chunks ratchet the watermark through the span
+        // (state evicts mid-stream); the re-deliveries land as the LAST
+        // micro-batch — each one is either still in dedup state (within
+        // the 1-day horizon) or behind the watermark (late-dropped), so
+        // the output is the original events either way
+        val b0 = writeTimeOrderedFeed(ev, s"$base/feed")
         ev.where(col("event_id") % 7 === 0).coalesce(1)
           .write.mode("append").parquet(s"$base/feed")
-        stampBatch(s"$base/feed", b0, 1)
+        stampBatch(s"$base/feed", b0, 15)
       } {
         val q = Streaming.dedupWithinWatermark(
             s.readStream.schema(ev.schema)
@@ -1695,13 +1708,17 @@ object SparkEntry {
       def ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       streamArtifact(base, Seq("sessions", "ckpt")) {
-        ev.coalesce(1).write.parquet(s"$base/feed")
-        val b0 = stampBatch(s"$base/feed", Set.empty, 0)
+        // 15 time-ordered chunks: sessions now CLOSE mid-stream as the
+        // watermark ratchets (a session whose next event is within the
+        // gap can never be cut at a chunk boundary — that event's arrival
+        // precedes any watermark that could fire the timer); the sentinel
+        // is the last batch, closing the stragglers
+        val b0 = writeTimeOrderedFeed(ev, s"$base/feed")
         ev.limit(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
             to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
             lit(0.0).as("value"))
           .coalesce(1).write.mode("append").parquet(s"$base/feed")
-        stampBatch(s"$base/feed", b0, 1)
+        stampBatch(s"$base/feed", b0, 15)
       } {
         val key = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(key)
@@ -1737,7 +1754,12 @@ object SparkEntry {
       def ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       streamArtifact(base, Seq("features", "ckpt")) {
-        ev.coalesce(1).write.parquet(s"$base/feed")
+        // 15 time-ordered chunks: buffers carry across micro-batches and
+        // gone-quiet users are timer-evicted mid-stream; the oracle's
+        // horizon segmentation is batch-boundary-independent (the
+        // handleInputRows cutoff), so the chunked feed emits the same
+        // features as a single batch would
+        writeTimeOrderedFeed(ev, s"$base/feed")
       } {
         val key = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(key)
@@ -1745,7 +1767,8 @@ object SparkEntry {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
           val q = Streaming.trailingFeatures(
-              s.readStream.schema(ev.schema).parquet(s"$base/feed"))
+              s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+                .parquet(s"$base/feed"))
             .writeStream.outputMode("append").format("parquet")
             .option("path", s"$base/features")
             .option("checkpointLocation", s"$base/ckpt")
@@ -1766,7 +1789,13 @@ object SparkEntry {
     // user's per-event-type (count, sum) accumulates in a keyed sub-map;
     // the profile is PUSHED complete once the watermark passes last-seen
     // + 1 h (sentinel-advanced, q158's discipline). The oracle is the
-    // plain per-(user, type) batch aggregate
+    // plain per-(user, type) batch aggregate. DELIBERATELY a single-batch
+    // feed (not the 15-chunk shape q152/q158 use): a ratcheting watermark
+    // would flush a user MULTIPLE times mid-stream — operationally right
+    // for push-based serving, but it would turn the one-row-per-(user,
+    // type) oracle contract into a sum-over-flushes one. The single-flush
+    // feed keeps the emission contract exact; the multi-batch STATE shape
+    // of this very processor is measured separately (StateBench)
     "q161_user_profiles" -> ((s, dir) => {
       val base = tmpArtifact("uprof", dir, "")
       def ev = Tables.events(s, dir)
@@ -1817,18 +1846,19 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("event_type"), col("value"))
       streamArtifact(base, Seq("counts", "ckpt")) {
-        ev.coalesce(1).write.parquet(s"$base/feed")
-        val b0 = stampBatch(s"$base/feed", Set.empty, 0)
-        // second file: exact re-deliveries (a later micro-batch)
+        // 15 time-ordered chunks (dedup state evicts and windows finalize
+        // mid-stream), then the re-deliveries (state-suppressed or
+        // late-dropped — either way they never reach the window agg),
+        // then the watermark advancer closing the last windows
+        val b0 = writeTimeOrderedFeed(ev, s"$base/feed")
         ev.where(col("event_id") % 7 === 0).coalesce(1)
           .write.mode("append").parquet(s"$base/feed")
-        val b1 = stampBatch(s"$base/feed", b0, 1)
-        // third file: watermark advancer so every real window closes
+        val b1 = stampBatch(s"$base/feed", b0, 15)
         ev.limit(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
             to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
             lit("__adv").as("event_type"), lit(0.0).as("value"))
           .coalesce(1).write.mode("append").parquet(s"$base/feed")
-        stampBatch(s"$base/feed", b1, 2)
+        stampBatch(s"$base/feed", b1, 16)
       } {
         val deduped = Streaming.dedupWithinWatermark(
           s.readStream.schema(ev.schema)
@@ -1853,11 +1883,11 @@ object SparkEntry {
     // the null-padded "view never converted" emissions — a view with no
     // click within 6 h emits once, click_id/delta_ms NULL, as soon as the
     // watermark PROVES no future click can match (state eviction doubles
-    // as the completion signal). Real two-source streaming run: the real
-    // events are batch 1 of each source, a far-future sentinel pair is
-    // batch 2 (maxFilesPerTrigger=1, stamped order) advancing both
-    // watermarks so every unmatched view finalizes; the oracle is the
-    // plain batch LEFT JOIN (all views are watermark-closed by the
+    // as the completion signal). Real two-source streaming run: 15
+    // time-ordered chunks per source, a far-future sentinel pair as each
+    // side's last batch (maxFilesPerTrigger=1, stamped order) advancing
+    // both watermarks so every unmatched view finalizes; the oracle is
+    // the plain batch LEFT JOIN (all views are watermark-closed by the
     // sentinel, so the restriction is vacuous)
     "q164_stream_attrib_outer" -> ((s, dir) => {
       val base = tmpArtifact("attribout", dir, "")
@@ -1867,16 +1897,21 @@ object SparkEntry {
         val sentinel = ev.limit(1).select(lit(-1L).as("event_id"),
           lit(-1L).as("user_id"),
           to_timestamp(lit("2030-01-01 00:00:00")).as("ts"))
-        ev.where(col("event_type") === "view").drop("event_type").coalesce(1)
-          .write.parquet(s"$base/views")
-        val v0 = stampBatch(s"$base/views", Set.empty, 0)
+        // q151's chunk discipline (same global span on both sides), plus
+        // the sentinel pair as each side's last batch: unmatched views now
+        // null-pad MID-STREAM as the ratcheting watermark proves them
+        // unconvertible, the sentinel only sweeps the final horizon
+        val r = ev.agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx")).collect()(0)
+        val bounds = Some((r.getLong(0), r.getLong(1)))
+        val v0 = writeTimeOrderedFeed(ev.where(col("event_type") === "view")
+          .drop("event_type"), s"$base/views", bounds = bounds)
         sentinel.coalesce(1).write.mode("append").parquet(s"$base/views")
-        stampBatch(s"$base/views", v0, 1)
-        ev.where(col("event_type") === "click").drop("event_type").coalesce(1)
-          .write.parquet(s"$base/clicks")
-        val c0 = stampBatch(s"$base/clicks", Set.empty, 0)
+        stampBatch(s"$base/views", v0, 15)
+        val c0 = writeTimeOrderedFeed(ev.where(col("event_type") === "click")
+          .drop("event_type"), s"$base/clicks", bounds = bounds)
         sentinel.coalesce(1).write.mode("append").parquet(s"$base/clicks")
-        stampBatch(s"$base/clicks", c0, 1)
+        stampBatch(s"$base/clicks", c0, 15)
       } {
         val sch = ev.drop("event_type").schema
         val q = Streaming.attributionJoin(
@@ -2295,6 +2330,41 @@ object SparkEntry {
     })
   }
 
+  /** Write `df` into `path` as `files` TIME-ORDERED part files (2-day
+    * chunks over the events table's 30-day span at the default 15), each
+    * stamped as its own micro-batch via [[stampBatch]] — the honest feed
+    * shape for a stateful streaming run: maxFilesPerTrigger=1 then
+    * ratchets the watermark THROUGH the span, so state eviction, session
+    * closure, and window finalization all fire mid-stream, and peak state
+    * is horizon × rate instead of the whole corpus. (A single-file feed
+    * is the degenerate case: every event lands in one micro-batch, the
+    * watermark only moves after it, and "bounded state" silently becomes
+    * corpus-sized — exactly what r9's first scale re-measure caught for
+    * q152/q158.) `bounds` pins the chunk boundaries when two feeds must
+    * batch-align (the attribution joins chunk views and clicks on the
+    * same global span). Returns the known-file set so callers can append
+    * later batches (re-deliveries, watermark sentinels) at index
+    * `files`, `files`+1, … */
+  private def writeTimeOrderedFeed(df: DataFrame, path: String,
+      files: Int = 15, bounds: Option[(Long, Long)] = None): Set[String] = {
+    val (lo, hi) = bounds.getOrElse {
+      val r = df.agg(min(unix_millis(col("ts"))).as("mn"),
+        max(unix_millis(col("ts"))).as("mx")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(1L, hi - lo + 1)
+    var known = Set.empty[String]
+    for (b <- 0 until files) {
+      val flo = lo + span * b / files
+      val fhi = lo + span * (b + 1) / files
+      df.where(unix_millis(col("ts")) >= flo &&
+          (unix_millis(col("ts")) < fhi || lit(b == files - 1)))
+        .coalesce(1).write.mode("append").parquet(path)
+      known = stampBatch(path, known, b)
+    }
+    known
+  }
+
   /** Stamp the part files written to `dir` since `known` with mtime
     * `t0 + batch·60 s`, returning the updated known-set. The streaming
     * feeds that carry re-deliveries / watermark sentinels rely on
@@ -2324,16 +2394,18 @@ object SparkEntry {
   private def saIndexMemo(s: SparkSession, dir: String): String = {
     val base = tmpArtifact("saidx", dir, "")
     fileOnce.computeIfAbsent(base, _ => {
+      // the history sink spills each doubling round to $base/h$k AS THE
+      // BUILD RUNS, so the build pins O(n) rows instead of the full
+      // O(n log n) history (SuffixArray.buildFull scaladoc); the returned
+      // index is already parquet-backed, only sa + meta remain to write
       val idx = operators.SuffixArray.buildFull(
         Tables.documents(s, dir).where(col("doc_id") % 5 === 0)
-          .select(col("doc_id").as("id"), col("text")))
+          .select(col("doc_id").as("id"), col("text")),
+        sink = Some(base))
       idx.sa.write.mode("overwrite").parquet(s"$base/sa")
-      idx.history.zipWithIndex.foreach { case (h, k) =>
-        h.write.mode("overwrite").parquet(s"$base/h$k") }
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$base/_meta"),
         s"${idx.history.size} ${idx.n}")
-      idx.unpersist()
       true
     })
     base

@@ -41,11 +41,27 @@ import org.apache.spark.sql.functions._
   * Positions are int64; ranks stay < n so nothing overflows. */
 object SuffixArray {
 
+  /** Truly release a `localCheckpoint`ed frame: `Dataset.unpersist` only
+    * talks to the CacheManager, which a checkpoint never registers with —
+    * the persisted rows live on the checkpoint RDD behind the plan's
+    * LogicalRDD leaf, and stay pinned until GC unless released there.
+    * (Without this, "unpersist the previous round" silently retained the
+    * full O(n log n) history and the O(n)-pinned claim was false.) */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Dense rank of `df`'s rows under the (r, r2) sort key, as
-    * (pos, r = dense rank, 0-based). Equal keys co-locate under the range
-    * partitioner, so partition-local distinct counts + exclusive offsets
-    * give the exact global dense rank. */
-  private def denseRankPairs(df: DataFrame): DataFrame = {
+    * ((pos, r = dense rank, 0-based), total distinct keys). Equal keys
+    * co-locate under the range partitioner, so partition-local distinct
+    * counts + exclusive offsets give the exact global dense rank — and
+    * their sum is the distinct-key total, which the build's early-exit
+    * check (all ranks distinct ⇔ total == n) reads for free instead of
+    * paying a separate max-aggregate pass over the round's output. */
+  private def denseRankPairs(df: DataFrame): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = df
@@ -69,7 +85,7 @@ object SuffixArray {
     var acc = 0L
     counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
     val bc = spark.sparkContext.broadcast(offsets)
-    keyed.mapPartitionsWithIndex { (pid, it) =>
+    val ranked = keyed.mapPartitionsWithIndex { (pid, it) =>
       var rk = bc.value(pid) - 1
       var lastR = Long.MinValue
       var lastR2 = Long.MinValue
@@ -81,6 +97,7 @@ object SuffixArray {
         (row.getLong(0), rk)
       }
     }.toDF("pos", "r")
+    (ranked, acc)
   }
 
   /** [[buildFull]]'s result: `sa` = final (pos, rank); `history(k)` =
@@ -90,28 +107,39 @@ object SuffixArray {
     * `n` = corpus length in characters. Every table is localCheckpointed
     * and stays pinned until [[SaIndex.unpersist]]. */
   final case class SaIndex(sa: DataFrame, history: Seq[DataFrame], n: Long) {
-    def unpersist(): Unit = history.foreach(_.unpersist(blocking = false))
+    def unpersist(): Unit = history.foreach(SuffixArray.dropCheckpoint)
   }
 
   /** Suffix-array ranks of the corpus string concat(text || chr(1)
     * ORDER BY id). Returns (pos, rank), one row per character position,
     * rank ∈ [0, n) = the suffix's position in the sorted suffix order.
     * `docs` must have (id, text). */
-  def build(docs: DataFrame): DataFrame = {
-    val idx = buildFull(docs)
-    // keep only the final round's checkpoint (it backs the returned sa);
-    // the intermediate history is an LCP-consumer concern
-    idx.history.dropRight(1).foreach(_.unpersist(blocking = false))
-    idx.sa
-  }
+  def build(docs: DataFrame): DataFrame =
+    core(docs, keepHistory = false, sink = None).sa
 
   /** [[build]], keeping the per-round rank tables — the index the LCP
     * descent ([[lcpAdjacent]]) consumes. The prefix-doubling history IS
     * the distributed answer to Kasai's (inherently sequential) LCP
     * construction: lcp(i, j) is recovered in ceil(log2 n) rank-table
     * equality probes, so keeping the O(n log n) rows the build already
-    * materialized buys exact LCPs with no sequential pass. */
-  def buildFull(docs: DataFrame): SaIndex = {
+    * materialized buys exact LCPs with no sequential pass.
+    *
+    * With no `sink` the history stays pinned in block-manager storage
+    * (fine at test scale; [[SaIndex.unpersist]] releases it). Passing
+    * `sink = Some(base)` SPILLS each round to `base/h<k>` parquet the
+    * moment it lands and unpersists its checkpoint — the build then pins
+    * O(n) rows at any instant and the returned index is fully
+    * parquet-backed (nothing pinned at all), which is both the
+    * persistent-artifact path (saIndexMemo) and the only sane retention
+    * at corpus scale: 100 T chars × ~47 rounds must live on shared
+    * storage, not in executor memory. [[build]] is the third retention
+    * mode — no history at all, each round dropped as the next lands. */
+  def buildFull(docs: DataFrame, sink: Option[String] = None): SaIndex =
+    core(docs, keepHistory = true, sink)
+
+  private def core(docs: DataFrame, keepHistory: Boolean,
+      sink: Option[String]): SaIndex = {
+    val spark = docs.sparkSession
     // per-doc start offsets: the packCounts two-phase prefix sum over
     // (length + 1 terminator) in id order
     val offs = Packing.packCounts(
@@ -127,7 +155,17 @@ object SuffixArray {
         ascii(col("col")).cast("long").as("r"))
       .localCheckpoint()
     val n = sa.count()
-    var history = Vector(sa)
+    // spill round k to the sink and hand back the parquet read — the
+    // checkpoint behind it can then drop without losing the round
+    def emit(k: Int, df: DataFrame): DataFrame = sink match {
+      case Some(base) =>
+        df.write.mode("overwrite").parquet(s"$base/h$k")
+        spark.read.parquet(s"$base/h$k")
+      case None => df
+    }
+    var history =
+      if (keepHistory) Vector(emit(0, sa)) else Vector.empty[DataFrame]
+    var round = 0
     var k = 1L
     var done = false
     while (!done && k < n) {
@@ -135,14 +173,27 @@ object SuffixArray {
       val paired = sa.join(shifted, Seq("pos"), "left")
         .select(col("pos"), col("r"),
           coalesce(col("r2"), lit(-1L)).as("r2")) // past-end = smallest
-      val next = denseRankPairs(paired).localCheckpoint()
+      // all ranks distinct <=> the sweep counted n distinct pair-keys:
+      // further rounds are no-ops. The check is the rank sweep's own
+      // count total — not a separate max-aggregate pass over the output
+      val (ranked, distinct) = denseRankPairs(paired)
+      val next = ranked.localCheckpoint()
+      // the outgoing round's checkpoint only backs the in-memory history;
+      // spilled or dropped history lets it go the moment the next lands
+      if (!keepHistory || sink.isDefined) dropCheckpoint(sa)
       sa = next
-      history :+= sa
-      // all ranks distinct <=> max rank == n-1: further rounds are no-ops
-      done = sa.agg(max(col("r"))).collect()(0).getLong(0) == n - 1
+      round += 1
+      if (keepHistory) history :+= emit(round, sa)
+      done = distinct == n
       k *= 2
     }
-    SaIndex(sa.select(col("pos"), col("r").as("rank")), history, n)
+    if (sink.isDefined) {
+      // fully parquet-backed index: the final round is already spilled as
+      // the last history entry, so nothing stays pinned
+      val last = history.last
+      dropCheckpoint(sa)
+      SaIndex(last.select(col("pos"), col("r").as("rank")), history, n)
+    } else SaIndex(sa.select(col("pos"), col("r").as("rank")), history, n)
   }
 
   /** LCP between RANK-ADJACENT suffixes: one row per rank t ∈ [1, n),
@@ -218,7 +269,7 @@ object SuffixArray {
           (col("l") + when(col("ra").isNotNull && col("ra") === col("rb") &&
             col("ra") =!= lit(-2L), lit(step)).otherwise(lit(0L))).as("l"))
         .localCheckpoint()
-      pairs.unpersist(blocking = false)
+      dropCheckpoint(pairs)
       pairs = next
     }
     pairs.select(col("rank"), col("pos_a"), col("pos_b"), col("l").as("lcp"))

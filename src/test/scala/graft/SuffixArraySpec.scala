@@ -86,6 +86,37 @@ class SuffixArraySpec extends SparkSpec {
     assert(lcps(texts) === bruteLcp(corpus))
   }
 
+  test("buildFull history sink: the parquet-spilled index equals the pinned one") {
+    import spark.implicits._
+    // repetitive 2-letter corpus: several doubling rounds, real LCP work
+    val rnd = new scala.util.Random(11)
+    val texts = Seq.tabulate(4)(d =>
+      (d.toLong, Seq.fill(60)("ab" (rnd.nextInt(2))).mkString))
+    val docs = texts.toDF("id", "text")
+    val mem = SuffixArray.buildFull(docs)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    val tmp = java.nio.file.Files.createTempDirectory("graft_saidx").toString
+    val spilled = SuffixArray.buildFull(docs, sink = Some(tmp))
+    // nothing from the spilled build stays pinned: the sink path's whole
+    // point is O(n)-bounded executor storage during the build, zero after
+    assert(spark.sparkContext.getPersistentRDDs.size === pinnedBefore)
+    assert(spilled.n === mem.n)
+    assert(spilled.history.size === mem.history.size)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(spilled.sa) === pairs(mem.sa))
+    spilled.history.zip(mem.history).zipWithIndex.foreach { case ((s, m), k) =>
+      assert(pairs(s) === pairs(m), s"history round $k differs")
+    }
+    // and the LCP consumer over the spilled index matches the pinned path
+    def spans(idx: SuffixArray.SaIndex) =
+      SuffixArray.duplicateSpansFrom(idx, docs, minLen = 11).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    assert(spans(spilled) === spans(mem))
+    mem.unpersist()
+  }
+
   test("duplicateSpans: planted run found at exact offsets; spans verbatim and clipped") {
     import spark.implicits._
     // the 26-char needle sits at offset 6 of doc 0 and offset 3 of doc 2;

@@ -366,6 +366,12 @@ object ScaleBench {
       // wall at 100× — the LSH more-projections-at-scale knob)
       System.setProperty("graft.knnproj",
         (8 + math.ceil(math.log(n) / math.log(2)).toInt).toString)
+      // stream state-store parallelism tracks arrival RATE (events per
+      // micro-batch ×N on the fixed 30-day span): 8 → 25 → 32 (core cap),
+      // keeping per-partition batch volume bounded while per-batch commit
+      // overhead never dominates — see SparkEntry.withStreamConf
+      System.setProperty("graft.streamparts",
+        math.min(32L, math.round(8 * math.sqrt(n.toDouble))).toString)
       spark.conf.set("spark.sql.shuffle.partitions", math.max(32, n))
       // first-touch warm-up, then the (timed, untimed-in-queries) index
       // builds — memo scaling is itself part of the evidence
@@ -407,6 +413,7 @@ object ScaleBench {
       println(s"""{"scale":$n,"dir":"$dir","memo_build_s":${f"$memoSecs%.1f"},"passes":$passes,"queries":$qs}""")
       System.setProperty("graft.shards", "8")
       System.setProperty("graft.knnproj", "8")
+      System.setProperty("graft.streamparts", "8")
     }
     // ratio summary vs the smallest scale
     val base = scales.min

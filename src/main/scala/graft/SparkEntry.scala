@@ -1530,17 +1530,19 @@ object SparkEntry {
         writeTimeOrderedFeed(ev.where(col("event_type") === "click")
           .drop("event_type"), s"$base/clicks", bounds = bounds)
       } {
-        val sch = ev.drop("event_type").schema
-        val q = Streaming.attributionJoin(
-            s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
-              .parquet(s"$base/views"),
-            s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
-              .parquet(s"$base/clicks"))
-          .writeStream.outputMode("append").format("parquet")
-          .option("path", s"$base/joined")
-          .option("checkpointLocation", s"$base/ckpt")
-          .start()
-        try q.processAllAvailable() finally q.stop()
+        withStreamConf(s) {
+          val sch = ev.drop("event_type").schema
+          val q = Streaming.attributionJoin(
+              s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+                .parquet(s"$base/views"),
+              s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+                .parquet(s"$base/clicks"))
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$base/joined")
+            .option("checkpointLocation", s"$base/ckpt")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
       }
       s.read.parquet(s"$base/joined")
         .orderBy(col("view_id"), col("click_id"))
@@ -1569,15 +1571,17 @@ object SparkEntry {
           .write.mode("append").parquet(s"$base/feed")
         stampBatch(s"$base/feed", b0, 15)
       } {
-        val q = Streaming.dedupWithinWatermark(
-            s.readStream.schema(ev.schema)
-              .option("maxFilesPerTrigger", 1).parquet(s"$base/feed"),
-            keys = Seq("event_id"))
-          .writeStream.outputMode("append").format("parquet")
-          .option("path", s"$base/deduped")
-          .option("checkpointLocation", s"$base/ckpt")
-          .start()
-        try q.processAllAvailable() finally q.stop()
+        withStreamConf(s) {
+          val q = Streaming.dedupWithinWatermark(
+              s.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(s"$base/feed"),
+              keys = Seq("event_id"))
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$base/deduped")
+            .option("checkpointLocation", s"$base/ckpt")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
       }
       s.read.parquet(s"$base/deduped")
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -1720,11 +1724,7 @@ object SparkEntry {
           .coalesce(1).write.mode("append").parquet(s"$base/feed")
         stampBatch(s"$base/feed", b0, 15)
       } {
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withStreamConf(s, rocksdb = true) {
           val q = Streaming.timedSessions(
               s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
                 .parquet(s"$base/feed"))
@@ -1733,11 +1733,6 @@ object SparkEntry {
             .option("checkpointLocation", s"$base/ckpt")
             .start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None => s.conf.unset(key)
-          }
         }
       }
       s.read.parquet(s"$base/sessions")
@@ -1761,11 +1756,7 @@ object SparkEntry {
         // features as a single batch would
         writeTimeOrderedFeed(ev, s"$base/feed")
       } {
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withStreamConf(s, rocksdb = true) {
           val q = Streaming.trailingFeatures(
               s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
                 .parquet(s"$base/feed"))
@@ -1774,11 +1765,6 @@ object SparkEntry {
             .option("checkpointLocation", s"$base/ckpt")
             .start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None => s.conf.unset(key)
-          }
         }
       }
       s.read.parquet(s"$base/features")
@@ -1809,11 +1795,7 @@ object SparkEntry {
           .coalesce(1).write.mode("append").parquet(s"$base/feed")
         stampBatch(s"$base/feed", b0, 1)
       } {
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withStreamConf(s, rocksdb = true) {
           val q = Streaming.userProfiles(
               s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
                 .parquet(s"$base/feed"))
@@ -1822,11 +1804,6 @@ object SparkEntry {
             .option("checkpointLocation", s"$base/ckpt")
             .start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None => s.conf.unset(key)
-          }
         }
       }
       s.read.parquet(s"$base/profiles")
@@ -1860,19 +1837,21 @@ object SparkEntry {
           .coalesce(1).write.mode("append").parquet(s"$base/feed")
         stampBatch(s"$base/feed", b1, 16)
       } {
-        val deduped = Streaming.dedupWithinWatermark(
-          s.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1).parquet(s"$base/feed"),
-          keys = Seq("event_id"))
-        // the ONE-definition contract pays off here: the agg must NOT
-        // re-watermark (chained stateful operators share the upstream
-        // watermark), so the batch form runs on the deduped stream as-is
-        val q = Streaming.windowedCounts(deduped)
-          .writeStream.outputMode("append").format("parquet")
-          .option("path", s"$base/counts")
-          .option("checkpointLocation", s"$base/ckpt")
-          .start()
-        try q.processAllAvailable() finally q.stop()
+        withStreamConf(s) {
+          val deduped = Streaming.dedupWithinWatermark(
+            s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(s"$base/feed"),
+            keys = Seq("event_id"))
+          // the ONE-definition contract pays off here: the agg must NOT
+          // re-watermark (chained stateful operators share the upstream
+          // watermark), so the batch form runs on the deduped stream as-is
+          val q = Streaming.windowedCounts(deduped)
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$base/counts")
+            .option("checkpointLocation", s"$base/ckpt")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
       }
       s.read.parquet(s"$base/counts")
         .where(col("event_type") =!= "__adv")
@@ -1913,18 +1892,20 @@ object SparkEntry {
         sentinel.coalesce(1).write.mode("append").parquet(s"$base/clicks")
         stampBatch(s"$base/clicks", c0, 15)
       } {
-        val sch = ev.drop("event_type").schema
-        val q = Streaming.attributionJoin(
-            s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
-              .parquet(s"$base/views"),
-            s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
-              .parquet(s"$base/clicks"),
-            joinType = "left_outer")
-          .writeStream.outputMode("append").format("parquet")
-          .option("path", s"$base/joined")
-          .option("checkpointLocation", s"$base/ckpt")
-          .start()
-        try q.processAllAvailable() finally q.stop()
+        withStreamConf(s) {
+          val sch = ev.drop("event_type").schema
+          val q = Streaming.attributionJoin(
+              s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+                .parquet(s"$base/views"),
+              s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+                .parquet(s"$base/clicks"),
+              joinType = "left_outer")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$base/joined")
+            .option("checkpointLocation", s"$base/ckpt")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
       }
       s.read.parquet(s"$base/joined")
         .where(col("user_id") >= 0)
@@ -1958,11 +1939,7 @@ object SparkEntry {
         // the batch-side bootstrap half re-derives its cut per run: the
         // history aggregate is part of the migration operator, the live
         // feed files are not
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withStreamConf(s, rocksdb = true) {
           val q = Streaming.userProfilesBootstrapped(
               history = ev.where(unix_millis(col("ts")) < cut),
               live = s.readStream.schema(ev.schema)
@@ -1972,11 +1949,6 @@ object SparkEntry {
             .option("checkpointLocation", s"$base/ckpt")
             .start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None => s.conf.unset(key)
-          }
         }
       }
       s.read.parquet(s"$base/profiles")
@@ -2330,6 +2302,34 @@ object SparkEntry {
     })
   }
 
+  /** Run `body` (a streaming execution) with stream-sized shuffle
+    * parallelism, optionally under the RocksDB state-store provider. A
+    * micro-batch pays one state-store open/commit PER SHUFFLE PARTITION
+    * PER STATEFUL OPERATOR, so a stream's parallelism must be sized to
+    * its arrival RATE, not inherited from the session's batch-analytics
+    * default — at 32 partitions a 15-batch run over sf0.1 spends more
+    * wall on store commits than on rows. The same per-deployment-knob
+    * discipline as graft.shards / graft.knnproj: `-Dgraft.streamparts`
+    * (default 8); ScaleBench raises it with the corpus so per-partition
+    * batch volume stays bounded while commit overhead never dominates. */
+  private def withStreamConf[T](s: SparkSession, rocksdb: Boolean = false)
+      (body: => T): T = {
+    val pk = "spark.sql.shuffle.partitions"
+    val sk = "spark.sql.streaming.stateStore.providerClass"
+    val pprev = s.conf.getOption(pk)
+    val sprev = s.conf.getOption(sk)
+    s.conf.set(pk, sys.props.getOrElse("graft.streamparts", "8"))
+    if (rocksdb) s.conf.set(sk,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      pprev match { case Some(v) => s.conf.set(pk, v); case None => s.conf.unset(pk) }
+      if (rocksdb) sprev match {
+        case Some(v) => s.conf.set(sk, v)
+        case None => s.conf.unset(sk)
+      }
+    }
+  }
+
   /** Write `df` into `path` as `files` TIME-ORDERED part files (2-day
     * chunks over the events table's 30-day span at the default 15), each
     * stamped as its own micro-batch via [[stampBatch]] — the honest feed
@@ -2345,7 +2345,7 @@ object SparkEntry {
     * same global span). Returns the known-file set so callers can append
     * later batches (re-deliveries, watermark sentinels) at index
     * `files`, `files`+1, … */
-  private def writeTimeOrderedFeed(df: DataFrame, path: String,
+  private[graft] def writeTimeOrderedFeed(df: DataFrame, path: String,
       files: Int = 15, bounds: Option[(Long, Long)] = None): Set[String] = {
     val (lo, hi) = bounds.getOrElse {
       val r = df.agg(min(unix_millis(col("ts"))).as("mn"),

@@ -519,6 +519,15 @@ object Audit {
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
       ("single global sort (output ordering only)", p =>
         p.linesIterator.count(l => l.contains("Sort [") && l.contains("], true")) == 1))
+    audit("q168_exact_dedup_rewrite")(
+      ("equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      // the cut merge windows are doc-PARTITIONED (hashpartitioning(id)
+      // feeds them) — never a single-partition global window
+      ("cut-merge window partitioned by doc", p =>
+        !p.contains("SinglePartition") || !p.contains("Window")),
+      ("single global sort (output ordering only)", p =>
+        p.linesIterator.count(l => l.contains("Sort [") && l.contains("], true")) == 1))
     // q151's BATCH twin (the query entry reads the streaming sink, so the
     // plan to audit is the shared definition itself): the attribution
     // join must plan as a user_id equi-join with the time-range bound as

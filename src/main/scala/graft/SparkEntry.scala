@@ -1686,6 +1686,26 @@ object SparkEntry {
         minLen = 11)
         .orderBy(col("doc_a"), col("off_a"))),
 
+    // ---- EXACT-substring corpus REWRITE (Lee et al. end-to-end: cut
+    // every duplicated span, keep one occurrence): the rank-t side of
+    // every q167 span is cut, overlapping cuts merge per doc, the kept
+    // segments reassemble in one codegen'd higher-order fold. Each
+    // duplicated region survives at its rank-minimal occurrence (the one
+    // position that is never a rank-t side for that substring), and every
+    // cut character is verbatim-duplicated at its span's (doc_b, off_b).
+    // Reads the stored SA index — the third consumer pass over the
+    // build-once artifact. The oracle replays cut/merge/reassembly over
+    // the same fixed-round span CTEs; md5 of the rewritten text proves
+    // the whole pipeline end-to-end
+    "q168_exact_dedup_rewrite" -> ((s, dir) =>
+      operators.SuffixArray.cleanedCorpus(
+        saIndexLoad(s, dir),
+        Tables.documents(s, dir).where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("id"), col("text")),
+        minLen = 11)
+        .select(col("id"), col("n_cut"), md5(col("cleaned")).as("clean_md5"))
+        .orderBy(col("id"))),
+
     // ---- the PRODUCTION phrase layout: bigram key (q150's selectivity)
     // bucketed by that key (q149's zero-Exchange discipline) — the
     // composition SCALE.md's finding 2 concludes with; answers identical
@@ -3484,6 +3504,42 @@ object SparkEntry {
       s"""WITH ${Oracles.suffixArrayCtes("doc_id % 5 = 0", 20)}${Oracles.lcpSpansCtes("doc_id % 5 = 0", 20)}
          |SELECT doc_a, off_a, doc_b, off_b, span_len FROM spans
          |WHERE span_len >= 11 ORDER BY doc_a, off_a""".stripMargin,
+
+    // cut/merge/reassemble replayed over the same span CTEs: rank-t sides
+    // become cut intervals, a per-doc gaps-and-islands merges overlaps,
+    // kept segments concatenate in offset order, and md5 of the rewritten
+    // text is the cross-engine witness
+    "q168_exact_dedup_rewrite" ->
+      s"""WITH ${Oracles.suffixArrayCtes("doc_id % 5 = 0", 20)}${Oracles.lcpSpansCtes("doc_id % 5 = 0", 20)},
+         |docs0 AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0),
+         |cuts AS (SELECT doc_a AS id, off_a AS cs, off_a + span_len AS ce
+         |  FROM spans WHERE span_len >= 11),
+         |mrk AS (SELECT id, cs, ce,
+         |    CASE WHEN cs > coalesce(max(ce) OVER (PARTITION BY id ORDER BY cs, ce
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM cuts),
+         |isl AS (SELECT id, cs, ce,
+         |    sum(brk) OVER (PARTITION BY id ORDER BY cs, ce) AS grp FROM mrk),
+         |mcut AS (SELECT id, grp, min(cs) AS cs, max(ce) AS ce
+         |  FROM isl GROUP BY id, grp),
+         |gaps AS (
+         |  SELECT id, coalesce(lag(ce) OVER (PARTITION BY id ORDER BY cs), 0) AS gs,
+         |      cs AS ge
+         |    FROM mcut
+         |  UNION ALL
+         |  SELECT d.id,
+         |      coalesce((SELECT max(m.ce) FROM mcut m WHERE m.id = d.id), 0) AS gs,
+         |      CAST(length(d.text) AS BIGINT) AS ge
+         |    FROM docs0 d),
+         |clean AS (SELECT g.id,
+         |    string_agg(substr(d.text, CAST(g.gs + 1 AS INT),
+         |      CAST(g.ge - g.gs AS INT)), '' ORDER BY g.gs) AS ctext
+         |  FROM gaps g JOIN docs0 d ON d.id = g.id GROUP BY g.id)
+         |SELECT c.id,
+         |    CAST(length(d.text) - length(c.ctext) AS BIGINT) AS n_cut,
+         |    md5(c.ctext) AS clean_md5
+         |  FROM clean c JOIN docs0 d ON d.id = c.id ORDER BY c.id""".stripMargin,
 
     // the backoff cascade: CASE arms and α arithmetic in the same
     // evaluation order as the Spark side, so every per-position double is

@@ -322,6 +322,59 @@ object SuffixArray {
     * pushes them past the threshold. The DuckDB oracle replays the pure
     * descent for every pair; the two forms agree on every clipped span
     * by the argument above (SuffixArraySpec pins both paths). */
+  /** EXACT-substring corpus REWRITE — the end of the Lee et al. pipeline
+    * (their §4: cut every duplicated span, keep one occurrence): for each
+    * [[duplicateSpansFrom]] row, the rank-t side `[off_a, off_a+len)` of
+    * doc_a is CUT. Occurrences of a duplicated substring occupy a
+    * contiguous rank interval, and every occurrence except the rank-
+    * minimal one is the rank-t side of its pair with its predecessor —
+    * so each duplicated region survives at (at least) its rank-minimal
+    * occurrence, and every cut character is verbatim-duplicated at its
+    * span's (doc_b, off_b) by construction. Overlapping cuts are merged
+    * per doc before the rewrite.
+    *
+    * Returns (id, n_cut = characters removed, cleaned = rewritten text).
+    * Plan shape: the span pass, then a doc-PARTITIONED window merge over
+    * the cut intervals (per-doc interval count ≤ |doc|/1 — partition-
+    * local, never global), one groupBy(id) collecting the ≤|doc|-entry
+    * merged list, and a single codegen'd higher-order `aggregate` fold
+    * that stitches the kept segments — the corpus is rewritten in one
+    * map pass, no per-segment explode. */
+  def cleanedCorpus(idx: SaIndex, docs: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = duplicateSpansFrom(idx, docs, minLen)
+    val cuts = spans.select(col("doc_a").as("id"), col("off_a").as("cs"),
+      (col("off_a") + col("span_len")).as("ce"))
+    val w = Window.partitionBy("id").orderBy("cs", "ce")
+    val marked = cuts.withColumn("brk",
+      when(col("cs") > coalesce(
+        max(col("ce")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1L)), 1L).otherwise(0L))
+    val merged = marked.withColumn("grp", sum(col("brk")).over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("cs")).as("cs"), max(col("ce")).as("ce"))
+    val cutList = merged.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("cs"), col("ce")))).as("cuts"))
+    docs.join(cutList, Seq("id"), "left")
+      .withColumn("cleaned",
+        when(col("cuts").isNull, col("text")).otherwise(expr(
+          // fold over the sorted disjoint cut intervals: carry (pos, acc),
+          // emit the gap before each cut, then the tail after the last
+          """aggregate(cuts,
+            |  named_struct('pos', 0L, 'acc', ''),
+            |  (st, c) -> named_struct(
+            |    'pos', c.ce,
+            |    'acc', concat(st.acc,
+            |      substring(text, CAST(st.pos + 1 AS INT),
+            |        CAST(c.cs - st.pos AS INT)))),
+            |  st -> concat(st.acc,
+            |    substring(text, CAST(st.pos + 1 AS INT),
+            |      CAST(length(text) - st.pos AS INT))))""".stripMargin)))
+      .select(col("id"),
+        (length(col("text")) - length(col("cleaned"))).cast("long").as("n_cut"),
+        col("cleaned"))
+  }
+
   def duplicateSpansFrom(idx: SaIndex, docs: DataFrame,
       minLen: Int): DataFrame = {
     val offs = Packing.packCounts(

@@ -177,6 +177,49 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("cleanedCorpus: rank-t cuts merged and reassembled; exactly one needle copy survives") {
+    import spark.implicits._
+    val needle = "the quick brown fox jumped"
+    val texts = Map(
+      0L -> ("xxxxxx" + needle + "yyyy"),
+      1L -> "completely unrelated content here",
+      2L -> ("zzz" + needle + "wwwwww"))
+    val docs = texts.toSeq.sortBy(_._1).toDF("id", "text")
+    val idx = SuffixArray.buildFull(docs)
+    // Scala replay of the documented rule: cut the rank-t side of every
+    // span, merge overlaps per doc (touching intervals merge), reassemble
+    val spans = SuffixArray.duplicateSpansFrom(idx, docs, minLen = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val expect = texts.map { case (id, t) =>
+      val cuts = spans.filter(_._1 == id)
+        .map(s => (s._2, s._2 + s._3)).sorted.toVector
+      val merged = cuts.foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc, (s, e)) => acc.lastOption match {
+          case Some((ps, pe)) if s <= pe => acc.init :+ (ps, math.max(pe, e))
+          case _ => acc :+ ((s, e))
+        }
+      }
+      val sb = new StringBuilder
+      var pos = 0L
+      merged.foreach { case (s, e) =>
+        sb.append(t.substring(pos.toInt, s.toInt)); pos = e }
+      sb.append(t.substring(pos.toInt))
+      id -> sb.toString
+    }
+    val got = SuffixArray.cleanedCorpus(idx, docs, minLen = 11).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    for (id <- texts.keys) {
+      assert(got(id)._2 === expect(id), s"doc $id rewrite differs")
+      assert(got(id)._1 === (texts(id).length - expect(id).length).toLong)
+    }
+    // the deliverable: the duplicated needle survives EXACTLY once
+    assert(expect.values.map(t =>
+      t.sliding(needle.length).count(_ == needle)).sum === 1)
+    // and the clean doc is untouched
+    assert(expect(1L) === texts(1L))
+    idx.unpersist()
+  }
+
   test("duplicateSpans audits q110: winnowed coverage within exact; long exact runs anchored") {
     import spark.implicits._
     // one long cross-doc duplicate (30 chars >= k+w-1 = 11); docs 2/3 noise

@@ -519,6 +519,15 @@ object Audit {
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
       ("single global sort (output ordering only)", p =>
         p.linesIterator.count(l => l.contains("Sort [") && l.contains("], true")) == 1))
+    audit("q169_video_codec")(
+      // encode→decode per id inside one flatMap: a single scan, no KEYED
+      // shuffle anywhere — the embarrassingly-parallel media-kernel
+      // shape. (The only Exchange is Tables.spread's round-robin
+      // small-file adapter, dropped at real scale.)
+      ("no keyed shuffle (per-row codec kernel)", p =>
+        !p.contains("hashpartitioning") && !p.contains("rangepartitioning")),
+      ("no cross product", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")))
     audit("q168_exact_dedup_rewrite")(
       ("equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),

@@ -1985,6 +1985,18 @@ object SparkEntry {
       Multimodal.gifAnimRoundTripStats(s,
         Tables.documents(s, dir).select(col("doc_id").as("id")))),
 
+    // ---- MOTION-COMPENSATED video: GVC1 block-transform + motion-vector
+    // codec (the H.26x operator class — H.264's 4x4 integer core
+    // transform, 8x8 MBs, ±4 closed-loop full search, skip modes,
+    // run/level varint entropy). q=1 is bit-lossless, so the oracle
+    // computes every RECONSTRUCTED frame analytically from the generating
+    // formula: one wrong byte anywhere in the stream desynchronizes the
+    // parse and breaks the hash. Closes the last declared multimodal
+    // boundary (Video.scala scaladoc)
+    "q169_video_codec" -> ((s, dir) =>
+      operators.Video.videoRoundTripStats(s,
+        Tables.documents(s, dir).select(col("doc_id").as("id")))),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -4335,6 +4347,25 @@ object SparkEntry {
          |  CAST(sum(v) AS BIGINT) AS pix_sum,
          |  CAST(min(v) AS INT) AS pix_min, CAST(max(v) AS INT) AS pix_max
          |FROM vv GROUP BY id, f, w, h""".stripMargin,
+
+    // the q=1 GVC1 round trip is bit-lossless, so every reconstructed
+    // frame equals the analytic source: frame f samples the infinite
+    // quadratic pattern at (x + f*dx, y + f*dy); the +64 shift keeps
+    // DuckDB % and Scala % on the same (nonnegative) operands
+    "q169_video_codec" ->
+      s"""WITH v AS (SELECT doc_id AS id, 16 + (doc_id % 3) * 8 AS w,
+         |    16 + (doc_id % 2) * 8 AS h, 3 + doc_id % 3 AS nf,
+         |    (doc_id % 9) - 4 AS dx, ((doc_id * 3) % 9) - 4 AS dy FROM documents),
+         |fr AS (SELECT id, w, h, dx, dy, unnest(generate_series(0, nf - 1)) AS f FROM v),
+         |px AS (SELECT id, w, h, f, dx, dy, unnest(generate_series(0, w * h - 1)) AS i FROM fr),
+         |pt AS (SELECT id, w, h, f, (i % w) + f * dx + 64 AS a, (i // w) + f * dy + 64 AS b FROM px),
+         |vv AS (SELECT id, w, h, f, (id * 7 + 3 * a * a + 5 * b * b + a * b) % 256 AS val FROM pt)
+         |SELECT id, CAST(f AS INT) AS frame_idx,
+         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         |  CASE WHEN f = 0 THEN 'I' ELSE 'P' END AS frame_type,
+         |  CAST(sum(val) AS BIGINT) AS pix_sum,
+         |  CAST(min(val) AS INT) AS pix_min, CAST(max(val) AS INT) AS pix_max
+         |FROM vv GROUP BY id, w, h, f""".stripMargin,
 
     "q36_multimodal_decode" ->
       s"""WITH d AS (SELECT doc_id AS id, text FROM documents),

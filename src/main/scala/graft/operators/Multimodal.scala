@@ -15,9 +15,16 @@ import org.apache.spark.sql.functions._
   * WAVE PCM16 is pure byte math like BMP (encodeWav / decodeWav —
   * oracle-checked end-to-end by q99). RAW video has a real codec as well:
   * YUV4MPEG2 streams in pure byte math (encodeY4m / decodeY4m —
-  * oracle-checked end-to-end by q109). Only COMPRESSED video (MP4/H.264)
-  * would need codec libraries this container doesn't ship, so `fakeDecode`
-  * remains a clearly-marked DETERMINISTIC STUB for that one case — it derives
+  * oracle-checked end-to-end by q109). COMPRESSED video is covered in all
+  * three of its structural layers: intra-frame transform coding
+  * (MJPEG-in-AVI below), inter-frame dirty rects (animated GIF89a below),
+  * and block-transform + MOTION-COMPENSATED prediction — the H.26x
+  * operator class — via the GVC1 codec in [[Video]] (H.264's 4×4 integer
+  * core transform, closed-loop ±4 full search, skip modes; q169
+  * oracle-checks the bit-lossless q=1 round trip). `fakeDecode` remains a
+  * clearly-marked DETERMINISTIC STUB only as the degrade path for FOREIGN
+  * bitstreams (conformance-decoding third-party H.264/CABAC files would
+  * need a codec library this container doesn't ship) — it derives
   * "metadata" from real bytes of the payload. Everything around the codec
   * boundary (binary schema, typed Dataset kernel, partition-wise batching,
   * feature vectors, frame sampling) is the real Spark plumbing a
@@ -704,9 +711,11 @@ object Multimodal {
   // DHT/SOS markers, canonical Huffman entropy coding with 0xFF00 byte
   // stuffing, fixed-point IDCT) wrapped in a RIFF AVI container ('hdrl'
   // headers, 'movi' '00dc' chunks, 'idx1' index). MJPEG is the one
-  // compressed-video shape that needs no external codec library, so the
-  // declared video stub shrinks to inter-frame/arithmetic-coded formats
-  // (H.264/MP4 — a codec library, not a container walk). The IDCT is
+  // compressed-video shape that needs no external codec library; the
+  // inter-frame/motion-compensated leg is the GVC1 codec in Video.scala
+  // (conformance-decoding FOREIGN H.264/CABAC files would still need a
+  // codec library — a bitstream-compat boundary, not an operator-class
+  // one). The IDCT is
   // integer (the 8192-scaled DCT basis below), so the DuckDB oracle
   // replays decoded pixels EXACTLY — no float cos crosses an engine
   // boundary.
@@ -1195,8 +1204,9 @@ object Multimodal {
   // (variable-width codes 9→12 bits, LSB-first packing, clear/EOI codes,
   // 255-byte sub-blocks). MultimodalSpec cross-checks the encoder against
   // javax.imageio's INDEPENDENT GIF reader frame-by-frame, so the bytes
-  // are conformant GIF, not a private dialect. This narrows the declared
-  // video stub below to block-transform + motion-vector codecs (H.26x).
+  // are conformant GIF, not a private dialect. The remaining leg of the
+  // video family — block-transform + motion-vector coding (H.26x) — is
+  // the real GVC1 codec in Video.scala (q169), closing the boundary.
 
   /** Synthetic animation for doc `id`: full analytic keyframe, then per
     * frame ONE 8×8 changed rectangle whose position and pixels are pure
@@ -1452,12 +1462,13 @@ object Multimodal {
       "pix_sum", "pix_min", "pix_max")
   }
 
-  /** STUB decoder — stands in for BLOCK-TRANSFORM + MOTION-VECTOR video
-    * (MP4/H.264: motion-compensated prediction + CABAC is a codec
-    * library, not byte math — the declared boundary, narrowed twice: the
-    * intra-frame half is real via MJPEG-in-AVI above, the inter-frame
-    * dirty-rect half via animated GIF89a above) and the degrade path for
-    * payloads that claim a decodable type but fail parsing. Reads real
+  /** STUB decoder — the degrade path for payloads that claim a decodable
+    * type but fail parsing, and for FOREIGN compressed-video bitstreams
+    * (conformance-decoding third-party H.264/CABAC files needs a codec
+    * library this container doesn't ship). The operator CLASS those files
+    * belong to — block-transform + motion-compensated video — is
+    * implemented for real by [[Video]] (GVC1, q169); what remains stubbed
+    * is only bitstream compatibility with external encoders. Reads real
     * bytes, produces deterministic pseudo-metadata. */
   def fakeDecode(a: Asset): Decoded = {
     val n = a.content.length

@@ -519,6 +519,14 @@ object Audit {
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
       ("single global sort (output ordering only)", p =>
         p.linesIterator.count(l => l.contains("Sort [") && l.contains("], true")) == 1))
+    audit("q170_blocklist_scan")(
+      // the pattern side is broadcast INSIDE the automaton (collected
+      // driver-side), so the scan has no join operator at all — a join
+      // appearing here would mean the termlist became a shuffled relation
+      ("no join in the scan (automaton is broadcast state)", p =>
+        !p.contains("Join") && !p.contains("CartesianProduct")),
+      ("single global sort (output ordering only)", p =>
+        p.linesIterator.count(l => l.contains("Sort [") && l.contains("], true")) == 1))
     audit("q169_video_codec")(
       // encode→decode per id inside one flatMap: a single scan, no KEYED
       // shuffle anywhere — the embarrassingly-parallel media-kernel

@@ -1997,6 +1997,21 @@ object SparkEntry {
       operators.Video.videoRoundTripStats(s,
         Tables.documents(s, dir).select(col("doc_id").as("id")))),
 
+    // ---- multi-pattern blocklist scan (Aho–Corasick): every 40th doc's
+    // 2nd word is the termlist; ONE automaton pass per document replaces
+    // P per-pattern scans — the blocklist/contamination-needle shape at
+    // corpus scale. Overlap- and nest-inclusive counts; the oracle
+    // replays them by position enumeration
+    "q170_blocklist_scan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val pats = docs.where(col("id") % 40 === 0)
+        .select(col("id").cast("int").as("pat_id"),
+          element_at(split(col("text"), " "), 2).as("pattern"))
+        .where(length(col("pattern")) >= 3)
+      operators.TextMatch.matchCounts(s, docs, pats)
+        .orderBy(col("id"), col("pat_id"))
+    }),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -4366,6 +4381,25 @@ object SparkEntry {
          |  CAST(sum(val) AS BIGINT) AS pix_sum,
          |  CAST(min(val) AS INT) AS pix_min, CAST(max(val) AS INT) AS pix_max
          |FROM vv GROUP BY id, w, h, f""".stripMargin,
+
+    // overlap-inclusive substring occurrence counting by position
+    // enumeration — exactly the Aho–Corasick match semantics (every
+    // start position where the pattern occurs, nested and overlapping
+    // occurrences included)
+    "q170_blocklist_scan" ->
+      s"""WITH pats AS (SELECT CAST(doc_id AS INT) AS pat_id,
+         |    split_part(text, ' ', 2) AS pattern
+         |  FROM documents WHERE doc_id % 40 = 0
+         |    AND length(split_part(text, ' ', 2)) >= 3),
+         |d AS (SELECT doc_id AS id, text FROM documents),
+         |hits AS (SELECT d.id, p.pat_id, i - 1 AS pos
+         |  FROM d CROSS JOIN pats p
+         |  CROSS JOIN LATERAL unnest(generate_series(1,
+         |    greatest(length(d.text) - length(p.pattern) + 1, 0))) AS t(i)
+         |  WHERE substr(d.text, CAST(i AS INT), length(p.pattern)) = p.pattern)
+         |SELECT id, pat_id, count(*) AS n_hits, CAST(min(pos) AS INT) AS first_pos
+         |FROM hits GROUP BY id, pat_id
+         |ORDER BY id, pat_id""".stripMargin,
 
     "q36_multimodal_decode" ->
       s"""WITH d AS (SELECT doc_id AS id, text FROM documents),

@@ -1997,14 +1997,19 @@ object SparkEntry {
       operators.Video.videoRoundTripStats(s,
         Tables.documents(s, dir).select(col("doc_id").as("id")))),
 
-    // ---- multi-pattern blocklist scan (Aho–Corasick): every 40th doc's
-    // 2nd word is the termlist; ONE automaton pass per document replaces
-    // P per-pattern scans — the blocklist/contamination-needle shape at
-    // corpus scale. Overlap- and nest-inclusive counts; the oracle
-    // replays them by position enumeration
+    // ---- multi-pattern blocklist scan (Aho–Corasick): every 40th BASE
+    // doc's 2nd word is the termlist; ONE automaton pass per document
+    // replaces P per-pattern scans — the blocklist/contamination-needle
+    // shape at corpus scale. A production blocklist is FIXED-SIZE, so
+    // the termlist pins to the base corpus (doc_id < ScaleGen's 1e6
+    // replica base — a no-op at every plain SF dir): corpus growth must
+    // not grow the pattern dimension, or output goes Θ(N²) under
+    // replica scaling (measured before the pin — SCALE.md q170 note).
+    // Overlap- and nest-inclusive counts; the oracle replays them by
+    // position enumeration
     "q170_blocklist_scan" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
-      val pats = docs.where(col("id") % 40 === 0)
+      val pats = docs.where(col("id") % 40 === 0 && col("id") < 1000000L)
         .select(col("id").cast("int").as("pat_id"),
           element_at(split(col("text"), " "), 2).as("pattern"))
         .where(length(col("pattern")) >= 3)
@@ -4389,7 +4394,7 @@ object SparkEntry {
     "q170_blocklist_scan" ->
       s"""WITH pats AS (SELECT CAST(doc_id AS INT) AS pat_id,
          |    split_part(text, ' ', 2) AS pattern
-         |  FROM documents WHERE doc_id % 40 = 0
+         |  FROM documents WHERE doc_id % 40 = 0 AND doc_id < 1000000
          |    AND length(split_part(text, ' ', 2)) >= 3),
          |d AS (SELECT doc_id AS id, text FROM documents),
          |hits AS (SELECT d.id, p.pat_id, i - 1 AS pos

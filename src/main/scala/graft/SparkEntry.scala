@@ -1042,6 +1042,21 @@ object SparkEntry {
           col("dist"), col("shard_id"))
     }),
 
+    // ---- incremental index maintenance, DELETION side (FreshDiskANN
+    // local repair; complements q102's insert): deleted points drop their
+    // lists and every edge into them; each damaged surviving source
+    // reconnects THROUGH the deleted neighbor's own pre-delete list
+    // (exact distances, deterministic re-cut at degree). The oracle
+    // replays edge drop, two-hop candidate generation, and the re-cut —
+    // the hash proves the repair rule, not just "some graph came out"
+    "q171_graph_delete" -> ((s, dir) => {
+      val sharded = s.read.parquet(shardedLayoutPath(s, dir))
+        .select(col("shard_id"), col("id"), col("vec"))
+      val adj = s.read.parquet(s"${graphIndexDir(s, dir)}/adj")
+      val del = sharded.where(col("id") % 7 === 3).select(col("id"))
+      GraphAnn.deleteBatch(sharded, adj, del, Params.graphDegree)
+    }),
+
     // ---- streaming ANN SERVING end to end: queries arrive as a real
     // Structured Streaming source, each micro-batch probes the STATIC
     // graph index (foreachBatch -> routed beam -> append), and the
@@ -5361,6 +5376,45 @@ object SparkEntry {
          |  SELECT shard_id, src, dst, dist,
          |    row_number() OVER (PARTITION BY shard_id, src ORDER BY dist, dst) AS rn
          |  FROM gap2) WHERE rn <= ${Params.graphDegree}""".stripMargin,
+
+    // FreshDiskANN local repair replayed: the adjacency rebuilt with its
+    // distances, the deletion set, surviving edges, two-hop reconnect
+    // candidates through each deleted node's pre-delete list, and the
+    // deterministic re-cut — edge for edge
+    "q171_graph_delete" ->
+      s"""WITH ${Oracles.assignCtes(Params.k, Params.iters)},
+         |sp AS (SELECT p.id, p.vec, a.shard_id FROM pts p JOIN asg a USING (id)),
+         |gap AS (SELECT a.shard_id, a.id AS src, b.id AS dst,
+         |    round(${Oracles.l2("a.vec", "b.vec")}, 4) AS dist
+         |  FROM sp a JOIN sp b ON a.shard_id = b.shard_id AND a.id <> b.id),
+         |gadjd AS (SELECT shard_id, src, dst, dist FROM (
+         |  SELECT shard_id, src, dst, dist,
+         |    row_number() OVER (PARTITION BY shard_id, src ORDER BY dist, dst) AS rn
+         |  FROM gap) WHERE rn <= ${Params.graphDegree}),
+         |del AS (SELECT id FROM sp WHERE id % 7 = 3),
+         |alive AS (SELECT g.* FROM gadjd g
+         |  WHERE g.src NOT IN (SELECT id FROM del)),
+         |surv AS (SELECT * FROM alive
+         |  WHERE dst NOT IN (SELECT id FROM del)),
+         |lost AS (SELECT shard_id, src, dst AS via FROM alive
+         |  WHERE dst IN (SELECT id FROM del)),
+         |vial AS (SELECT shard_id, src AS via, dst AS cand FROM gadjd
+         |  WHERE src IN (SELECT id FROM del)
+         |    AND dst NOT IN (SELECT id FROM del)),
+         |cand0 AS (SELECT DISTINCT l.shard_id, l.src, v.cand AS dst
+         |  FROM lost l JOIN vial v ON v.shard_id = l.shard_id AND v.via = l.via
+         |  WHERE v.cand <> l.src),
+         |candd AS (SELECT c.shard_id, c.src, c.dst,
+         |    round(${Oracles.l2("a.vec", "b.vec")}, 4) AS dist
+         |  FROM cand0 c
+         |  JOIN sp a ON a.id = c.src
+         |  JOIN sp b ON b.id = c.dst),
+         |uni AS (SELECT shard_id, src, dst, dist FROM surv
+         |  UNION SELECT shard_id, src, dst, dist FROM candd)
+         |SELECT shard_id, src, dst, dist FROM (
+         |  SELECT shard_id, src, dst, dist,
+         |    row_number() OVER (PARTITION BY shard_id, src ORDER BY dist, dst) AS rn
+         |  FROM uni) WHERE rn <= ${Params.graphDegree}""".stripMargin,
 
     // graph walk priced by the replayed ADC matrix + exact re-rank of the
     // top k·refine — the engine touched raw vectors only in the refine

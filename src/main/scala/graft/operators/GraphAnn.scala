@@ -112,6 +112,83 @@ object GraphAnn {
       .select(col("shard_id"), col("src"), col("dst"), col("dist"))
   }
 
+  /** Incremental index maintenance, deletion side — the other half of the
+    * streaming-ANN contract (FreshDiskANN's delete: Singh et al. 2021,
+    * arXiv:2105.09613; the reference's per-shard HNSW has no delete at
+    * all — hnswlib only marks tombstones). Removing a point drops its own
+    * list and every edge INTO it; each surviving source that lost an edge
+    * is repaired by reconnecting THROUGH the deleted neighbor: the
+    * deleted node's own (pre-delete) list becomes the candidate set, the
+    * candidates get exact distances, and the source's list is re-cut at
+    * `degree` from surviving-old ∪ repair-candidates. That is the
+    * FreshDiskANN local-repair rule made deterministic (rounded dist, dst
+    * tie-break), so the whole operation is replayable relationally — the
+    * q171 oracle replays edge drop, two-hop candidate generation, and the
+    * re-cut as a CTE chain and hash-checks the result.
+    *
+    * Exactness boundary (unlike [[insertBatch]], which IS the rebuild):
+    * repair only sees two-hop candidates, so a source's new list can be
+    * farther than the survivor-rebuild's — the standard freshness/cost
+    * trade. GraphAnnSpec quantifies it: on the planted line graph the
+    * repaired edge is the true next-nearest survivor.
+    *
+    * Cost: |lost edges| · degree candidate rows (each lost edge fans out
+    * to the deleted node's ≤ degree candidates) + the anti/semi joins
+    * against the deletion set — linear in the damage, never |shard|².
+    * Every join keys on shard_id(+id); the deletion set rides as the
+    * small side (broadcast-able; AQE picks it up). Sources untouched by
+    * the deletions keep byte-identical lists (spec-pinned): their rows
+    * pass the anti-joins unchanged and the re-cut over an already-cut
+    * list is the identity.
+    *
+    * @param sharded   existing points (shard_id, id, vec), including the
+    *                  to-be-deleted ones
+    * @param adjacency existing lists (shard_id, src, dst, dist) —
+    *                  [[buildShardGraph]]/[[insertBatch]] output
+    * @param deleted   ids to remove (id); must be ⊆ sharded's ids
+    * @return the repaired adjacency (shard_id, src, dst, dist) over the
+    *         surviving points — no row references a deleted id
+    */
+  def deleteBatch(
+      sharded: DataFrame,
+      adjacency: DataFrame,
+      deleted: DataFrame,
+      degree: Int): DataFrame = {
+    val del = deleted.select(col("id").as("del_id"))
+    val survPts = sharded.join(del, col("id") === col("del_id"), "left_anti")
+    val adj = adjacency.select(col("shard_id"), col("src"), col("dst"), col("dist"))
+    val srcAlive = adj.join(del, col("src") === col("del_id"), "left_anti")
+    // edges a surviving source LOSES (dst deleted) — each remembers the
+    // deleted node it went through; the repair fans out from there
+    val lost = srcAlive.join(del, col("dst") === col("del_id"), "left_semi")
+      .select(col("shard_id"), col("src"), col("dst").as("via"))
+    val surv = srcAlive.join(del, col("dst") === col("del_id"), "left_anti")
+    // deleted nodes' own pre-delete lists = the reconnect candidates
+    val viaLists = adj.join(del, col("src") === col("del_id"), "left_semi")
+      .select(col("shard_id"), col("src").as("via"), col("dst").as("cand"))
+    val candPairs = lost
+      .join(viaLists, Seq("shard_id", "via"))
+      .where(col("cand") =!= col("src"))
+      .join(del, col("cand") === col("del_id"), "left_anti")
+      .select(col("shard_id"), col("src"), col("cand").as("dst"))
+      .distinct()
+    val sv = survPts.select(col("shard_id"), col("id").as("src"), col("vec").as("svec"))
+    val dv = survPts.select(col("shard_id"), col("id").as("dst"), col("vec").as("dvec"))
+    val cands = candPairs
+      .join(sv, Seq("shard_id", "src"))
+      .join(dv, Seq("shard_id", "dst"))
+      .withColumn("dist", round(l2Dist(col("svec"), col("dvec")), 4))
+      .select(col("shard_id"), col("src"), col("dst"), col("dist"))
+    // a candidate may already be a surviving edge; dist is a pure function
+    // of the pair, so the row-level distinct dedups exactly
+    val w = Window.partitionBy(col("shard_id"), col("src"))
+      .orderBy(col("dist"), col("dst"))
+    surv.unionByName(cands).distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= degree)
+      .select(col("shard_id"), col("src"), col("dst"), col("dist"))
+  }
+
   /** Per-shard entry points: the `e` points nearest the shard centroid
     * (rounded dist, id tie-break) — the deterministic replacement for
     * HNSW's upper-layer descent, computed once at build time. */

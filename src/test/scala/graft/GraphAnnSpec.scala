@@ -113,6 +113,83 @@ class GraphAnnSpec extends SparkSpec {
     assert(old.exists(e => !inc.contains(e)), "no old edge was displaced — vacuous test")
   }
 
+  test("deleteBatch equals the driver replay of the FreshDiskANN repair rule") {
+    val deg = 4
+    val adj = GraphAnn.buildShardGraph(sharded, deg).localCheckpoint()
+    val del = pts.where(col("id") % 5 === 2).select(col("id"))
+    val delIds = del.as[Long].collect().toSet
+    val got = GraphAnn.deleteBatch(sharded, adj, del, deg).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // driver replay: drop, two-hop candidates, exact dist, re-cut
+    val all = sharded.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val vecOf = all.map(x => x._2 -> x._3).toMap
+    def d(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      for (i <- a.indices) { val v = a(i).toDouble - b(i).toDouble; s += v * v }
+      math.rint(math.sqrt(s) * 1e4) / 1e4
+    }
+    val adjRows = adj.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val surv = adjRows.filter(e => !delIds(e._2) && !delIds(e._3))
+    val lost = adjRows.filter(e => !delIds(e._2) && delIds(e._3))
+    val viaLists = adjRows.filter(e => delIds(e._2) && !delIds(e._3))
+    val cands = (for {
+      (sid, src, via, _) <- lost
+      (vsid, vvia, cand, _) <- viaLists
+      if vsid == sid && vvia == via && cand != src
+    } yield (sid, src, cand)).distinct
+      .map { case (sid, src, cand) => (sid, src, cand, d(vecOf(src), vecOf(cand))) }
+    val expected = (surv ++ cands).distinct
+      .groupBy(e => (e._1, e._2)).values.flatMap { es =>
+        es.sortBy(e => (e._4, e._3)).take(deg)
+      }.toSet
+    assert(got === expected)
+    // the deletion actually damaged lists (otherwise the test is vacuous)
+    assert(lost.nonEmpty)
+  }
+
+  test("deleteBatch invariants: no deleted refs, untouched lists identical, degree bound") {
+    val deg = 4
+    val adj = GraphAnn.buildShardGraph(sharded, deg).localCheckpoint()
+    val del = pts.where(col("id") % 5 === 2).select(col("id"))
+    val delIds = del.as[Long].collect().toSet
+    val out = GraphAnn.deleteBatch(sharded, adj, del, deg).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.foreach { case (_, src, dst, _) =>
+      assert(!delIds(src) && !delIds(dst))
+    }
+    out.groupBy(e => (e._1, e._2)).foreach { case (_, es) =>
+      assert(es.length <= deg)
+    }
+    // sources that lost nothing keep byte-identical lists
+    val adjRows = adj.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val damaged = adjRows.filter(e => delIds(e._3)).map(_._2).toSet
+    val untouchedBefore = adjRows
+      .filter(e => !delIds(e._2) && !damaged(e._2)).toSet
+    val untouchedAfter = out
+      .filter(e => !damaged(e._2)).toSet
+    assert(untouchedAfter === untouchedBefore)
+  }
+
+  test("deleteBatch planted line: repair finds the true next-nearest; unreachable deficit is honest") {
+    // 1-D geometry in the leading coordinate: a=0, b=1, c=1.2, d=30
+    def v(x: Float) = Array.fill(8)(0f).updated(0, x)
+    val synth = Seq(
+      (0, 1L, v(0f)), (0, 2L, v(1f)), (0, 3L, v(1.2f)), (0, 4L, v(30f)))
+      .toDF("shard_id", "id", "vec")
+    // degree 1: adj = 1->2, 2->3, 3->2, 4->3
+    val adj = GraphAnn.buildShardGraph(synth, degree = 1)
+    val out = GraphAnn.deleteBatch(synth, adj, Seq(2L).toDF("id"), degree = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // node 1 lost 2, reconnects through 2's list {3} — the TRUE nearest
+    // survivor; node 3's only candidate is itself, so it ends with an
+    // empty list (the documented repair boundary); node 4 is untouched
+    assert(out === Set((0, 1L, 3L, 1.2), (0, 4L, 3L, 28.8)))
+  }
+
   test("serveGraphAnn: results across MULTIPLE micro-batches equal the batch probe") {
     import graft.operators.Streaming
     val base = java.nio.file.Files.createTempDirectory("graft_serv_spec").toString

@@ -130,16 +130,23 @@ object GraphAnn {
     * repair only sees two-hop candidates, so a source's new list can be
     * farther than the survivor-rebuild's — the standard freshness/cost
     * trade. GraphAnnSpec quantifies it: on the planted line graph the
-    * repaired edge is the true next-nearest survivor.
+    * repaired edge is the true next-nearest survivor. A source whose
+    * whole list was deleted and whose only two-hop candidates are
+    * itself/deleted nodes ends with an EMPTY list (no row in the output
+    * at all — spec-pinned on the planted line); churn-heavy callers
+    * should count such sources (returned adjacency anti-joined against
+    * the surviving layout) and trigger a shard rebuild when the fraction
+    * grows.
     *
-    * Cost: |lost edges| · degree candidate rows (each lost edge fans out
-    * to the deleted node's ≤ degree candidates) + the anti/semi joins
-    * against the deletion set — linear in the damage, never |shard|².
-    * Every join keys on shard_id(+id); the deletion set rides as the
-    * small side (broadcast-able; AQE picks it up). Sources untouched by
-    * the deletions keep byte-identical lists (spec-pinned): their rows
-    * pass the anti-joins unchanged and the re-cut over an already-cut
-    * list is the identity.
+    * Cost: candidate GENERATION is linear in the damage — |lost edges| ·
+    * degree candidate rows (each lost edge fans out to the deleted
+    * node's ≤ degree candidates) + the anti/semi joins against the
+    * deletion set, never |shard|². The dedup/re-cut pass touches only
+    * DAMAGED sources' rows (|damaged sources| · degree + candidates);
+    * untouched sources' lists are unioned through UNCHANGED — no
+    * distinct, no window, byte-identical rows (spec-pinned). Every join
+    * keys on shard_id(+id); the deletion set rides as the small side
+    * (broadcast-able; AQE picks it up).
     *
     * @param sharded   existing points (shard_id, id, vec), including the
     *                  to-be-deleted ones
@@ -147,7 +154,12 @@ object GraphAnn {
     *                  [[buildShardGraph]]/[[insertBatch]] output
     * @param deleted   ids to remove (id); must be ⊆ sharded's ids
     * @return the repaired adjacency (shard_id, src, dst, dist) over the
-    *         surviving points — no row references a deleted id
+    *         surviving points — no row references a deleted id. This is
+    *         ONE of the index's three artifacts: a search over the
+    *         post-delete index must ALSO prune deleted ids from the point
+    *         layout and repair the entry-point table (a deleted entry id
+    *         would still seed every beam probe of its shard) —
+    *         [[deleteIndex]] returns all three repaired together.
     */
   def deleteBatch(
       sharded: DataFrame,
@@ -179,14 +191,87 @@ object GraphAnn {
       .join(dv, Seq("shard_id", "dst"))
       .withColumn("dist", round(l2Dist(col("svec"), col("dvec")), 4))
       .select(col("shard_id"), col("src"), col("dst"), col("dist"))
+    // only DAMAGED sources need the dedup + re-cut (their surviving rows
+    // merged with the repair candidates); an untouched source's list is
+    // already exactly its top-degree, so it unions through unchanged —
+    // the pass stays linear in the damage, not in the adjacency
+    val damagedSrc = lost.select(col("shard_id"), col("src")).distinct()
+    val untouched = surv.join(damagedSrc, Seq("shard_id", "src"), "left_anti")
     // a candidate may already be a surviving edge; dist is a pure function
     // of the pair, so the row-level distinct dedups exactly
     val w = Window.partitionBy(col("shard_id"), col("src"))
       .orderBy(col("dist"), col("dst"))
-    surv.unionByName(cands).distinct()
+    val repaired = surv.join(damagedSrc, Seq("shard_id", "src"), "left_semi")
+      .unionByName(cands).distinct()
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= degree)
       .select(col("shard_id"), col("src"), col("dst"), col("dist"))
+    untouched.unionByName(repaired)
+  }
+
+  /** The graph index's three persisted artifacts, repaired together:
+    * the pruned point layout, the repaired adjacency, and the repaired
+    * entry-point table — exactly the set the serving path opens
+    * (reference: kanndi_search.py:51 + utils.py:300-312, the load/query
+    * path that must keep answering after churn). */
+  final case class GraphIndex(points: DataFrame, adjacency: DataFrame,
+      entries: DataFrame)
+
+  /** Entry-point repair after a deletion — the damage-local complement of
+    * [[deleteBatch]]: only shards that LOST an entry point recompute
+    * their entry set (over the shard's survivors, same deterministic
+    * rounded-dist/id rule as [[entryPoints]]); untouched shards' rows
+    * union through byte-identical. Because an entry set is the top-`e`
+    * nearest the centroid, dropping non-entry points can never change it
+    * — so the damage-local repair equals a full [[entryPoints]] recompute
+    * over the survivors (GraphAnnSpec asserts byte-equality), at
+    * |damaged shards| · shard-size distance kernels instead of corpus
+    * size. */
+  def repairEntryPoints(
+      entries: DataFrame,
+      sharded: DataFrame,
+      centroids: DataFrame,
+      deleted: DataFrame,
+      e: Int): DataFrame = {
+    val del = deleted.select(col("id").as("del_id"))
+    val damaged = entries.join(del, col("id") === col("del_id"), "left_semi")
+      .select(col("shard_id")).distinct()
+    val untouched = entries.join(damaged, Seq("shard_id"), "left_anti")
+      .select(col("shard_id"), col("id"))
+    val survDamaged = sharded.join(broadcast(damaged), Seq("shard_id"))
+      .join(del, col("id") === col("del_id"), "left_anti")
+    untouched.unionByName(entryPoints(survDamaged, centroids, e))
+  }
+
+  /** FULL-artifact deletion: the FreshDiskANN delete applied to all three
+    * index artifacts a post-delete [[beamSearch]] opens — without this, a
+    * probe over the repaired adjacency alone would seed on ghost entry
+    * ids and join them against a pruned layout, silently dropping seeds.
+    * Composes [[deleteBatch]] (adjacency repair, linear in the damage),
+    * [[repairEntryPoints]] (entry repair, linear in the damaged shards),
+    * and the layout prune (one anti-join). q172 hash-checks the POST-
+    * DELETE SEARCH over the returned index against an oracle replay of
+    * the whole chain — the serving contract, not just the artifacts.
+    *
+    * @param deleted ids to remove (id); must be ⊆ sharded's ids. Shards
+    *   whose every point is deleted end with no layout rows, no lists,
+    *   and no entries — routed probes of such a shard return nothing,
+    *   which is correct (the shard is gone). */
+  def deleteIndex(
+      sharded: DataFrame,
+      adjacency: DataFrame,
+      entries: DataFrame,
+      centroids: DataFrame,
+      deleted: DataFrame,
+      degree: Int,
+      e: Int): GraphIndex = {
+    val del = deleted.select(col("id").as("del_id"))
+    val survPts = sharded.join(del, col("id") === col("del_id"), "left_anti")
+      .select(col("shard_id"), col("id"), col("vec"))
+    GraphIndex(
+      survPts,
+      deleteBatch(sharded, adjacency, deleted, degree),
+      repairEntryPoints(entries, sharded, centroids, deleted, e))
   }
 
   /** Per-shard entry points: the `e` points nearest the shard centroid

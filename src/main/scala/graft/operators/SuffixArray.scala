@@ -301,27 +301,6 @@ object SuffixArray {
     * W characters skip the rank descent entirely. */
   private val W = 64
 
-  /** [[duplicateSpans]] over an already-built [[SaIndex]] — the
-    * build-once / consume-many split a production corpus runs (the SA is
-    * the expensive artifact; span extraction is a pass over it).
-    *
-    * Fast path (the lever that makes exact spans affordable at corpus
-    * scale): every adjacent pair first compares the two suffixes'
-    * W-character DOC-LOCAL windows (text from the offset, terminator
-    * appended) with the codegen'd [[graft.functions.CommonPrefixLen]] —
-    * two equi-joins and a per-row byte loop instead of log(n) rank-table
-    * rounds. The window verdict is FINAL for the clipped span whenever
-    * (a) the windows mismatch inside W, or (b) either side's terminator
-    * is within W (the clip caps the span there anyway): the window
-    * diverges from the raw corpus only past the terminator, and the
-    * reported span is min(lcp, dist_a, dist_b), which those characters
-    * can never move. Only window-SATURATED pairs — W matching characters
-    * with both terminators beyond W, i.e. a genuine ≥ W-char duplicate —
-    * take the [[lcpDescent]], and they broadcast against the history
-    * (nothing shuffles) until an adversarially duplicate-heavy corpus
-    * pushes them past the threshold. The DuckDB oracle replays the pure
-    * descent for every pair; the two forms agree on every clipped span
-    * by the argument above (SuffixArraySpec pins both paths). */
   /** EXACT-substring corpus REWRITE — the end of the Lee et al. pipeline
     * (their §4: cut every duplicated span, keep one occurrence): for each
     * [[duplicateSpansFrom]] row, the rank-t side `[off_a, off_a+len)` of
@@ -375,6 +354,27 @@ object SuffixArray {
         col("cleaned"))
   }
 
+  /** [[duplicateSpans]] over an already-built [[SaIndex]] — the
+    * build-once / consume-many split a production corpus runs (the SA is
+    * the expensive artifact; span extraction is a pass over it).
+    *
+    * Fast path (the lever that makes exact spans affordable at corpus
+    * scale): every adjacent pair first compares the two suffixes'
+    * W-character DOC-LOCAL windows (text from the offset, terminator
+    * appended) with the codegen'd [[graft.functions.CommonPrefixLen]] —
+    * two equi-joins and a per-row byte loop instead of log(n) rank-table
+    * rounds. The window verdict is FINAL for the clipped span whenever
+    * (a) the windows mismatch inside W, or (b) either side's terminator
+    * is within W (the clip caps the span there anyway): the window
+    * diverges from the raw corpus only past the terminator, and the
+    * reported span is min(lcp, dist_a, dist_b), which those characters
+    * can never move. Only window-SATURATED pairs — W matching characters
+    * with both terminators beyond W, i.e. a genuine ≥ W-char duplicate —
+    * take the [[lcpDescent]], and they broadcast against the history
+    * (nothing shuffles) until an adversarially duplicate-heavy corpus
+    * pushes them past the threshold. The DuckDB oracle replays the pure
+    * descent for every pair; the two forms agree on every clipped span
+    * by the argument above (SuffixArraySpec pins both paths). */
   def duplicateSpansFrom(idx: SaIndex, docs: DataFrame,
       minLen: Int): DataFrame = {
     val offs = Packing.packCounts(

@@ -7,6 +7,18 @@ import graft.operators.{GraphAnn, Sharding, ShardedSearch}
 class GraphAnnSpec extends SparkSpec {
   import spark.implicits._
 
+  // driver replay of the engine's 4-dp distance: Spark's round() is
+  // HALF_UP — math.rint (half-even) would flake on a distance landing
+  // exactly on a 5e-5 boundary
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def l2r4(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    for (i <- a.indices) { val v = a(i).toDouble - b(i).toDouble; s += v * v }
+    r4(math.sqrt(s))
+  }
+
   // small fixture: the beam operator composes `rounds` join+distinct
   // stages into ONE plan, so a saturated-ef test over the full table
   // would spend minutes in planning alone
@@ -28,14 +40,9 @@ class GraphAnnSpec extends SparkSpec {
     // brute-force replay on the driver
     val all = sharded.select(col("shard_id"), col("id"), col("vec")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
-    def d(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0
-      for (i <- a.indices) { val v = a(i).toDouble - b(i).toDouble; s += v * v }
-      math.rint(math.sqrt(s) * 1e4) / 1e4
-    }
     val expected = all.flatMap { case (sid, id, v) =>
       all.filter(o => o._1 == sid && o._2 != id)
-        .map(o => (d(v, o._3), o._2))
+        .map(o => (l2r4(v, o._3), o._2))
         .sorted.take(deg)
         .map { case (_, nbr) => (sid, id, nbr) }
     }
@@ -124,11 +131,6 @@ class GraphAnnSpec extends SparkSpec {
     val all = sharded.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
     val vecOf = all.map(x => x._2 -> x._3).toMap
-    def d(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0
-      for (i <- a.indices) { val v = a(i).toDouble - b(i).toDouble; s += v * v }
-      math.rint(math.sqrt(s) * 1e4) / 1e4
-    }
     val adjRows = adj.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val surv = adjRows.filter(e => !delIds(e._2) && !delIds(e._3))
@@ -139,7 +141,7 @@ class GraphAnnSpec extends SparkSpec {
       (vsid, vvia, cand, _) <- viaLists
       if vsid == sid && vvia == via && cand != src
     } yield (sid, src, cand)).distinct
-      .map { case (sid, src, cand) => (sid, src, cand, d(vecOf(src), vecOf(cand))) }
+      .map { case (sid, src, cand) => (sid, src, cand, l2r4(vecOf(src), vecOf(cand))) }
     val expected = (surv ++ cands).distinct
       .groupBy(e => (e._1, e._2)).values.flatMap { es =>
         es.sortBy(e => (e._4, e._3)).take(deg)
@@ -225,6 +227,106 @@ class GraphAnnSpec extends SparkSpec {
     assert(served === batchRes)
   }
 
+  test("repairEntryPoints: damage-local repair equals the full recompute over survivors") {
+    val e = 3
+    val ep = GraphAnn.entryPoints(sharded, cents, e).localCheckpoint()
+    // delete every 4th point — hits some entries, misses others, so both
+    // the recompute arm and the untouched-pass-through arm are exercised
+    val del = pts.where(col("id") % 4 === 1).select(col("id"))
+    val delIds = del.as[Long].collect().toSet
+    val epRows = ep.collect().map(r => (r.getInt(0), r.getLong(1)))
+    val damagedShards = epRows.filter(x => delIds(x._2)).map(_._1).toSet
+    assert(damagedShards.nonEmpty, "no entry deleted — vacuous test")
+    assert(epRows.exists(x => !damagedShards(x._1)), "every shard damaged — pass-through arm untested")
+    val surv = sharded.join(del.withColumnRenamed("id", "del_id"),
+      col("id") === col("del_id"), "left_anti")
+      .select(col("shard_id"), col("id"), col("vec"))
+    val repaired = GraphAnn.repairEntryPoints(ep, sharded, cents, del, e)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val full = GraphAnn.entryPoints(surv, cents, e)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(repaired === full)
+    assert(repaired.forall(x => !delIds(x._2)))
+  }
+
+  test("deleteIndex: post-delete search answers with every shard's nearest entry deleted; naive ghost entries lose seeds") {
+    val deg = 6; val e = 2
+    val adj = GraphAnn.buildShardGraph(sharded, deg).localCheckpoint()
+    val ep = GraphAnn.entryPoints(sharded, cents, e).localCheckpoint()
+    // deletion set: each shard's RANK-1 entry point plus every 7th id —
+    // the exact scenario where an unrepaired entry table seeds the beam
+    // on ghosts
+    val rank1 = GraphAnn.entryPoints(sharded, cents, e = 1).select(col("id"))
+    val del = pts.where(col("id") % 7 === 3).select(col("id"))
+      .unionByName(rank1).distinct().localCheckpoint()
+    val delIds = del.as[Long].collect().toSet
+    val idx = GraphAnn.deleteIndex(sharded, adj, ep, cents, del, deg, e)
+    val routes = ShardedSearch.route(queries, cents, t = 2)
+      .select(col("qid"), col("qvec"), col("shard_id"))
+    val res = GraphAnn.beamSearch(idx.points, idx.adjacency, idx.entries,
+      routes, k = 5, ef = 6, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // no ghost anywhere: results, entries, layout, adjacency
+    res.foreach { case (_, _, nid) => assert(!delIds(nid)) }
+    idx.entries.collect().foreach(r => assert(!delIds(r.getLong(1))))
+    idx.points.collect().foreach(r => assert(!delIds(r.getLong(1))))
+    idx.adjacency.collect().foreach { r =>
+      assert(!delIds(r.getLong(1)) && !delIds(r.getLong(2)))
+    }
+    // every routed query still gets answers after losing its best seeds
+    val qids = routes.select("qid").distinct().as[Long].collect().toSet
+    assert(res.map(_._1) === qids)
+    // the NAIVE composition (repaired adjacency + pruned layout, entry
+    // table left with ghosts) drops the deleted seeds silently — the
+    // bug deleteIndex exists to prevent
+    val naive = GraphAnn.beamSearch(idx.points, idx.adjacency, ep,
+      routes, k = 5, ef = 6, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(naive !== res, "ghost entries changed nothing — vacuous scenario")
+  }
+
+  test("churn: recall vs the exhaustive scan holds across insert/delete cycles (local repair does not decay)") {
+    val deg = 6; val e = 2; val cycles = 4
+    val centArr = cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    var cur = sharded
+    var adj = GraphAnn.buildShardGraph(sharded, deg).localCheckpoint()
+    var ep = GraphAnn.entryPoints(sharded, cents, e).localCheckpoint()
+    val routes = ShardedSearch.route(queries, cents, t = 2)
+      .select(col("qid"), col("qvec"), col("shard_id")).localCheckpoint()
+    def recallNow(): Double = {
+      val beam = GraphAnn.beamSearch(cur, adj, ep, routes,
+        k = 5, ef = 10, rounds = 4)
+        .select(col("qid"), col("neighbor_id"))
+      val scan = ShardedSearch.search(cur, queries, cents, k = 5, t = 2)
+        .select(col("qid"), col("neighbor_id"))
+      val hits = beam.intersect(scan).count().toDouble
+      hits / scan.count()
+    }
+    val recalls = Vector.newBuilder[Double]
+    recalls += recallNow()
+    for (i <- 1 to cycles) {
+      // insert: a fresh batch re-using base geometry under new ids
+      val batch = pts.where(col("id") % 9 === i % 9)
+        .select((col("id") + 10000L * i).as("id"), col("vec"))
+      val aB = Sharding.assignLit(batch, centArr, keepVec = true)
+        .select(col("shard_id"), col("id"), col("vec")).localCheckpoint()
+      adj = GraphAnn.insertBatch(cur, adj, aB, deg).localCheckpoint()
+      cur = cur.unionByName(aB).localCheckpoint()
+      // delete: a slice of the CURRENT ids (old and new alike)
+      val del = cur.where(col("id") % 11 === (i * 3) % 11).select(col("id"))
+        .localCheckpoint()
+      val idx = GraphAnn.deleteIndex(cur, adj, ep, cents, del, deg, e)
+      cur = idx.points.localCheckpoint()
+      adj = idx.adjacency.localCheckpoint()
+      ep = idx.entries.localCheckpoint()
+      recalls += recallNow()
+    }
+    val rs = recalls.result()
+    // local repair's whole claim: recall does not decay across cycles
+    rs.foreach(r => assert(r >= 0.85, s"recall dropped below floor: $rs"))
+    assert(rs.last >= rs.head - 0.1, s"recall decayed across churn: $rs")
+  }
+
   test("entryPoints: e nearest the shard centroid, id tie-break") {
     val e = 3
     val got = GraphAnn.entryPoints(sharded, cents, e).collect()
@@ -237,7 +339,7 @@ class GraphAnnSpec extends SparkSpec {
       xs.map { case (_, id, v) =>
         var s = 0.0
         for (i <- v.indices) { val d = v(i).toDouble - c(i); s += d * d }
-        (math.rint(math.sqrt(s) * 1e4) / 1e4, id)
+        (r4(math.sqrt(s)), id)
       }.sorted.take(e).map { case (_, id) => (sid, id) }
     }.toSet
     assert(got === expected)

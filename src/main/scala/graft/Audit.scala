@@ -545,6 +545,37 @@ object Audit {
         !p.contains("SinglePartition") || !p.contains("Window")),
       ("single global sort (output ordering only)", p =>
         p.linesIterator.count(l => l.contains("Sort [") && l.contains("], true")) == 1))
+    audit("q171_graph_delete")(
+      // FreshDiskANN local repair: deletion-set anti/semi joins + the
+      // two-hop candidate equi-join — a nested loop would mean the repair
+      // degenerated to damage x shard
+      ("repair equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      // the re-cut window runs only over damaged sources' rows; untouched
+      // lists union through with no window at all
+      ("damage-only re-cut partial limit", _.contains("WindowGroupLimit")))
+    audit("q172_graph_delete_search")(
+      // post-delete probe: the repaired-layout/adjacency scans still read
+      // ONLY routed shards' files (the isin filter pushes through the
+      // whole repair chain to the partitionBy layout)
+      ("routed-shard partition pruning survives the repair", p =>
+        p.contains("PartitionFilters: [shard_id") && p.contains(" IN (")),
+      ("repair + beam equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")))
+    audit("q173_rewrite_pipeline")(
+      ("equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      // the packing tail consumes PINNED counts: the two-phase sweep is
+      // RDD-backed with no Exchange of its own (q96's shape)
+      ("packing tail is RDD two-phase (pinned counts)", p =>
+        p.contains("SerializeFromObject") && !p.contains("Exchange")))
+    audit("q174_blocklist_10k")(
+      // 10k patterns still ride inside the broadcast automaton — P must
+      // never become a shuffled relation no matter how large
+      ("no join in the scan (automaton is broadcast state)", p =>
+        !p.contains("Join") && !p.contains("CartesianProduct")),
+      ("single global sort (output ordering only)", p =>
+        p.linesIterator.count(l => l.contains("Sort [") && l.contains("], true")) == 1))
     // q151's BATCH twin (the query entry reads the streaming sink, so the
     // plan to audit is the shared definition itself): the attribution
     // join must plan as a user_id equi-join with the time-range bound as

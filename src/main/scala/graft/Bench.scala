@@ -125,6 +125,43 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
         fullLine.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // the SCALE.md bench-convention note is GENERATED from this run's
+    // numbers (the r8/r9 recurring drift: the hand-written note staled
+    // whenever a query landed after the note was last edited) — Bench
+    // derives the family split from the same map it just serialized and
+    // splices it between SCALE.md's BENCH-NOTE markers, so a post-note
+    // commit cannot stale the note without re-running the bench it cites
+    try {
+      val ok = mins.filterNot(_._2.isNaN)
+      val streaming = ok.filter { case (n, _) => SparkEntry.sinkBackedQueries.contains(n) }
+      val batch = ok.filter { case (n, _) => !SparkEntry.sinkBackedQueries.contains(n) }
+      def f1(x: Double) = f"$x%.1f"
+      val top5 = ok.toSeq.sortBy(-_._2).take(5)
+        .map { case (n, v) => s"$n ${f1(v)} s" }.mkString(", ")
+      val note =
+        s"""<!-- GENERATED by graft.Bench from the run that wrote target/bench_last.json — do not edit by hand -->
+           |Final-bench artifact (`target/bench_last.json`): **${f1(total)} s /
+           |${ok.size} queries** (per-query min of $passes interleaved passes at
+           |local[$cpus], `$sfDir`${if (failedSet.nonEmpty) s"; FAILED: ${failedSet.mkString(",")}" else ""}).
+           |The ${streaming.size} sink-backed streaming queries — each timed as a
+           |full multi-batch streaming execution (ingest → stateful operators →
+           |sink) per the r9 feed convention — total ${f1(streaming.values.sum)} s;
+           |the other ${batch.size} batch queries total ${f1(batch.values.sum)} s.
+           |Slowest five: $top5.""".stripMargin
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_note.md"),
+        note.getBytes("UTF-8"))
+      val scalePath = java.nio.file.Paths.get("SCALE.md")
+      if (java.nio.file.Files.exists(scalePath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(scalePath), "UTF-8")
+        val b = "<!-- BENCH-NOTE:BEGIN -->"
+        val e = "<!-- BENCH-NOTE:END -->"
+        val i = txt.indexOf(b); val j = txt.indexOf(e)
+        if (i >= 0 && j > i)
+          java.nio.file.Files.write(scalePath,
+            (txt.substring(0, i + b.length) + "\n" + note + "\n" + txt.substring(j))
+              .getBytes("UTF-8"))
+      }
+    } catch { case _: Throwable => () }
     // the driver archives only a ~2 KB TAIL of this process's output, which
     // truncates the full per-query line mid-map and loses the total — so the
     // LAST line is a compact self-contained summary (total + slowest 5 +

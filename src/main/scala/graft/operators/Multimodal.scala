@@ -1410,7 +1410,8 @@ object Multimodal {
           val rx = u16(p + 1); val ry = u16(p + 3)
           val rw = u16(p + 5); val rh = u16(p + 7)
           val flags = gif(p + 9) & 0xff
-          require((flags & 0xc0) == 0, "local color tables / interlace unsupported")
+          require((flags & 0x80) == 0, "local color tables unsupported")
+          val interlaced = (flags & 0x40) != 0
           require(rx + rw <= w && ry + rh <= h, "corrupt GIF: rect outside canvas")
           p += 10
           val minCode = gif(p) & 0xff; p += 1
@@ -1420,9 +1421,16 @@ object Multimodal {
             require(p + 1 + n <= gif.length, "corrupt GIF: sub-block past end")
             data.write(gif, p + 1, n); p += 1 + n; n != 0 }) ()
           val px = lzwDecode(data.toByteArray, minCode, rw * rh)
+          // interlaced frames (GIF89a appendix E — what ImageIO's writer
+          // emits by default) store rows in four passes: 0 step 8, 4 step
+          // 8, 2 step 4, 1 step 2; map each stored row to its canvas row
+          val rowOrder: IndexedSeq[Int] =
+            if (!interlaced) 0 until rh
+            else (0 until rh by 8) ++ (4 until rh by 8) ++
+              (2 until rh by 4) ++ (1 until rh by 2)
           var y = 0
           while (y < rh) {
-            System.arraycopy(px, y * rw, canvas, (ry + y) * w + rx, rw)
+            System.arraycopy(px, y * rw, canvas, (ry + rowOrder(y)) * w + rx, rw)
             y += 1
           }
           frames += ((rx, ry, canvas.clone()))

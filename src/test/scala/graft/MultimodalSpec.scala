@@ -192,6 +192,76 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.head._3.toSeq === px.toSeq)
   }
 
+  test("decodeGif conforms the OTHER way: foreign (javax.imageio-encoded) bytes decode, interlace included") {
+    // the r9 conformance gap: our encoder -> JDK decoder was proven, the
+    // reverse was not. ImageIO's GIF writer is a genuinely foreign
+    // encoder — different LZW code-emission choices AND interlaced row
+    // order by default — so decoding its bytes exercises paths our own
+    // encoder never produces
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import javax.imageio.ImageIO
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new IndexColorModel(8, 256, grays, grays, grays)
+    def frame(w: Int, h: Int, f: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, f(x, y))
+      img
+    }
+    // single frame (interlaced by the writer — asserted below so this
+    // test can never silently stop covering the interlace path)
+    val w = 64; val h = 48
+    val baos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(frame(w, h, (x, y) => (x * 3 + y * 5) % 256), "gif", baos)
+    val bytes = baos.toByteArray
+    // locate the image descriptor to confirm the foreign flags: global
+    // color table present, LOCAL absent, interlace SET
+    val gctLen = 3 * (2 << ((bytes(10) & 0xff) & 7))
+    var p = 13 + gctLen
+    while ((bytes(p) & 0xff) == 0x21) { // skip extensions
+      p += 2
+      var n = bytes(p) & 0xff
+      while (n != 0) { p += 1 + n; n = bytes(p) & 0xff }
+      p += 1
+    }
+    assert((bytes(p) & 0xff) === 0x2c)
+    val flags = bytes(p + 9) & 0xff
+    assert((flags & 0x40) !== 0, "writer no longer interlaces — find another foreign interlace source")
+    assert((flags & 0x80) === 0)
+    val (dw, dh, frames) = Multimodal.decodeGif(bytes)
+    assert(dw === w && dh === h && frames.length === 1)
+    // decoded values are palette INDICES; map through the FOREIGN global
+    // color table (the writer may reorder the palette)
+    val canvas = frames.head._3
+    for (y <- 0 until h; x <- 0 until w) {
+      val idx = canvas(y * w + x) & 0xff
+      val gray = bytes(13 + 3 * idx) & 0xff
+      assert(gray === (x * 3 + y * 5) % 256, s"($x,$y)")
+    }
+    // animated: a foreign multi-image sequence (writeToSequence) must
+    // parse frame by frame through the generic extension-skip path
+    val wr = ImageIO.getImageWritersByFormatName("gif").next()
+    val seqOut = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(seqOut)
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    for (f <- 0 until 3)
+      wr.writeToSequence(
+        new javax.imageio.IIOImage(frame(32, 24, (x, y) => (x + y + 37 * f) % 256), null, null),
+        wr.getDefaultWriteParam)
+    wr.endWriteSequence(); ios.close(); wr.dispose()
+    val (aw, ah, aframes) = Multimodal.decodeGif(seqOut.toByteArray)
+    assert(aw === 32 && ah === 24 && aframes.length === 3)
+    val agct = {
+      val b = seqOut.toByteArray
+      (0 until 256).map(i => if (13 + 3 * i + 2 < b.length) b(13 + 3 * i) & 0xff else 0)
+    }
+    for (f <- 0 until 3; y <- 0 until 24; x <- 0 until 32) {
+      val idx = aframes(f)._3(y * 32 + x) & 0xff
+      assert(agct(idx) === (x + y + 37 * f) % 256, s"f=$f ($x,$y)")
+    }
+  }
+
   test("decodeGif composites dirty rects over the running canvas") {
     val w = 16; val h = 16
     val key = Array.fill(w * h)(5.toByte)

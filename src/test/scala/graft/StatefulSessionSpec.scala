@@ -222,6 +222,78 @@ class StatefulSessionSpec extends SparkSpec {
     }
   }
 
+  test("userProfiles multi-flush: each quiet horizon publishes its own snapshot; the timer re-registers after every flush") {
+    // the PERIODIC-flush contract (q161 pins the single-flush feed by
+    // design; this pins the operationally-right multi-flush behavior a
+    // long-lived stream sees): a user active in three bursts, each quiet
+    // gap WITNESSED by the ratcheting watermark (other traffic advances
+    // it between bursts, as a real stream's does), publishes THREE
+    // per-horizon snapshots, each covering only its own burst — the
+    // flush clears the map, and the timer re-registered by the next
+    // burst fires again. Horizons are watermark-witnessed, not
+    // event-time-only: within a burst, later batches SUPERSEDE the
+    // pending timer (asserted), so an unwitnessed gap merges into the
+    // next horizon instead of publishing late
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Streaming.ProfEv
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[ProfEv]
+    val q = Streaming.userProfiles(in.toDS().toDF())
+      .writeStream.outputMode("append").format("memory").queryName("uprof_multi")
+      .start()
+    try {
+      // user 7's snapshots as a SEQUENCE of emitted rows — the same
+      // (user, type) legitimately recurs across horizons, so a Set
+      // comparison would mask double or missing flushes
+      def rows() = spark.table("uprof_multi").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.filter(_._1 == 7L).sorted
+      // burst 1 spans TWO batches 30 min apart (inside the 1 h gap): the
+      // second batch must supersede the first batch's timer — no flush
+      in.addData(Seq(ProfEv(7L, "view", t("2024-01-10 12:00:00"), 1.0)))
+      q.processAllAvailable()
+      in.addData(Seq(ProfEv(7L, "click", t("2024-01-10 12:30:00"), 2.0)))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "flush fired inside an active burst")
+      // other traffic ratchets the watermark past burst 1's horizon
+      // (13:30): snapshot 1 publishes and the map clears
+      in.addData(Seq(ProfEv(8L, "x", t("2024-01-10 18:00:00"), 0.0)))
+      q.processAllAvailable()
+      assert(rows() === Seq((7L, "click", 1L, 2.0), (7L, "view", 1L, 1.0)))
+      // burst 2: accumulates fresh (no new user-7 emission yet)
+      in.addData(Seq(ProfEv(7L, "view", t("2024-01-11 09:00:00"), 7.0)))
+      q.processAllAvailable()
+      assert(rows().size === 2, "burst 2 emitted before its horizon closed")
+      // ratchet past burst 2's horizon: snapshot 2 is burst 2 ALONE —
+      // the re-registered timer fired and the cleared map held only 7.0
+      in.addData(Seq(ProfEv(8L, "x", t("2024-01-11 12:00:00"), 0.0)))
+      q.processAllAvailable()
+      assert(rows() === Seq((7L, "click", 1L, 2.0),
+        (7L, "view", 1L, 1.0), (7L, "view", 1L, 7.0)))
+      // burst 3 (two events, one batch), then a far-future ratchet:
+      // snapshot 3 aggregates exactly the burst-3 events
+      in.addData(Seq(ProfEv(7L, "view", t("2024-01-12 15:00:00"), 9.0),
+        ProfEv(7L, "view", t("2024-01-12 15:10:00"), 1.0)))
+      q.processAllAvailable()
+      in.addData(Seq(ProfEv(8L, "x", t("2024-02-01 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      assert(rows() === Seq((7L, "click", 1L, 2.0),
+        (7L, "view", 1L, 1.0), (7L, "view", 1L, 7.0), (7L, "view", 2L, 10.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("userProfilesBootstrapped: initial state seeds the map; history-only users flush") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Streaming.ProfEv

@@ -555,13 +555,26 @@ object Audit {
       // lists union through with no window at all
       ("damage-only re-cut partial limit", _.contains("WindowGroupLimit")))
     audit("q172_graph_delete_search")(
-      // post-delete probe: the repaired-layout/adjacency scans still read
-      // ONLY routed shards' files (the isin filter pushes through the
-      // whole repair chain to the partitionBy layout)
-      ("routed-shard partition pruning survives the repair", p =>
-        p.contains("PartitionFilters: [shard_id") && p.contains(" IN (")),
-      ("repair + beam equi-joins only", p =>
-        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")))
+      // the beam runs over MATERIALIZED repaired artifacts (the serving
+      // path persists them), so the final plan is checkpoint-rooted —
+      // assert its own shape here; the repair chain's pruning is audited
+      // on the pre-materialization plan below
+      ("beam equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("beam + final top-k partial limits", p =>
+        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4))
+    // q172's repair chain, pre-materialization: the layout/adjacency
+    // scans must read ONLY routed shards' files, and the repair must
+    // stay equi-join-shaped
+    locally {
+      val plan = SparkEntry.graphDeleteRepaired(spark, dir)
+        .adjacency.queryExecution.executedPlan.toString
+      val ok1 = plan.contains("PartitionFilters: [shard_id") && plan.contains(" IN (")
+      val ok2 = !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct")
+      println(f"q172 repair chain       ${if (ok1) "OK " else "MISS"} routed-shard partition pruning on index scans")
+      println(f"q172 repair chain       ${if (ok2) "OK " else "MISS"} repair equi-joins only")
+    }
     audit("q173_rewrite_pipeline")(
       ("equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),

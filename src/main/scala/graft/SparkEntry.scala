@@ -1069,27 +1069,16 @@ object SparkEntry {
     // index — the oracle replays build, delete, all three repairs, and
     // every beam round
     "q172_graph_delete_search" -> ((s, dir) => {
-      val base = graphIndexDir(s, dir)
-      val sharded = s.read.parquet(shardedLayoutPath(s, dir))
-        .select(col("shard_id"), col("id"), col("vec"))
-      val adj = s.read.parquet(s"$base/adj")
-      val ep = s.read.parquet(s"$base/ep")
-      val cents = fitCentroidsMemo(s, dir)
-      val del = sharded.where(col("id") % 7 === 3).select(col("id"))
-        .unionByName(GraphAnn.entryPoints(sharded, cents, e = 1).select(col("id")))
-        .distinct()
-      val idx = GraphAnn.deleteIndex(sharded, adj, ep, cents, del,
-        Params.graphDegree, Params.graphEntries)
-      // probe inputs pruned to the driver-known routed shards, as q100 —
-      // the pushed filter also prunes the repair joins to those shards,
-      // which is the per-probe serving cost (the full repair is q171's
-      // measurement)
-      val routedShards = Pq.routeLit(queryBatchMemoArr(s, dir),
-        centroidArrMemo(s, dir), t = Params.t).map(_._2).distinct.sorted.toSeq
+      val idx = graphDeleteRepaired(s, dir)
+      // the repaired artifacts MATERIALIZE before the probe (a serving
+      // deployment persists them; here localCheckpoint stands in for the
+      // write) — composing the beam over the raw repair DAG would
+      // re-execute the whole repair once per beam round (measured 29 s
+      // vs ~4 s at sf0.1)
       GraphAnn.topK(GraphAnn.beamVisitExact(
-        idx.points.where(col("shard_id").isin(routedShards: _*)),
-        idx.adjacency.where(col("shard_id").isin(routedShards: _*)),
-        idx.entries, graphRoutesDf(s, dir),
+        idx.points.localCheckpoint(),
+        idx.adjacency.localCheckpoint(),
+        idx.entries.localCheckpoint(), graphRoutesDf(s, dir),
         ef = Params.beamEf, rounds = Params.beamRounds), k = 10)
     }),
 
@@ -2743,8 +2732,13 @@ object SparkEntry {
     * index-build work, like the PQ codes or the KANNDI rounds. */
   private def graphIndexDir(s: SparkSession, dir: String): String = {
     val base = tmpArtifact("graphidx", dir, "")
+    // resolve the layout dependency BEFORE entering the memo lambda: a
+    // nested computeIfAbsent on the same map throws ConcurrentHashMap's
+    // "Recursive update" whenever the two keys happen to share a bin
+    // (hit on the x10 replica path, where neither prebuild had run)
+    val layout = shardedLayoutPath(s, dir)
     fileOnce.computeIfAbsent(base, _ => {
-      val sharded = s.read.parquet(shardedLayoutPath(s, dir))
+      val sharded = s.read.parquet(layout)
       GraphAnn.buildShardGraph(sharded, Params.graphDegree)
         .repartition(col("shard_id"))
         .sortWithinPartitions(col("shard_id"), col("src"))
@@ -2754,6 +2748,35 @@ object SparkEntry {
       true
     })
     base
+  }
+
+  /** q172's repair chain, pruned to the routed shards at the SCANS: every
+    * repair join keys on shard_id within the shard, and a point's
+    * deletion only affects its own shard's artifacts, so repairing only
+    * the routed shards is result-identical to repairing everything and
+    * then pruning (the oracle replays the unpruned form) — while the
+    * layout/adjacency reads keep the q100 partition-pruning discipline
+    * (Audit asserts PartitionFilters on THIS pre-materialization plan;
+    * the q172 entry localCheckpoints the artifacts before the beam).
+    * Deletion set: every 7th id ∪ each routed shard's rank-1 entry. */
+  private[graft] def graphDeleteRepaired(s: SparkSession,
+      dir: String): GraphAnn.GraphIndex = {
+    val base = graphIndexDir(s, dir)
+    val routedShards = Pq.routeLit(queryBatchMemoArr(s, dir),
+      centroidArrMemo(s, dir), t = Params.t).map(_._2).distinct.sorted.toSeq
+    val sharded = s.read.parquet(shardedLayoutPath(s, dir))
+      .where(col("shard_id").isin(routedShards: _*))
+      .select(col("shard_id"), col("id"), col("vec"))
+    val adj = s.read.parquet(s"$base/adj")
+      .where(col("shard_id").isin(routedShards: _*))
+    val ep = s.read.parquet(s"$base/ep")
+      .where(col("shard_id").isin(routedShards: _*))
+    val cents = fitCentroidsMemo(s, dir)
+    val del = sharded.where(col("id") % 7 === 3).select(col("id"))
+      .unionByName(GraphAnn.entryPoints(sharded, cents, e = 1).select(col("id")))
+      .distinct()
+    GraphAnn.deleteIndex(sharded, adj, ep, cents, del,
+      Params.graphDegree, Params.graphEntries)
   }
 
   /** Driver-computed (qid, qvec, shard_id) route pairs as a tiny

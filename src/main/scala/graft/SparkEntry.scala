@@ -2110,6 +2110,76 @@ object SparkEntry {
         .orderBy(col("id"), col("pat_id"))
     }),
 
+    // ---- LEARNED quality filter, training half (heuristic-to-classifier
+    // distillation: bootstrap labels from the Gopher rules, train a
+    // closed-form multinomial Naive Bayes — the CCNet/fasttext pipeline
+    // shape with the one family member whose training is exactly
+    // replayable: two integer count aggs + Laplace smoothing, no SGD).
+    // The model is the vocab-sized (w, counts, log_odds) table
+    "q175_nb_train" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val labeled = docs.join(
+        TextStats.gopherRules(docs).select(col("id"), col("keep")), "id")
+      TextStats.nbTrain(labeled)
+        .select(col("w"), col("c_keep"), col("c_drop"),
+          round(col("log_odds"), 6).as("log_odds"))
+        .orderBy(col("w"))
+    }),
+
+    // ---- the apply half: every doc scored by prior log-odds + the sum
+    // of its tokens' log-odds (pred = score > 0). Train + apply in one
+    // plan; the oracle replays labeling, counting, smoothing, AND scoring
+    // — so a drift anywhere in the loop breaks the hash
+    "q176_nb_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+      val labels = TextStats.gopherRules(docs).select(col("id"), col("keep"))
+      val model = TextStats.nbTrain(docs.join(labels, "id"))
+      val prior = labels.agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_drop"))
+      TextStats.nbScore(docs, model, prior).orderBy(col("id"))
+    }),
+
+    // ---- PERIODIC user profiles (q161's multi-flush sibling): the SAME
+    // processor over the honest 15-chunk time-ordered feed, where the
+    // ratcheting watermark flushes a user once per witnessed quiet
+    // horizon — the operationally-right push-serving behavior q161's
+    // single-flush contract deliberately excludes. The horizons are a
+    // DETERMINISTIC function of the artifact (chunk boundaries + the
+    // 1-minute watermark delay + the inclusive <= expiry comparator, spec-pinned),
+    // so the oracle segments each user's events at the boundaries where
+    // last-seen + 1 h <= the running chunk watermark and replays every
+    // per-horizon snapshot row
+    "q177_profile_periodic" -> ((s, dir) => {
+      val base = tmpArtifact("uprofmulti", dir, "")
+      def ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+      streamArtifact(base, Seq("profiles", "ckpt")) {
+        val b0 = writeTimeOrderedFeed(ev, s"$base/feed")
+        // far-future advancer as the final batch: closes every open horizon
+        ev.limit(1).select(lit(-1L).as("user_id"), lit("x").as("event_type"),
+            to_timestamp(lit("2030-01-01 00:00:00")).as("ts"),
+            lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").parquet(s"$base/feed")
+        stampBatch(s"$base/feed", b0, 15)
+      } {
+        withStreamConf(s, rocksdb = true) {
+          val q = Streaming.userProfiles(
+              s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+                .parquet(s"$base/feed"))
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", s"$base/profiles")
+            .option("checkpointLocation", s"$base/ckpt")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+      s.read.parquet(s"$base/profiles")
+        .where(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("event_type"), col("n_events"),
+          col("sum_value"))
+    }),
+
     // ---- BM25 keyword retrieval (the lexical counterpart of the vector
     // stack): queries are each 100th doc's first 3 words; scoring is
     // term-equi-joins over the (tf, df, dl) stats — the inverted-index
@@ -2403,7 +2473,8 @@ object SparkEntry {
     "q161_user_profiles" -> "uprof",
     "q162_profile_bootstrap" -> "bprof",
     "q163_dedup_windowed" -> "dedupwin",
-    "q164_stream_attrib_outer" -> "attribout")
+    "q164_stream_attrib_outer" -> "attribout",
+    "q177_profile_periodic" -> "uprofmulti")
 
   /** Drop `name`'s streaming-sink RUN memo so its next invocation re-runs
     * the full streaming execution (ingest -> stateful operators -> sink;
@@ -4484,6 +4555,52 @@ object SparkEntry {
          |  round(sum(value), 2) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
+    // the multi-flush replay: chunk each event exactly as
+    // writeTimeOrderedFeed does (integer-floor boundaries over the global
+    // span, last chunk catch-all) and derive the running per-chunk
+    // watermark (global max ts − the 1-minute delay). With a fully-queued
+    // file feed the engine never runs a no-data batch between file
+    // batches, and a batch that carries a user's OWN rows re-registers
+    // their timer before it can fire — so a mid-stream flush needs an
+    // INACTIVE batch b strictly between two active chunks c < c', firing
+    // against the watermark of batch b−1: flush ⇔ c' ≥ c+2 AND
+    // last-seen(c) + 1 h <= W(c'−2) (the <= comparator is spec-pinned;
+    // an unwitnessed or adjacent-chunk gap merges forward). The advancer
+    // batch plus the stream-end no-data batch close every open horizon.
+    // One snapshot row per (user, horizon, type)
+    "q177_profile_periodic" ->
+      s"""WITH pev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, value FROM events),
+         |pbnd AS (SELECT min(ms) AS lo, max(ms) - min(ms) + 1 AS span FROM pev),
+         |prng AS (SELECT b, lo + (span * b) // 15 AS flo,
+         |    CASE WHEN b = 14 THEN 9223372036854775807
+         |      ELSE lo + (span * (b + 1)) // 15 END AS fhi
+         |  FROM (SELECT unnest(generate_series(0, 14)) AS b), pbnd),
+         |pch AS (SELECT e.user_id, e.event_type, e.ms, e.value, r.b AS chunk
+         |  FROM pev e JOIN prng r ON e.ms >= r.flo AND e.ms < r.fhi),
+         |pwx AS (SELECT chunk, max(ms) AS mx FROM pch GROUP BY chunk),
+         |pwc AS (SELECT r.b AS chunk, max(w2.mx) - 60000 AS w
+         |  FROM prng r JOIN pwx w2 ON w2.chunk <= r.b GROUP BY r.b),
+         |pua AS (SELECT user_id, chunk, max(ms) AS lms FROM pch
+         |  GROUP BY user_id, chunk),
+         |psq AS (SELECT user_id, chunk, lms,
+         |    lead(chunk) OVER (PARTITION BY user_id ORDER BY chunk) AS nxt
+         |  FROM pua),
+         |pfl AS (SELECT s.user_id, s.chunk,
+         |    CASE WHEN s.nxt IS NULL THEN 1
+         |      WHEN s.nxt >= s.chunk + 2 AND s.lms + 3600000 <= w.w THEN 1
+         |      ELSE 0 END AS flush
+         |  FROM psq s LEFT JOIN pwc w ON w.chunk = s.nxt - 2),
+         |psg AS (SELECT user_id, chunk,
+         |    coalesce(sum(flush) OVER (PARTITION BY user_id ORDER BY chunk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+         |  FROM pfl),
+         |pse AS (SELECT c.user_id, c.event_type, c.value, g.seg
+         |  FROM pch c JOIN psg g ON g.user_id = c.user_id AND g.chunk = c.chunk)
+         |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  round(sum(value), 2) AS sum_value
+         |FROM pse GROUP BY user_id, seg, event_type
+         |ORDER BY user_id, event_type, n_events, sum_value""".stripMargin,
+
     // the stream's per-event running feature == the batch trailing window
     // SEGMENTED at gaps ≥ the 7-day horizon (the operator's semantic
     // cutoff: a user quiet that long restarts their window, and the
@@ -4601,6 +4718,30 @@ object SparkEntry {
          |SELECT id, pat_id, count(*) AS n_hits, CAST(min(pos) AS INT) AS first_pos
          |FROM hits GROUP BY id, pat_id
          |ORDER BY id, pat_id""".stripMargin,
+
+    // training replayed: bootstrap labels (the q64 booleans for EVERY
+    // doc), per-class token counts, Laplace smoothing, the ln arithmetic
+    // in the engine's operation order, rounded at 6 dp
+    "q175_nb_train" ->
+      s"""WITH ${Oracles.nbCtes}
+         |SELECT w, c_keep, c_drop, round(lo, 6) AS log_odds
+         |FROM nbmodel ORDER BY w""".stripMargin,
+
+    // train AND apply replayed: per-doc score = prior log-odds + the sum
+    // of full-precision token log-odds, rounded at 4 dp (the q107 BM25
+    // sum convention), pred on the unrounded value
+    "q176_nb_score" ->
+      s"""WITH ${Oracles.nbCtes},
+         |nsc AS (SELECT t.id, sum(m.lo) AS sc
+         |  FROM ntk t JOIN nbmodel m ON m.w = t.tok GROUP BY t.id),
+         |npri AS (SELECT
+         |    ln(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+         |      / CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) + 1 AS DOUBLE))
+         |      AS prior_lo
+         |  FROM nbk)
+         |SELECT id, round(prior_lo + sc, 4) AS score,
+         |  (prior_lo + sc) > 0 AS pred
+         |FROM nsc, npri ORDER BY id""".stripMargin,
 
     "q36_multimodal_decode" ->
       s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
@@ -6756,6 +6897,38 @@ object Oracles {
        |  JOIN dbnd dbb ON d.j >= dbb.so AND d.j <= dbb.so + dbb.tlen)""".stripMargin)
     sb.toString
   }
+
+  /** Naive Bayes bootstrap-training CTEs (mirror TextStats.nbTrain over
+    * Gopher-rule labels — the q64 fragment emitting keep for EVERY doc):
+    * `nbk` (id, keep), `ntk` (id, tok) one row per token occurrence,
+    * `nbmodel` (w, c_keep, c_drop, lo) with the ln arithmetic in the
+    * engine's exact operation order. */
+  def nbCtes: String =
+    s"""nbd AS (SELECT doc_id AS id, text, string_split(text, ' ') AS w FROM documents),
+       |nbm AS (SELECT id, len(w) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS avg_len,
+       |    1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dwf,
+       |    len(list_intersect(list_distinct(w),
+       |      ['the', 'a', 'of', 'and', 'to'])) AS sw
+       |  FROM nbd),
+       |nbk AS (SELECT id,
+       |    (n_words >= 10 AND n_words <= 100000)
+       |      AND (avg_len >= 2.0 AND avg_len <= 12.0)
+       |      AND dwf <= 0.6 AND sw >= 2 AS keep
+       |  FROM nbm),
+       |ntk AS (SELECT id, tok FROM (
+       |    SELECT id, unnest(w) AS tok FROM nbd) WHERE length(tok) > 0),
+       |nbc AS (SELECT t.tok AS w,
+       |    CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS c_keep,
+       |    CAST(sum(CASE WHEN k.keep THEN 0 ELSE 1 END) AS BIGINT) AS c_drop
+       |  FROM ntk t JOIN nbk k ON k.id = t.id GROUP BY t.tok),
+       |nbtot AS (SELECT CAST(sum(c_keep) AS BIGINT) AS t_keep,
+       |    CAST(sum(c_drop) AS BIGINT) AS t_drop,
+       |    CAST(count(*) AS BIGINT) AS v FROM nbc),
+       |nbmodel AS (SELECT w, c_keep, c_drop,
+       |    ln(CAST(c_keep + 1 AS DOUBLE) / CAST(t_keep + v AS DOUBLE))
+       |      - ln(CAST(c_drop + 1 AS DOUBLE) / CAST(t_drop + v AS DOUBLE)) AS lo
+       |  FROM nbc, nbtot)""".stripMargin
 
   /** floor-based half-up rounding — mirrors VectorFunctions.roundHU.
     *

@@ -481,4 +481,76 @@ object TextStats {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("score"))
   }
+
+  /** LEARNED quality filter, training half: multinomial Naive Bayes
+    * log-odds over tokens, trained on bootstrap labels — the standard way
+    * corpus quality classifiers are built when no human labels exist
+    * (label a seed set with heuristic rules, train a classifier, let it
+    * generalize; CCNet/LLaMA-style pipelines do exactly this with
+    * fasttext). Naive Bayes is the closed-form member of that family:
+    * training is two integer count aggregations + Laplace smoothing — no
+    * SGD, no iteration — which is what makes the whole train→apply loop
+    * hash-replayable in the oracle (the fasttext/logreg upgrade changes
+    * the scoring formula, not the pipeline shape).
+    *
+    * Returns one row per vocabulary word:
+    * (w, c_keep, c_drop, log_odds) where log_odds =
+    * ln((c_keep+1)/(t_keep+V)) − ln((c_drop+1)/(t_drop+V)) — exactly this
+    * operation order, so the oracle's ln arithmetic is bit-identical
+    * (the q144/q155 transcendental caveat; outputs round at use).
+    *
+    * Scale: one token explode (map-only), one vocab-keyed count agg
+    * (map-side partial), one 1-row total crossJoined back — the
+    * vocabulary is the small dimension, like the BM25 idf table.
+    *
+    * @param labeled (id, text, keep: boolean) — bootstrap labels ride in
+    */
+  def nbTrain(labeled: DataFrame): DataFrame = {
+    val toks = labeled
+      .select(col("keep"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    val counts = toks.groupBy(col("w"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("c_keep"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("c_drop"))
+    val tot = counts.agg(sum(col("c_keep")).as("t_keep"),
+      sum(col("c_drop")).as("t_drop"), count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("w"), col("c_keep"), col("c_drop"),
+        (log((col("c_keep") + 1).cast("double") /
+            (col("t_keep") + col("v")).cast("double")) -
+          log((col("c_drop") + 1).cast("double") /
+            (col("t_drop") + col("v")).cast("double"))).as("log_odds"))
+  }
+
+  /** [[nbTrain]]'s apply half: per-doc score = class-prior log-odds +
+    * Σ_tokens log_odds(w), pred = score > 0. Every token occurrence
+    * contributes (multinomial NB); the per-occurrence values are
+    * bit-identical across engines and the per-doc sum rounds at 4 dp
+    * (the q107 BM25 sum convention). Tokens outside the model vocabulary
+    * contribute nothing (inner join) — vacuous when scoring the training
+    * corpus, and the documented behavior for new corpora (the Laplace
+    * floor belongs to words SEEN in one class, not to never-seen words).
+    *
+    * Plan shape: token explode → broadcast vocab join → one groupBy(id)
+    * with map-side partial sums; the prior is a 1-row crossJoin.
+    *
+    * @param docs  (id, text) to score
+    * @param model [[nbTrain]] output
+    * @param prior (n_keep, n_drop) doc counts — ln((n_keep+1)/(n_drop+1))
+    *              rides as the intercept
+    */
+  def nbScore(docs: DataFrame, model: DataFrame, prior: DataFrame): DataFrame = {
+    val pr = prior.select(
+      log((col("n_keep") + 1).cast("double") /
+        (col("n_drop") + 1).cast("double")).as("prior_lo"))
+    docs.select(col("id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .join(broadcast(model.select(col("w"), col("log_odds"))), Seq("w"))
+      .groupBy(col("id"))
+      .agg(sum(col("log_odds")).as("s"))
+      .crossJoin(broadcast(pr))
+      .select(col("id"),
+        round(col("prior_lo") + col("s"), 4).as("score"),
+        (col("prior_lo") + col("s") > 0).as("pred"))
+  }
 }

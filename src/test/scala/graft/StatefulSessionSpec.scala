@@ -294,6 +294,45 @@ class StatefulSessionSpec extends SparkSpec {
     }
   }
 
+  test("userProfiles flush boundary: a timer fires when expiry EQUALS the watermark") {
+    // pins the comparator the q177 oracle's horizon segmentation mirrors
+    // (flush ⇔ lms + gap <= watermark): u7's timer expires at exactly
+    // 13:00:00; an advancer putting the watermark at exactly 13:00:00
+    // (13:01:00 − the 1-minute delay) fires it — the INCLUSIVE boundary
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Streaming.ProfEv
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[ProfEv]
+    val q = Streaming.userProfiles(in.toDS().toDF())
+      .writeStream.outputMode("append").format("memory").queryName("uprof_bnd")
+      .start()
+    try {
+      def got() = spark.table("uprof_bnd").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      in.addData(Seq(ProfEv(7L, "view", t("2024-01-10 12:00:00"), 1.0)))
+      q.processAllAvailable()
+      // one second SHY of the boundary: no flush yet (12:59:59 < 13:00:00)
+      in.addData(Seq(ProfEv(8L, "x", t("2024-01-10 13:00:59"), 0.0)))
+      q.processAllAvailable()
+      assert(got() === Set.empty, "watermark below expiry must not flush")
+      in.addData(Seq(ProfEv(8L, "y", t("2024-01-10 13:01:00"), 0.0)))
+      q.processAllAvailable()
+      assert(got() === Set((7L, "view")), "expiry == watermark must flush (<=)")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("userProfilesBootstrapped: initial state seeds the map; history-only users flush") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Streaming.ProfEv

@@ -243,6 +243,48 @@ object GraphAnn {
     untouched.unionByName(entryPoints(survDamaged, centroids, e))
   }
 
+  /** Entry-point refresh after an INSERT — [[repairEntryPoints]]'s
+    * symmetric twin: only shards that RECEIVED new points recompute their
+    * entry set over old ∪ batch; untouched shards' rows union through
+    * byte-identical. Unlike deletion, stale entries after an insert are
+    * never GHOSTS (every old entry id still exists), only potentially
+    * non-optimal seeds — a new point nearer the centroid than the current
+    * rank-e entry should seed future probes. The damage-local recompute
+    * equals the full recompute over the union for the same reason as the
+    * delete side: a shard with no inserts cannot change its top-e
+    * (GraphAnnSpec asserts byte-equality). */
+  def refreshEntryPoints(
+      entries: DataFrame,
+      sharded: DataFrame,
+      centroids: DataFrame,
+      batch: DataFrame,
+      e: Int): DataFrame = {
+    val touched = batch.select(col("shard_id")).distinct()
+    val untouched = entries.join(touched, Seq("shard_id"), "left_anti")
+      .select(col("shard_id"), col("id"))
+    val unionTouched = sharded.unionByName(batch)
+      .join(broadcast(touched), Seq("shard_id"))
+    untouched.unionByName(entryPoints(unionTouched, centroids, e))
+  }
+
+  /** FULL-artifact insertion — [[deleteIndex]]'s twin, completing the
+    * maintenance symmetry: the grown layout, the exactly-merged adjacency
+    * ([[insertBatch]], provably the rebuild), and the refreshed entry
+    * table ([[refreshEntryPoints]]). */
+  def insertIndex(
+      sharded: DataFrame,
+      adjacency: DataFrame,
+      entries: DataFrame,
+      centroids: DataFrame,
+      batch: DataFrame,
+      degree: Int,
+      e: Int): GraphIndex =
+    GraphIndex(
+      sharded.select(col("shard_id"), col("id"), col("vec"))
+        .unionByName(batch.select(col("shard_id"), col("id"), col("vec"))),
+      insertBatch(sharded, adjacency, batch, degree),
+      refreshEntryPoints(entries, sharded, centroids, batch, e))
+
   /** FULL-artifact deletion: the FreshDiskANN delete applied to all three
     * index artifacts a post-delete [[beamSearch]] opens — without this, a
     * probe over the repaired adjacency alone would seed on ghost entry

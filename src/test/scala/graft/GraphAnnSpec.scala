@@ -285,6 +285,29 @@ class GraphAnnSpec extends SparkSpec {
     assert(naive !== res, "ghost entries changed nothing — vacuous scenario")
   }
 
+  test("refreshEntryPoints: insert-side refresh equals the full recompute over the union") {
+    val e = 3
+    val ep = GraphAnn.entryPoints(sharded, cents, e).localCheckpoint()
+    val centArr = cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // a batch that lands in SOME shards only, so both the recompute arm
+    // and the pass-through arm are exercised — and at least one new point
+    // must displace a current entry (otherwise the refresh is vacuous)
+    val batch = pts.where(col("id") % 6 === 0)
+      .select((col("id") + 20000).as("id"), col("vec"))
+    val aB = Sharding.assignLit(batch, centArr, keepVec = true)
+      .select(col("shard_id"), col("id"), col("vec")).localCheckpoint()
+    val touched = aB.select("shard_id").distinct().as[Int].collect().toSet
+    val refreshed = GraphAnn.refreshEntryPoints(ep, sharded, cents, aB, e)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val full = GraphAnn.entryPoints(sharded.unionByName(aB), cents, e)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(refreshed === full)
+    val old = ep.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(refreshed !== old, "no entry displaced — vacuous refresh")
+    // untouched shards byte-identical
+    assert(refreshed.filter(x => !touched(x._1)) === old.filter(x => !touched(x._1)))
+  }
+
   test("churn: recall vs the exhaustive scan holds across insert/delete cycles (local repair does not decay)") {
     val deg = 6; val e = 2; val cycles = 4
     val centArr = cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
@@ -310,8 +333,10 @@ class GraphAnnSpec extends SparkSpec {
         .select((col("id") + 10000L * i).as("id"), col("vec"))
       val aB = Sharding.assignLit(batch, centArr, keepVec = true)
         .select(col("shard_id"), col("id"), col("vec")).localCheckpoint()
-      adj = GraphAnn.insertBatch(cur, adj, aB, deg).localCheckpoint()
-      cur = cur.unionByName(aB).localCheckpoint()
+      val ii = GraphAnn.insertIndex(cur, adj, ep, cents, aB, deg, e)
+      cur = ii.points.localCheckpoint()
+      adj = ii.adjacency.localCheckpoint()
+      ep = ii.entries.localCheckpoint()
       // delete: a slice of the CURRENT ids (old and new alike)
       val del = cur.where(col("id") % 11 === (i * 3) % 11).select(col("id"))
         .localCheckpoint()

@@ -575,6 +575,22 @@ object Audit {
       println(f"q172 repair chain       ${if (ok1) "OK " else "MISS"} routed-shard partition pruning on index scans")
       println(f"q172 repair chain       ${if (ok2) "OK " else "MISS"} repair equi-joins only")
     }
+    audit("q178_graph_churn_search")(
+      ("beam equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("beam + final top-k partial limits", p =>
+        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4))
+    // q178's churn chain (insert merge + delete repair), pre-
+    // materialization: same pruning + join-shape contract as q172's
+    locally {
+      val plan = SparkEntry.graphChurnRepaired(spark, dir, materialize = false)
+        .adjacency.queryExecution.executedPlan.toString
+      val ok1 = plan.contains("PartitionFilters: [shard_id") && plan.contains(" IN (")
+      val ok2 = !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct")
+      println(f"q178 churn chain        ${if (ok1) "OK " else "MISS"} routed-shard partition pruning on index scans")
+      println(f"q178 churn chain        ${if (ok2) "OK " else "MISS"} maintenance equi-joins only")
+    }
     audit("q173_rewrite_pipeline")(
       ("equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),

@@ -1068,6 +1068,23 @@ object SparkEntry {
     // The result hash-checked is the POST-DELETE SEARCH over the repaired
     // index — the oracle replays build, delete, all three repairs, and
     // every beam round
+    // ---- one FULL churn cycle under the hash oracle (q102 proves insert
+    // alone, q171/q172 prove delete alone; this proves they COMPOSE):
+    // insert the q102 batch via insertIndex (adjacency merge = the
+    // rebuild, entries = the union recompute), delete every 7th id plus
+    // each shard's rank-1 post-insert entry via deleteIndex, then
+    // hash-check the POST-CHURN beam search — the oracle replays the
+    // union rebuild, both entry maintenances, the repair, and every beam
+    // round over the twice-maintained artifacts
+    "q178_graph_churn_search" -> ((s, dir) => {
+      val idx = graphChurnRepaired(s, dir)
+      GraphAnn.topK(GraphAnn.beamVisitExact(
+        idx.points.localCheckpoint(),
+        idx.adjacency.localCheckpoint(),
+        idx.entries.localCheckpoint(), graphRoutesDf(s, dir),
+        ef = Params.beamEf, rounds = Params.beamRounds), k = 10)
+    }),
+
     "q172_graph_delete_search" -> ((s, dir) => {
       val idx = graphDeleteRepaired(s, dir)
       // the repaired artifacts MATERIALIZE before the probe (a serving
@@ -2847,6 +2864,51 @@ object SparkEntry {
       .unionByName(GraphAnn.entryPoints(sharded, cents, e = 1).select(col("id")))
       .distinct()
     GraphAnn.deleteIndex(sharded, adj, ep, cents, del,
+      Params.graphDegree, Params.graphEntries)
+  }
+
+  /** q178's one full churn cycle over the routed shards: INSERT the q102
+    * batch (insertIndex — adjacency merge provably the rebuild, entry
+    * refresh provably the union recompute), then DELETE every 7th id plus
+    * each routed shard's rank-1 post-insert entry (deleteIndex), returning
+    * the twice-maintained index the post-churn probe opens. Pruned to the
+    * routed shards at the scans exactly as [[graphDeleteRepaired]] (both
+    * maintenance ops are shard-local, so pruning first is
+    * result-identical; the oracle replays the unpruned chain). */
+  private[graft] def graphChurnRepaired(s: SparkSession, dir: String,
+      materialize: Boolean = true): GraphAnn.GraphIndex = {
+    val base = graphIndexDir(s, dir)
+    val routedShards = Pq.routeLit(queryBatchMemoArr(s, dir),
+      centroidArrMemo(s, dir), t = Params.t).map(_._2).distinct.sorted.toSeq
+    val sharded = s.read.parquet(shardedLayoutPath(s, dir))
+      .where(col("shard_id").isin(routedShards: _*))
+      .select(col("shard_id"), col("id"), col("vec"))
+    val adj = s.read.parquet(s"$base/adj")
+      .where(col("shard_id").isin(routedShards: _*))
+    val ep = s.read.parquet(s"$base/ep")
+      .where(col("shard_id").isin(routedShards: _*))
+    val cents = fitCentroidsMemo(s, dir)
+    val batch = Tables.points(s, dir).where(col("id") % 10 === 0)
+      .select((col("id") + 100000).as("id"), col("vec"))
+    val assigned = Sharding.assignLit(batch, centroidArrMemo(s, dir), keepVec = true)
+      .where(col("shard_id").isin(routedShards: _*))
+      .select(col("shard_id"), col("id"), col("vec"))
+    val g1 = GraphAnn.insertIndex(sharded, adj, ep, cents, assigned,
+      Params.graphDegree, Params.graphEntries)
+    // pin the grown index once: the delete consumes points/adjacency/
+    // entries each at least twice (the q172 materialization lesson).
+    // materialize=false keeps the chain composed so Audit can assert the
+    // partition pruning that the checkpoint otherwise hides behind a
+    // LogicalRDD root (never executed in that form)
+    val (pts1, adj1, ep1) =
+      if (materialize)
+        (g1.points.localCheckpoint(), g1.adjacency.localCheckpoint(),
+          g1.entries.localCheckpoint())
+      else (g1.points, g1.adjacency, g1.entries)
+    val del = pts1.where(col("id") % 7 === 3).select(col("id"))
+      .unionByName(GraphAnn.entryPoints(pts1, cents, e = 1).select(col("id")))
+      .distinct()
+    GraphAnn.deleteIndex(pts1, adj1, ep1, cents, del,
       Params.graphDegree, Params.graphEntries)
   }
 
@@ -5750,6 +5812,15 @@ object SparkEntry {
            Params.beamRounds)}
          |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM dres""".stripMargin,
 
+    // the full churn cycle replayed: the insert arm rides on insertBatch's
+    // proven rebuild-equality (the oracle just builds over old ∪ batch),
+    // then the identical delete-and-search replay over the grown set
+    "q178_graph_churn_search" ->
+      s"""WITH ${Oracles.graphChurnSearchCtes(Params.k, Params.iters, 25, 10,
+           Params.t, Params.graphDegree, Params.graphEntries, Params.beamEf,
+           Params.beamRounds)}
+         |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM dres""".stripMargin,
+
     // graph walk priced by the replayed ADC matrix + exact re-rank of the
     // top k·refine — the engine touched raw vectors only in the refine
     "q103_graph_pq_probe" ->
@@ -6411,14 +6482,44 @@ object Oracles {
     * its scaladoc equality argument), the pruned layout `ssp`, then the
     * unrolled beam over the REPAIRED artifacts. Final relation `dres`. */
   def graphDeleteSearchCtes(k: Int, iters: Int, stride: Int, topK: Int,
-      t: Int, degree: Int, entries: Int, ef: Int, rounds: Int): String = {
+      t: Int, degree: Int, entries: Int, ef: Int, rounds: Int): String =
+    routedCtes(k, iters, stride, topK, t) + ",\n" +
+      deleteSearchFrag("sp", topK, degree, entries, ef, rounds)
+
+  /** q178's replay: the q102 batch assigned and UNIONED into the point
+    * set (`u` — [[graft.operators.GraphAnn.insertBatch]] is provably the
+    * rebuild over the union, and the entry refresh is provably the union
+    * recompute, so the post-insert index IS the from-scratch build over
+    * `u`), then the SAME delete-and-search chain as q172 over the grown
+    * set. Final relation `dres`. */
+  def graphChurnSearchCtes(k: Int, iters: Int, stride: Int, topK: Int,
+      t: Int, degree: Int, entries: Int, ef: Int, rounds: Int): String =
+    routedCtes(k, iters, stride, topK, t) + ",\n" +
+      s"""nb AS (SELECT id + 100000 AS id, vec FROM pts WHERE id % 10 = 0),
+         |fa2 AS (SELECT n.id, n.vec, c.shard_id,
+         |    round(${l2("n.vec", "c.centroid")}, 4) AS d
+         |  FROM nb n CROSS JOIN cfin c),
+         |nba AS (SELECT id, vec, shard_id FROM (
+         |  SELECT id, vec, shard_id,
+         |    row_number() OVER (PARTITION BY id ORDER BY d, shard_id) AS rn FROM fa2)
+         |  WHERE rn = 1),
+         |u AS (SELECT id, vec, shard_id FROM sp
+         |  UNION ALL SELECT id, vec, shard_id FROM nba),
+         |""".stripMargin +
+      deleteSearchFrag("u", topK, degree, entries, ef, rounds)
+
+  /** The shared delete-then-search fragment over a parameterized point
+    * relation `$pts` (shard_id, id, vec): exact graph build with
+    * distances, ranked entries, the adversarial deletion (every 7th id ∪
+    * each shard's rank-1 entry), adjacency repair, survivor entry
+    * recompute, layout prune, and the unrolled beam. Emits `dres`. */
+  private def deleteSearchFrag(pts: String, topK: Int, degree: Int,
+      entries: Int, ef: Int, rounds: Int): String = {
     val sb = new StringBuilder
-    sb.append(routedCtes(k, iters, stride, topK, t))
-    sb.append(",\n")
     sb.append(
       s"""gap AS (SELECT a.shard_id, a.id AS src, b.id AS dst,
          |    round(${l2("a.vec", "b.vec")}, 4) AS dist
-         |  FROM sp a JOIN sp b ON a.shard_id = b.shard_id AND a.id <> b.id),
+         |  FROM $pts a JOIN $pts b ON a.shard_id = b.shard_id AND a.id <> b.id),
          |gadjd AS (SELECT shard_id, src, dst, dist FROM (
          |  SELECT shard_id, src, dst, dist,
          |    row_number() OVER (PARTITION BY shard_id, src ORDER BY dist, dst) AS rn
@@ -6427,8 +6528,8 @@ object Oracles {
          |  SELECT s.shard_id, s.id,
          |    row_number() OVER (PARTITION BY s.shard_id
          |      ORDER BY round(${l2("s.vec", "c.centroid")}, 4), s.id) AS rn
-         |  FROM sp s JOIN cfin c ON c.shard_id = s.shard_id) WHERE rn <= $entries),
-         |del AS (SELECT id FROM sp WHERE id % 7 = 3
+         |  FROM $pts s JOIN cfin c ON c.shard_id = s.shard_id) WHERE rn <= $entries),
+         |del AS (SELECT id FROM $pts WHERE id % 7 = 3
          |  UNION SELECT id FROM gepr WHERE rn = 1),
          |alive AS (SELECT g.* FROM gadjd g
          |  WHERE g.src NOT IN (SELECT id FROM del)),
@@ -6445,15 +6546,15 @@ object Oracles {
          |rcandd AS (SELECT c.shard_id, c.src, c.dst,
          |    round(${l2("a.vec", "b.vec")}, 4) AS dist
          |  FROM rcand0 c
-         |  JOIN sp a ON a.id = c.src
-         |  JOIN sp b ON b.id = c.dst),
+         |  JOIN $pts a ON a.id = c.src
+         |  JOIN $pts b ON b.id = c.dst),
          |runi AS (SELECT shard_id, src, dst, dist FROM rsurv
          |  UNION SELECT shard_id, src, dst, dist FROM rcandd),
          |radj AS (SELECT shard_id, src, dst, dist FROM (
          |  SELECT shard_id, src, dst, dist,
          |    row_number() OVER (PARTITION BY shard_id, src ORDER BY dist, dst) AS rn
          |  FROM runi) WHERE rn <= $degree),
-         |ssp AS (SELECT * FROM sp WHERE id NOT IN (SELECT id FROM del)),
+         |ssp AS (SELECT * FROM $pts WHERE id NOT IN (SELECT id FROM del)),
          |rep AS (SELECT shard_id, id FROM (
          |  SELECT s.shard_id, s.id,
          |    row_number() OVER (PARTITION BY s.shard_id

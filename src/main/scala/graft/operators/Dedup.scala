@@ -116,6 +116,64 @@ object Dedup {
             size(array_union(col("sh_a"), col("sh_b"))),
           4).as("jaccard"))
 
+  /** Incremental NEAR-dup at ingest — [[minhashNearDups]]' daily-batch
+    * form, and the persisted LSH index's consume-many payoff: the new
+    * batch is shingled + banded (map-only, |batch|-sized) and probed
+    * against the STORED band index of the existing corpus with ONE
+    * band-key equi-join; exact Jaccard then verifies only the candidate
+    * pairs, re-shingling only the candidate REFERENCE docs (a semi-join
+    * prunes the corpus scan — the index stores band keys, never shingle
+    * sets). Pairs are (inc_id, ref_id) only: batch-internal dups are the
+    * tiny batch's own [[minhashNearDups]] run, and reference-internal
+    * dups were settled when the index was built.
+    *
+    * Cost: |batch| shingling + the band equi-join + |candidates| verify —
+    * the existing corpus is never re-shingled or re-signed, which is the
+    * entire point at 100 TB with a GB-scale daily batch. The band-size
+    * skew cap is applied at INDEX BUILD time (a hot boilerplate band is
+    * banned once, not re-discovered per batch) — the same plan at every
+    * batch, like the blocklist automaton or the centroid router.
+    *
+    * @param referenceBands (id, band) — the stored index
+    *   (SparkEntry.lshIndexPath builds it with the cap applied)
+    * @param reference (id, text) — the verify side, semi-join-pruned to
+    *   candidates before any shingling
+    * @param incoming (id, text) — the new batch
+    */
+  def minhashNearDupsIncremental(
+      referenceBands: DataFrame,
+      reference: DataFrame,
+      incoming: DataFrame,
+      threshold: Double,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val rpb = numHashes / bands
+    val shIn = incoming.select(col("id"), shingles(col("text")).as("sh"))
+      .localCheckpoint()
+    val bandedIn = shIn
+      .select(col("id"),
+        graft.functions.TextExpressions.minhashSig(col("sh"), numHashes).as("sig"))
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rpb)).as("band"))
+    // the candidate set feeds the semi-join AND the verify join: pin it
+    val cand = bandedIn.as("a")
+      .join(referenceBands.as("b"), col("a.band") === col("b.band"))
+      .select(col("a.id").as("inc_id"), col("b.id").as("ref_id"))
+      .distinct()
+      .localCheckpoint()
+    val shRef = reference
+      .join(cand.select(col("ref_id").as("id")), Seq("id"), "left_semi")
+      .select(col("id"), shingles(col("text")).as("sh"))
+    cand
+      .join(shIn.select(col("id").as("inc_id"), col("sh").as("sh_a")), "inc_id")
+      .join(shRef.select(col("id").as("ref_id"), col("sh").as("sh_b")), "ref_id")
+      .select(col("inc_id"), col("ref_id"),
+        roundHU(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))),
+          4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Exact Jaccard over distinct shingle sets for given candidate pairs. */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame =
     jaccardFromShingles(

@@ -31,6 +31,35 @@ class DedupSpec extends SparkSpec {
     assert(j03 === 1.0)
   }
 
+  test("incremental near-dup: batch vs stored band index equals the full run's cross pairs") {
+    // the stored index over the existing corpus (no hot bands here, so
+    // the build-time cap is a no-op and full-run equality is exact)
+    val refBands = Dedup.minhashBandsLong(docs).localCheckpoint()
+    val incoming = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"), // dup of 0/3
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"), // near-dup (one appended word)
+      (102L, "entirely new material with no overlap whatsoever in any shingle")
+    ).toDF("id", "text")
+    val inc = Dedup.minhashNearDupsIncremental(refBands, docs, incoming,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference replay: the FULL minhashNearDups over corpus ∪ batch,
+    // restricted to (incoming, reference) cross pairs
+    val full = Dedup.minhashNearDups(docs.unionByName(incoming), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._2 >= 100L && p._1 < 100L)
+      .map(p => (p._2, p._1, p._3)).toSet
+    assert(inc === full)
+    // planted recall + precision: the exact dup and near-dup hit, the
+    // unrelated doc never appears
+    assert(inc.exists(p => p._1 == 100L && p._2 == 0L && p._3 == 1.0))
+    assert(inc.exists(p => p._1 == 101L && p._2 == 0L))
+    assert(!inc.exists(_._1 == 102L))
+    // batch-internal pairs (100 vs 101) are deliberately NOT emitted —
+    // that is the batch's own minhashNearDups run
+    assert(inc.forall(p => p._1 >= 100L && p._2 < 100L))
+  }
+
   test("simhash: identical texts share fingerprints; hamming of dup is 0") {
     val sh = Dedup.simhash32(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(sh(0L).length === 32 && sh(0L).forall(c => c == '0' || c == '1'))

@@ -98,8 +98,17 @@ class SuffixArraySpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft_saidx").toString
     val spilled = SuffixArray.buildFull(docs, sink = Some(tmp))
     // nothing from the spilled build stays pinned: the sink path's whole
-    // point is O(n)-bounded executor storage during the build, zero after
-    assert(spark.sparkContext.getPersistentRDDs.size === pinnedBefore)
+    // point is O(n)-bounded executor storage during the build, zero
+    // after. dropCheckpoint unpersists ASYNC (blocking=false — the build
+    // must not stall on block cleanup), so the count is polled until the
+    // in-flight drops land: asserting the instantaneous count flaked
+    // under full-suite block-manager pressure (seen twice, ~1-in-3 runs)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.size != pinnedBefore &&
+        System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.size === pinnedBefore,
+      "spilled build retained checkpoints past the async-drop settle window")
     assert(spilled.n === mem.n)
     assert(spilled.history.size === mem.history.size)
     def pairs(df: org.apache.spark.sql.DataFrame) =

@@ -575,6 +575,15 @@ object Audit {
       println(f"q172 repair chain       ${if (ok1) "OK " else "MISS"} routed-shard partition pruning on index scans")
       println(f"q172 repair chain       ${if (ok2) "OK " else "MISS"} repair equi-joins only")
     }
+    audit("q179_incremental_neardup")(
+      // ingest probe: batch bands against the stored index is an
+      // equi-join on the band key; the verify side re-shingles only
+      // semi-join-pruned candidate reference docs — a nested loop or a
+      // cartesian anywhere means batch x corpus leaked in
+      ("band probe + verify equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("reference pruned by semi-join before shingling", p =>
+        p.contains("LeftSemi")))
     audit("q178_graph_churn_search")(
       ("beam equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),

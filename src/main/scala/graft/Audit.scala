@@ -555,14 +555,17 @@ object Audit {
       // lists union through with no window at all
       ("damage-only re-cut partial limit", _.contains("WindowGroupLimit")))
     audit("q172_graph_delete_search")(
-      // the beam runs over MATERIALIZED repaired artifacts (the serving
-      // path persists them), so the final plan is checkpoint-rooted —
-      // assert its own shape here; the repair chain's pruning is audited
-      // on the pre-materialization plan below
+      // the beam runs over the repaired artifacts PERSISTED to the
+      // build's partitioned layout and re-read (r11: the localCheckpoint
+      // stand-in replaced by write+read), so the final plan roots at
+      // parquet scans — which must carry the routed-shard partition
+      // pruning on the POST-REPAIR index, same contract as the build's
       ("beam equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
       ("beam + final top-k partial limits", p =>
-        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4))
+        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4),
+      ("post-repair scans partition-pruned", p =>
+        p.contains("PartitionFilters: [shard_id") && p.contains(" IN (")))
     // q172's repair chain, pre-materialization: the layout/adjacency
     // scans must read ONLY routed shards' files, and the repair must
     // stay equi-join-shaped
@@ -588,7 +591,15 @@ object Audit {
       ("beam equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
       ("beam + final top-k partial limits", p =>
-        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4))
+        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4),
+      ("post-churn scans partition-pruned", p =>
+        p.contains("PartitionFilters: [shard_id") && p.contains(" IN (")))
+    audit("q182_churn_health")(
+      // the health readout is one anti-join + two per-shard counts over
+      // shard_id-keyed inputs — a nested loop would mean points x edges
+      ("anti-join + counts, equi only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("orphan detection is an anti-join", p => p.contains("LeftAnti")))
     // q178's churn chain (insert merge + delete repair), pre-
     // materialization: same pruning + join-shape contract as q172's
     locally {

@@ -130,7 +130,17 @@ object Bench {
     // whenever a query landed after the note was last edited) — Bench
     // derives the family split from the same map it just serialized and
     // splices it between SCALE.md's BENCH-NOTE markers, so a post-note
-    // commit cannot stale the note without re-running the bench it cites
+    // commit cannot stale the note without re-running the bench it cites.
+    // The repo-doc splice is gated on a CANONICAL run (full suite,
+    // default passes, default SF) — a SPARK_GRAFT_BENCH_ONLY profiling
+    // subset or a nonstandard SF must never overwrite the published note
+    // with non-canonical numbers (ADVICE r10); target/bench_note.md is
+    // always written, and SPARK_GRAFT_BENCH_SPLICE=1 forces the splice
+    val canonicalRun = sys.env.get("SPARK_GRAFT_BENCH_SPLICE") match {
+      case Some(v) => v == "1" // explicit override wins either way
+      case None => only.isEmpty && passes == 3 &&
+        sfDir == "/root/testdata/sf0.1"
+    }
     try {
       val ok = mins.filterNot(_._2.isNaN)
       val streaming = ok.filter { case (n, _) => SparkEntry.sinkBackedQueries.contains(n) }
@@ -151,7 +161,7 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_note.md"),
         note.getBytes("UTF-8"))
       val scalePath = java.nio.file.Paths.get("SCALE.md")
-      if (java.nio.file.Files.exists(scalePath)) {
+      if (canonicalRun && java.nio.file.Files.exists(scalePath)) {
         val txt = new String(java.nio.file.Files.readAllBytes(scalePath), "UTF-8")
         val b = "<!-- BENCH-NOTE:BEGIN -->"
         val e = "<!-- BENCH-NOTE:END -->"
@@ -160,8 +170,18 @@ object Bench {
           java.nio.file.Files.write(scalePath,
             (txt.substring(0, i + b.length) + "\n" + note + "\n" + txt.substring(j))
               .getBytes("UTF-8"))
+        else
+          // a silent marker miss is exactly the stale-note drift this
+          // mechanism exists to prevent — make it visible (ADVICE r10)
+          System.err.println("[bench] WARNING: SCALE.md BENCH-NOTE markers " +
+            "missing/reordered — generated note NOT spliced (see target/bench_note.md)")
       }
-    } catch { case _: Throwable => () }
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] WARNING: bench-note generation/splice " +
+          s"failed (${t.getClass.getName}: ${String.valueOf(t.getMessage)
+            .linesIterator.take(1).mkString}) — SCALE.md note may be stale")
+    }
     // the driver archives only a ~2 KB TAIL of this process's output, which
     // truncates the full per-query line mid-map and loses the total — so the
     // LAST line is a compact self-contained summary (total + slowest 5 +

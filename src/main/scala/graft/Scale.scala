@@ -318,6 +318,123 @@ object StateBench {
   }
 }
 
+/** STEADY-STATE CHURN at data scale (SCALE.md's graph-maintenance table):
+  * GraphAnnSpec's non-decay churn property measured over the FULL corpus
+  * at 1× and 10× — `cycles` alternating insert/delete cycles over the
+  * graph index, recording per-cycle maintenance wall, recall_vs_scan
+  * after every cycle, and the orphan-health metric ([[graft.operators
+  * .GraphAnn.churnHealth]]). What the numbers must show:
+  *  - per-cycle wall ~FLAT in the cycle number — the damage-local repair
+  *    accumulates no debt (each cycle's work is the batch's damage, not
+  *    index age);
+  *  - recall_vs_scan non-decaying across cycles (one cycle is q178's
+  *    claim; k cycles is FreshDiskANN's steady-state claim);
+  *  - orphaned sources ≈ 0 (else the cycle loop would be the thing
+  *    silently thinning the graph).
+  *
+  * Env: SPARK_GRAFT_SCALES (default "1,10"), SPARK_GRAFT_CHURN_CYCLES
+  * (default 5), SPARK_GRAFT_SF_DIR / SPARK_GRAFT_SCALE_OUT /
+  * SPARK_GRAFT_CPUS as ScaleBench. Writes target/churn_last.json. */
+object ChurnBench {
+  import graft.operators.{GraphAnn, Sharding, ShardedSearch}
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "/root/repo/target/scale")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val cycles = sys.env.get("SPARK_GRAFT_CHURN_CYCLES").map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val deg = SparkEntry.Params.graphDegree
+    val e = SparkEntry.Params.graphEntries
+    var lines = Vector.empty[String]
+    for (n <- scales) {
+      val dir = if (n == 1) src else s"$outBase/x$n"
+      if (n > 1) ScaleGen.generate(spark, src, n, dir)
+      // shard COUNT scales with the corpus (the ScaleBench discipline),
+      // so per-shard maintenance work stays bounded
+      val shards = 8 * n
+      val pts = Tables.points(spark, dir).localCheckpoint()
+      val maxId = pts.agg(max(col("id"))).head().getLong(0)
+      val cents = Sharding.fitCentroids(spark, pts, k = shards,
+        iters = SparkEntry.Params.iters).localCheckpoint()
+      val centArr = cents.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      val b0 = System.nanoTime()
+      var cur = Sharding.assignLit(pts, centArr, keepVec = true)
+        .select(col("shard_id"), col("id"), col("vec")).localCheckpoint()
+      var adj = GraphAnn.buildShardGraph(cur, deg).localCheckpoint()
+      var ep = GraphAnn.entryPoints(cur, cents, e).localCheckpoint()
+      val buildS = (System.nanoTime() - b0) / 1e9
+      // FIXED probe workload (the benchmark contract): stride queries —
+      // replica ids are probe-safe (never ≡ 0 mod 25, ScaleGen), so the
+      // stride yields the BASE batch at every scale; capped at 40
+      val queries = Tables.queryPoints(spark, dir, stride = 25)
+        .orderBy(col("qid")).limit(40).localCheckpoint()
+      val routes = ShardedSearch.route(queries, cents, t = SparkEntry.Params.t)
+        .select(col("qid"), col("qvec"), col("shard_id")).localCheckpoint()
+      def recallNow(): Double = {
+        val beam = GraphAnn.beamSearch(cur, adj, ep, routes, k = 10,
+          ef = SparkEntry.Params.beamEf, rounds = SparkEntry.Params.beamRounds)
+          .select(col("qid"), col("neighbor_id"))
+        val scan = ShardedSearch.search(cur, queries, cents, k = 10,
+          t = SparkEntry.Params.t).select(col("qid"), col("neighbor_id"))
+        beam.intersect(scan).count().toDouble / scan.count()
+      }
+      def orphansNow(): Long =
+        GraphAnn.churnHealth(cur, adj).agg(sum(col("n_orphaned")))
+          .head().getLong(0)
+      val r0 = recallNow()
+      System.err.println(f"[churn x$n] build=$buildS%.1f s recall0=$r0%.3f")
+      var rows = Vector(s"""{"cycle":0,"recall":${f"$r0%.4f"},"wall_s":0.0,"orphans":${orphansNow()}}""")
+      for (i <- 1 to cycles) {
+        val t0 = System.nanoTime()
+        // insert: base geometry under fresh ids (max(id)+1-derived, the
+        // q178 discipline), assigned to shards like any arriving batch
+        val batch = pts.where(col("id") % 9 === i % 9)
+          .select((col("id") + (maxId + 1) * i).as("id"), col("vec"))
+        val aB = Sharding.assignLit(batch, centArr, keepVec = true)
+          .select(col("shard_id"), col("id"), col("vec")).localCheckpoint()
+        val ii = GraphAnn.insertIndex(cur, adj, ep, cents, aB, deg, e)
+        cur = ii.points.localCheckpoint()
+        adj = ii.adjacency.localCheckpoint()
+        ep = ii.entries.localCheckpoint()
+        // delete: a slice of the CURRENT ids, old and freshly-inserted
+        // alike (the adversarial mix)
+        val del = cur.where(pmod(col("id"), lit(11)) === (i * 3) % 11)
+          .select(col("id")).localCheckpoint()
+        val idx = GraphAnn.deleteIndex(cur, adj, ep, cents, del, deg, e)
+        cur = idx.points.localCheckpoint()
+        adj = idx.adjacency.localCheckpoint()
+        ep = idx.entries.localCheckpoint()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val rec = recallNow()
+        val orph = orphansNow()
+        System.err.println(
+          f"[churn x$n] cycle $i wall=$wall%6.1f s recall=$rec%.3f orphans=$orph")
+        rows :+= s"""{"cycle":$i,"recall":${f"$rec%.4f"},"wall_s":${f"$wall%.1f"},"orphans":$orph}"""
+      }
+      val line = s"""{"scale":$n,"shards":$shards,"build_s":${f"$buildS%.1f"},"cycles":[${rows.mkString(",")}]}"""
+      println(line)
+      lines :+= line
+      spark.sparkContext.getPersistentRDDs.foreach(_._2.unpersist(blocking = true))
+    }
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/churn_last.json"),
+        lines.mkString("[", ",\n ", "]\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    spark.stop()
+  }
+}
+
 object ScaleBench {
   /** The headline set from VERDICT r6 §Next-round #1. */
   val headline: Seq[String] = Seq(

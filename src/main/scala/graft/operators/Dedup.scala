@@ -116,6 +116,76 @@ object Dedup {
             size(array_union(col("sh_a"), col("sh_b"))),
           4).as("jaccard"))
 
+  /** The persisted LSH band index, now APPEND-ABLE: `bands` = retained
+    * (id, band) rows with the hot-band cap applied; `banned` = the
+    * capped-band sidecar (band, n = TRUE corpus count). The sidecar is
+    * what makes [[lshIndexAppend]] ≡ rebuild possible — once a band's
+    * rows are dropped at the cap its true count survives only here, and
+    * without it a later append would see a previously-capped band as
+    * empty and wrongly re-admit it. Tiny by construction (one row per
+    * hot band — identical-text clusters, boilerplate). */
+  final case class LshIndex(bands: DataFrame, banned: DataFrame)
+
+  /** Build the persisted LSH band index over a corpus — the banded form
+    * of [[minhashNearDups]]' candidate generator, split out as the
+    * build-once artifact (SparkEntry.lshIndexPath persists both tables).
+    * Row-identical retained bands to [[candidatesFromBands]]' cap filter
+    * (n ≤ maxBandSize kept), computed as one groupBy + anti-join instead
+    * of a whole-partition window. */
+  def lshIndexBuild(docs: DataFrame, threshold: Int,
+      numHashes: Int = 16, nBands: Int = 4): LshIndex = {
+    val banded = minhashBandsLong(docs, numHashes, nBands).localCheckpoint()
+    val banned = banded.groupBy(col("band")).agg(count(lit(1)).as("n"))
+      .where(col("n") > threshold)
+    LshIndex(
+      banded.join(banned.select("band"), Seq("band"), "left_anti")
+        .select(col("id"), col("band")),
+      banned.select(col("band"), col("n")))
+  }
+
+  /** Fold an ACCEPTED batch into the stored LSH index WITHOUT re-signing
+    * the corpus — the index-maintenance half of the ingest loop
+    * ([[minhashNearDupsIncremental]] is the probe half; this is what
+    * makes tomorrow's batch see today's accepted docs). Provably ≡
+    * [[lshIndexBuild]] over corpus ∪ batch (DedupSpec pins byte-equality,
+    * the GraphAnn.insertBatch discipline): per band touched by the batch,
+    * the true union count is stored-retained rows + the banned sidecar's
+    * n + batch rows (ids are disjoint, at most one of the first two is
+    * nonzero), so the cap decision is exact —
+    *  - union count ≤ cap: stored ∪ batch rows retained;
+    *  - union count > cap: ALL the band's rows drop (stored rows of a
+    *    band the batch just pushed over the cap included) and the sidecar
+    *    records the updated n. A banned band can never be re-admitted
+    *    (its n only grows), matching the rebuild.
+    * Untouched bands — retained rows and sidecar entries both — union
+    * through byte-identical via anti-joins; cost is |batch| signing + a
+    * few band-keyed joins against batch-touched bands only, never a
+    * corpus re-scan. */
+  def lshIndexAppend(index: LshIndex, batch: DataFrame, threshold: Int,
+      numHashes: Int = 16, nBands: Int = 4): LshIndex = {
+    val bb = minhashBandsLong(batch, numHashes, nBands).localCheckpoint()
+    val batchCounts = bb.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+      .localCheckpoint()
+    val storedCounts = index.bands
+      .join(batchCounts.select("band"), Seq("band"), "left_semi")
+      .groupBy(col("band")).agg(count(lit(1)).as("sn"))
+    val totals = batchCounts
+      .join(storedCounts, Seq("band"), "left")
+      .join(index.banned.withColumnRenamed("n", "xn"), Seq("band"), "left")
+      .select(col("band"),
+        (coalesce(col("sn"), lit(0L)) + coalesce(col("xn"), lit(0L)) +
+          col("bn")).as("n"))
+    val overCap = totals.where(col("n") > threshold).localCheckpoint()
+    LshIndex(
+      index.bands.join(overCap.select("band"), Seq("band"), "left_anti")
+        .unionByName(
+          bb.join(overCap.select("band"), Seq("band"), "left_anti"))
+        .select(col("id"), col("band")),
+      index.banned.join(batchCounts.select("band"), Seq("band"), "left_anti")
+        .unionByName(overCap)
+        .select(col("band"), col("n")))
+  }
+
   /** Incremental NEAR-dup at ingest — [[minhashNearDups]]' daily-batch
     * form, and the persisted LSH index's consume-many payoff: the new
     * batch is shingled + banded (map-only, |batch|-sized) and probed

@@ -133,10 +133,9 @@ object GraphAnn {
     * repaired edge is the true next-nearest survivor. A source whose
     * whole list was deleted and whose only two-hop candidates are
     * itself/deleted nodes ends with an EMPTY list (no row in the output
-    * at all — spec-pinned on the planted line); churn-heavy callers
-    * should count such sources (returned adjacency anti-joined against
-    * the surviving layout) and trigger a shard rebuild when the fraction
-    * grows.
+    * at all — spec-pinned on the planted line); [[churnHealth]] emits the
+    * per-shard orphan count as a DataFrame (with the rebuild threshold in
+    * its scaladoc) so churn-heavy callers read a metric, not a recipe.
     *
     * Cost: candidate GENERATION is linear in the damage — |lost edges| ·
     * degree candidate rows (each lost edge fans out to the deleted
@@ -213,9 +212,46 @@ object GraphAnn {
     * the pruned point layout, the repaired adjacency, and the repaired
     * entry-point table — exactly the set the serving path opens
     * (reference: kanndi_search.py:51 + utils.py:300-312, the load/query
-    * path that must keep answering after churn). */
+    * path that must keep answering after churn). [[health]] is the
+    * churn-health readout a maintenance loop consults after each cycle. */
   final case class GraphIndex(points: DataFrame, adjacency: DataFrame,
-      entries: DataFrame)
+      entries: DataFrame) {
+    /** Churn-health metric over THIS index: [[churnHealth]] of its layout
+      * vs its adjacency. */
+    def health: DataFrame = churnHealth(points, adjacency)
+  }
+
+  /** Churn-health metric — the [[deleteBatch]] scaladoc's orphan count as
+    * an OUTPUT, not a recipe: per shard, how many layout points have NO
+    * outgoing adjacency list left (`n_orphaned` of `n_points`). A source
+    * is orphaned when deletion wiped its whole list and repair found no
+    * surviving two-hop candidate; an orphaned point is unreachable-FROM
+    * (its own probes expand nothing) and, as churn accumulates orphans,
+    * shard recall decays without any query failing loudly.
+    *
+    * Maintenance contract: run this after every [[deleteIndex]] /
+    * [[insertIndex]] cycle and REBUILD a shard ([[buildShardGraph]] over
+    * its survivors) when `n_orphaned / n_points` exceeds ~5% — the
+    * FreshDiskANN split of cheap local repair + occasional compaction
+    * (arXiv:2105.09613 §4.2 runs the same pattern: StreamingMerge
+    * consolidates when deletion debt builds up). A 1-point shard is
+    * orphaned by construction (no same-shard neighbor exists): count it —
+    * a probe there degenerates to the entry point alone, which is the
+    * honest signal.
+    *
+    * Plan shape: one anti-join of the layout against the adjacency's
+    * distinct sources (both shard_id-keyed, partition-pruned like every
+    * index scan) + two per-shard counts — linear, no all-pairs anywhere. */
+  def churnHealth(points: DataFrame, adjacency: DataFrame): DataFrame = {
+    val pts = points.select(col("shard_id"), col("id"))
+    val srcs = adjacency.select(col("shard_id"), col("src").as("id")).distinct()
+    val orphans = pts.join(srcs, Seq("shard_id", "id"), "left_anti")
+      .groupBy(col("shard_id")).agg(count(lit(1)).as("n_orphaned"))
+    pts.groupBy(col("shard_id")).agg(count(lit(1)).as("n_points"))
+      .join(orphans, Seq("shard_id"), "left")
+      .select(col("shard_id"), col("n_points"),
+        coalesce(col("n_orphaned"), lit(0L)).as("n_orphaned"))
+  }
 
   /** Entry-point repair after a deletion — the damage-local complement of
     * [[deleteBatch]]: only shards that LOST an entry point recompute

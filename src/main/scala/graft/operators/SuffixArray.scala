@@ -354,6 +354,98 @@ object SuffixArray {
         col("cleaned"))
   }
 
+  /** The k-GRAM WITNESS INDEX over a corpus — the exact-substring
+    * family's third persisted artifact (beside the final SA and its rank
+    * history; SparkEntry.saIndexMemo writes all three together), and the
+    * one the INGEST probe ([[ingestDuplicateSpans]]) consumes: one row
+    * per DISTINCT doc-local k-gram of the corpus, carrying its
+    * lexicographically-first (doc, off) occurrence as the witness.
+    *
+    * Why this shape and not a relational binary search of the stored SA:
+    * locating one batch suffix in the SA is ceil(log2 n) driver-
+    * coordinated rounds, each needing corpus-character access at the
+    * probed positions — per DAILY BATCH. The gram table is the same
+    * information re-keyed for Spark's strength: build once (one map pass
+    * + one groupBy over the n positions the SA build already explodes —
+    * no doubling, no sort rounds), then every batch probe is ONE
+    * equi-join. k = the dedup minLen, so "batch char inside a duplicated
+    * span" ≡ "batch char inside a matched gram" ([[ingestDuplicateSpans]]
+    * scaladoc for the containment argument).
+    *
+    * Scale: n rows, same footprint class as the SA itself; the groupBy
+    * shuffles on the gram key (skew-free: a gram repeated r times
+    * collapses to one witness row, never r² anything). */
+  def gramIndex(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("id"), col("text"), length(col("text")).as("tlen"))
+      .where(col("tlen") >= k)
+      .select(col("id"), col("text"),
+        posexplode(sequence(lit(0), col("tlen") - k)).as(Seq("off", "ignored")))
+      .select(col("id"), col("off").cast("long").as("off"),
+        expr(s"substring(text, off + 1, $k)").as("gram"))
+      .groupBy(col("gram"))
+      .agg(min(struct(col("id"), col("off"))).as("w"))
+      .select(col("gram"), col("w.id").as("doc"), col("w.off").as("off"))
+
+  /** EXACT-substring dedup at INGEST — [[duplicateSpans]]' daily-batch
+    * form, probing the STORED [[gramIndex]] with one equi-join instead of
+    * rebuilding the suffix array over corpus ∪ batch (the reference's own
+    * discipline is incremental chunked processing,
+    * shard_by_distance.py:149-158; the SA rebuild is the 100×-scale
+    * 369 s artifact a daily batch must never pay).
+    *
+    * Returns, per batch doc, the MAXIMAL RUNS of corpus-duplicated
+    * characters: (id, span_start, span_len, witness_doc, witness_off),
+    * span_len ≥ k, witness = the stored witness of the run's first
+    * matched gram. A batch char is duplicated iff it lies inside a
+    * ≥ k-char substring occurring verbatim in the corpus — and that is
+    * EXACTLY "inside a matched k-gram": a matched gram IS such a
+    * substring (⊇), and any ≥ k-char duplicated span covers each of its
+    * chars with an in-span k-gram, each verbatim-in-corpus because a
+    * substring of an occurring string occurs (⊆). So the coverage is
+    * exact with NO corpus-text access at probe time at all — tighter
+    * than the LSH probe (q179), which still re-shingles candidate
+    * reference docs. A reported run may CHAIN overlapping grams whose
+    * witnesses differ (the run as a whole need not be contiguous
+    * anywhere in the corpus); every char of it is still inside some
+    * ≥ k duplicated substring, which is the cut-eligibility the Lee et
+    * al. rewrite needs (SuffixArraySpec pins both the chained case and
+    * brute-force coverage equality).
+    *
+    * Plan shape: batch positions are map-only (|batch| rows); ONE gram
+    * equi-join against the stored index (batch side tiny → broadcast-
+    * able); the islands merge is a batch-doc-partitioned window; one
+    * groupBy. Nothing touches the corpus, nothing is pairwise. */
+  def ingestDuplicateSpans(gramIdx: DataFrame, batch: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = batch
+      .select(col("id"), col("text"), length(col("text")).as("tlen"))
+      .where(col("tlen") >= k)
+      .select(col("id"), col("text"),
+        posexplode(sequence(lit(0), col("tlen") - k)).as(Seq("off", "ignored")))
+      .select(col("id"), col("off").cast("long").as("off"),
+        expr(s"substring(text, off + 1, $k)").as("gram"))
+    val matched = bg.join(
+      gramIdx.select(col("gram"), col("doc").as("wdoc"), col("off").as("woff")),
+      Seq("gram"))
+    // gaps-and-islands over the fixed-length [off, off+k) intervals:
+    // touching runs merge (the cleanedCorpus cut-merge rule)
+    val w = Window.partitionBy(col("id")).orderBy(col("off"))
+    matched
+      .withColumn("brk",
+        when(col("off") > coalesce(
+          max(col("off") + k).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1L)), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("off")).as("span_start"),
+        (max(col("off")) + k - min(col("off"))).as("span_len"),
+        min(struct(col("off"), col("wdoc"), col("woff"))).as("wit"))
+      .select(col("id"), col("span_start"), col("span_len"),
+        col("wit.wdoc").as("witness_doc"), col("wit.woff").as("witness_off"))
+  }
+
   /** [[duplicateSpans]] over an already-built [[SaIndex]] — the
     * build-once / consume-many split a production corpus runs (the SA is
     * the expensive artifact; span extraction is a pass over it).

@@ -166,6 +166,57 @@ class DedupSpec extends SparkSpec {
     assert(r.forall(_.getLong(1) === 0L))
   }
 
+  test("lshIndexAppend ≡ rebuild over the union: bands + banned byte-equal, every cap transition covered") {
+    // identical texts share ALL bands, so copy-count = band size exactly:
+    //  - family A: 3 corpus copies (= cap, retained at build) + 1 batch
+    //    copy -> pushed OVER the cap by the append (stored rows must drop)
+    //  - family B: 4 corpus copies (> cap, banned at build, n=4) + 1
+    //    batch copy -> stays banned, sidecar n must update to 5
+    //  - family C: 1 corpus doc + 1 batch near-dup -> plain retained rows
+    //  - plus an untouched unique corpus doc (rows pass through verbatim)
+    val famA = "alpha beta gamma delta epsilon zeta eta theta"
+    val famB = "one two three four five six seven eight nine"
+    val cap = 3
+    val corpus = Seq(
+      (10L, famA), (11L, famA), (12L, famA),
+      (20L, famB), (21L, famB), (22L, famB), (23L, famB),
+      (30L, "the quick brown fox jumps over the lazy dog"),
+      (40L, "totally untouched unique document text here okay")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (110L, famA),
+      (120L, famB),
+      (130L, "the quick brown fox jumps over the lazy cat")
+    ).toDF("id", "text")
+    val built = Dedup.lshIndexBuild(corpus, threshold = cap)
+    val appended = Dedup.lshIndexAppend(built, batch, threshold = cap)
+    val rebuilt = Dedup.lshIndexBuild(corpus.unionByName(batch), threshold = cap)
+    def bandSet(ix: Dedup.LshIndex) =
+      ix.bands.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def bannedSet(ix: Dedup.LshIndex) =
+      ix.banned.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(bandSet(appended) === bandSet(rebuilt))
+    assert(bannedSet(appended) === bannedSet(rebuilt))
+    // the transitions actually happened: famA's build-retained rows are
+    // gone post-append, famB's sidecar n grew 4 -> 5, famC rows present
+    assert(bandSet(built).exists(_._1 == 10L) &&
+      !bandSet(appended).exists(_._1 == 10L))
+    val bN = bannedSet(appended).map(_._2)
+    assert(bN.contains(4L) && bN.contains(5L)) // famA now 4, famB now 5
+    assert(bandSet(appended).exists(_._1 == 130L))
+    assert(bandSet(appended).filter(_._1 == 40L) ===
+      bandSet(built).filter(_._1 == 40L))
+    // and the grown index probes like the rebuilt one: a later batch's
+    // candidates against either are identical
+    val b2 = Seq((200L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val ref = corpus.unionByName(batch)
+    def probe(ix: Dedup.LshIndex) =
+      Dedup.minhashNearDupsIncremental(ix.bands, ref, b2, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probe(appended) === probe(rebuilt))
+    assert(probe(appended).exists(_._2 == 130L)) // sees the FOLDED batch doc
+  }
+
   test("nearDupClustersTracked: cleanup frees every block the call persisted") {
     import spark.implicits._
     val sc = spark.sparkContext

@@ -192,6 +192,36 @@ class GraphAnnSpec extends SparkSpec {
     assert(out === Set((0, 1L, 3L, 1.2), (0, 4L, 3L, 28.8)))
   }
 
+  test("churnHealth: zero on healthy geometry; the planted repair boundary and 1-point shards are counted") {
+    // healthy: every full-shard build leaves every point a non-empty list
+    // (every spec shard has >= 2 points), so orphan counts are all zero
+    val adj = GraphAnn.buildShardGraph(sharded, degree = 3)
+    val h0 = GraphAnn.churnHealth(sharded, adj).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val layoutSizes = sharded.groupBy("shard_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h0.map(_._1).toSet === layoutSizes.keySet)
+    h0.foreach { case (sid, n, orph) =>
+      assert(n === layoutSizes(sid)); assert(orph === 0L)
+    }
+    // planted line (the deleteBatch boundary test's geometry): deleting
+    // node 2 leaves node 3 with an EMPTY list — the docstring's orphan is
+    // now a counted row, not a recipe. Shard 1's single point has no
+    // possible same-shard neighbor: orphaned by construction, counted too
+    def v(x: Float) = Array.fill(8)(0f).updated(0, x)
+    val synth = Seq(
+      (0, 1L, v(0f)), (0, 2L, v(1f)), (0, 3L, v(1.2f)), (0, 4L, v(30f)),
+      (1, 9L, v(5f)))
+      .toDF("shard_id", "id", "vec")
+    val adj1 = GraphAnn.buildShardGraph(synth, degree = 1)
+    val survivors = synth.where(col("id") =!= 2L)
+    val repaired = GraphAnn.deleteBatch(synth, adj1, Seq(2L).toDF("id"), degree = 1)
+    val h1 = GraphAnn.GraphIndex(survivors, repaired, spark.emptyDataFrame)
+      .health.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(h1 === Set((0, 3L, 1L), (1, 1L, 1L)))
+  }
+
   test("serveGraphAnn: results across MULTIPLE micro-batches equal the batch probe") {
     import graft.operators.Streaming
     val base = java.nio.file.Files.createTempDirectory("graft_serv_spec").toString

@@ -323,12 +323,22 @@ object StateBench {
   * at 1× and 10× — `cycles` alternating insert/delete cycles over the
   * graph index, recording per-cycle maintenance wall, recall_vs_scan
   * after every cycle, and the orphan-health metric ([[graft.operators
-  * .GraphAnn.churnHealth]]). What the numbers must show:
+  * .GraphAnn.churnHealth]]).
+  *
+  * Recall is reported TWICE per cycle: over the MAINTAINED index and
+  * over a from-scratch REBUILD of the same post-cycle point set. The
+  * delta is the metric — absolute recall drifts with corpus size (the
+  * net-growing index dilutes a fixed ef/rounds beam budget, a capacity
+  * effect a rebuild suffers identically), so "local repair does not
+  * decay" means maintained ≈ rebuilt at every cycle, not that the raw
+  * number stays flat. (Insert-side maintenance is provably the rebuild;
+  * any gap is deleteBatch's two-hop repair boundary.) What the numbers
+  * must show:
   *  - per-cycle wall ~FLAT in the cycle number — the damage-local repair
   *    accumulates no debt (each cycle's work is the batch's damage, not
   *    index age);
-  *  - recall_vs_scan non-decaying across cycles (one cycle is q178's
-  *    claim; k cycles is FreshDiskANN's steady-state claim);
+  *  - recall(maintained) ≈ recall(rebuilt) at every cycle (one cycle is
+  *    q178's claim; k cycles is FreshDiskANN's steady-state claim);
   *  - orphaned sources ≈ 0 (else the cycle loop would be the thing
   *    silently thinning the graph).
   *
@@ -380,20 +390,68 @@ object ChurnBench {
         .orderBy(col("qid")).limit(40).localCheckpoint()
       val routes = ShardedSearch.route(queries, cents, t = SparkEntry.Params.t)
         .select(col("qid"), col("qvec"), col("shard_id")).localCheckpoint()
-      def recallNow(): Double = {
-        val beam = GraphAnn.beamSearch(cur, adj, ep, routes, k = 10,
+      def recallOf(a: org.apache.spark.sql.DataFrame,
+          en: org.apache.spark.sql.DataFrame): Double = {
+        val beam = GraphAnn.beamSearch(cur, a, en, routes, k = 10,
           ef = SparkEntry.Params.beamEf, rounds = SparkEntry.Params.beamRounds)
           .select(col("qid"), col("neighbor_id"))
         val scan = ShardedSearch.search(cur, queries, cents, k = 10,
           t = SparkEntry.Params.t).select(col("qid"), col("neighbor_id"))
         beam.intersect(scan).count().toDouble / scan.count()
       }
+      def recallNow(): Double = recallOf(adj, ep)
+      // the comparison baseline: a from-scratch index over the SAME
+      // post-cycle point set — what a maintenance-free deployment would
+      // pay a full rebuild for
+      def recallRebuilt(): Double = recallOf(
+        GraphAnn.buildShardGraph(cur, deg).localCheckpoint(),
+        GraphAnn.entryPoints(cur, cents, e).localCheckpoint())
       def orphansNow(): Long =
         GraphAnn.churnHealth(cur, adj).agg(sum(col("n_orphaned")))
           .head().getLong(0)
       val r0 = recallNow()
       System.err.println(f"[churn x$n] build=$buildS%.1f s recall0=$r0%.3f")
-      var rows = Vector(s"""{"cycle":0,"recall":${f"$r0%.4f"},"wall_s":0.0,"orphans":${orphansNow()}}""")
+      // THE DUPLICATE-CLIQUE FINDING + REMEDY, measured: on a near-dup-
+      // heavy corpus (every replica point has 9 jittered siblings at
+      // ~0.13 while inter-family distances are ~1.4) each point's exact
+      // top-degree list is exactly its own family, the graph degenerates
+      // into disjoint near-cliques, and a beam can never leave its entry
+      // family — absolute recall collapses no matter how the index is
+      // maintained (a from-scratch rebuild measures the same). α-pruning
+      // does not help (near-equilateral families defeat the RNG rule:
+      // d(kept, c') ≈ d(p, c') for every sibling pair). The remedy is the
+      // engine's own composition: DEDUP FIRST — collapse families to
+      // representatives with the embedding near-dup pass (q31's SRP
+      // bucket join + cosine verify), index the representatives, probe
+      // the same workload. Measured beside the raw-index recall so
+      // SCALE.md's row is before/after on the same data.
+      val dedupRecall: Double = {
+        val pairs = graft.operators.Dedup
+          .embeddingNearDups(pts, threshold = 0.98)
+          .select(col("id_b").as("id")).distinct()
+        val keepers = pts.join(pairs, Seq("id"), "left_anti").localCheckpoint()
+        val nKeep = keepers.count()
+        val centsK = Sharding.fitCentroids(spark, keepers, k = shards,
+          iters = SparkEntry.Params.iters).localCheckpoint()
+        val curK = Sharding.assignLit(keepers,
+          centsK.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)),
+          keepVec = true)
+          .select(col("shard_id"), col("id"), col("vec")).localCheckpoint()
+        val adjK = GraphAnn.buildShardGraph(curK, deg).localCheckpoint()
+        val epK = GraphAnn.entryPoints(curK, centsK, e).localCheckpoint()
+        val routesK = ShardedSearch.route(queries, centsK, t = SparkEntry.Params.t)
+          .select(col("qid"), col("qvec"), col("shard_id")).localCheckpoint()
+        val beam = GraphAnn.beamSearch(curK, adjK, epK, routesK, k = 10,
+          ef = SparkEntry.Params.beamEf, rounds = SparkEntry.Params.beamRounds)
+          .select(col("qid"), col("neighbor_id"))
+        val scan = ShardedSearch.search(curK, queries, centsK, k = 10,
+          t = SparkEntry.Params.t).select(col("qid"), col("neighbor_id"))
+        val rec = beam.intersect(scan).count().toDouble / scan.count()
+        System.err.println(f"[churn x$n] dedup-first: ${nKeep} keepers " +
+          f"of ${pts.count()} points, recall=$rec%.3f")
+        rec
+      }
+      var rows = Vector(s"""{"cycle":0,"recall":${f"$r0%.4f"},"recall_rebuilt":${f"$r0%.4f"},"wall_s":0.0,"orphans":${orphansNow()}}""")
       for (i <- 1 to cycles) {
         val t0 = System.nanoTime()
         // insert: base geometry under fresh ids (max(id)+1-derived, the
@@ -416,12 +474,13 @@ object ChurnBench {
         ep = idx.entries.localCheckpoint()
         val wall = (System.nanoTime() - t0) / 1e9
         val rec = recallNow()
+        val recR = recallRebuilt()
         val orph = orphansNow()
         System.err.println(
-          f"[churn x$n] cycle $i wall=$wall%6.1f s recall=$rec%.3f orphans=$orph")
-        rows :+= s"""{"cycle":$i,"recall":${f"$rec%.4f"},"wall_s":${f"$wall%.1f"},"orphans":$orph}"""
+          f"[churn x$n] cycle $i wall=$wall%6.1f s recall=$rec%.3f rebuilt=$recR%.3f orphans=$orph")
+        rows :+= s"""{"cycle":$i,"recall":${f"$rec%.4f"},"recall_rebuilt":${f"$recR%.4f"},"wall_s":${f"$wall%.1f"},"orphans":$orph}"""
       }
-      val line = s"""{"scale":$n,"shards":$shards,"build_s":${f"$buildS%.1f"},"cycles":[${rows.mkString(",")}]}"""
+      val line = s"""{"scale":$n,"shards":$shards,"build_s":${f"$buildS%.1f"},"dedup_first_recall":${f"$dedupRecall%.4f"},"cycles":[${rows.mkString(",")}]}"""
       println(line)
       lines :+= line
       spark.sparkContext.getPersistentRDDs.foreach(_._2.unpersist(blocking = true))

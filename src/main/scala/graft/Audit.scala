@@ -587,6 +587,39 @@ object Audit {
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
       ("reference pruned by semi-join before shingling", p =>
         p.contains("LeftSemi")))
+    audit("q180_sa_ingest_probe")(
+      // the ingest probe is ONE gram equi-join against the stored
+      // witness index + a per-doc islands window — a nested loop or
+      // cartesian anywhere means batch x corpus leaked in
+      ("gram probe equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("islands merge is a windowed pass", _.contains("Window")))
+    audit("q181_lsh_index_fold")(
+      // fold + probe: band equi-joins only; the verify side re-shingles
+      // only semi-join-pruned candidate reference docs (q179's contract)
+      ("fold + probe equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("reference pruned by semi-join before shingling", p =>
+        p.contains("LeftSemi")))
+    audit("q183_gram_index_fold")(
+      ("fold + probe equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")))
+    // the gram-index fold itself (q183 materializes it before the probe,
+    // so its plan is audited on the operator directly): novel grams enter
+    // via ONE anti-join against the stored index — nothing corpus-sized
+    // shuffles
+    locally {
+      import spark.implicits._
+      val stored = Seq(("abcde", 1L, 0L)).toDF("gram", "doc", "off")
+      val batch = Seq((100L, "hello world example")).toDF("id", "text")
+      val plan = graft.operators.SuffixArray.gramIndexAppend(stored, batch, 5)
+        .queryExecution.executedPlan.toString
+      val ok1 = plan.contains("LeftAnti")
+      val ok2 = !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct")
+      println(f"gramIndexAppend         ${if (ok1) "OK " else "MISS"} novel grams via anti-join")
+      println(f"gramIndexAppend         ${if (ok2) "OK " else "MISS"} no nested-loop/cartesian")
+    }
     audit("q178_graph_churn_search")(
       ("beam equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),

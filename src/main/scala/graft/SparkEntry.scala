@@ -1884,6 +1884,36 @@ object SparkEntry {
         .orderBy(col("id"), col("span_start"))
     }),
 
+    // ---- the GRAM-INDEX FOLD (q181's shape for the SA family, closing
+    // the symmetry: both index families now build, fold, AND probe):
+    // yesterday's ACCEPTED batch A — underscored text, so its grams are
+    // provably novel — folds into the stored k-gram witness index
+    // (gramIndexAppend: one anti-join, append ≡ rebuild under the
+    // fresh-id contract, spec-pinned), the grown index persists and is
+    // RE-READ, and today's batch B (half A-content, half corpus-content)
+    // probes it. B's A-derived spans carry witness ids ≥ the fold offset
+    // — visible proof the fold is load-bearing. The oracle rebuilds the
+    // witness table over corpus ∪ A (valid because append ≡ rebuild) and
+    // replays the probe
+    "q183_gram_index_fold" -> ((s, dir) => {
+      val off = freshIdOffset(Tables.documents(s, dir), "doc_id")
+      val batchA = Tables.documents(s, dir).where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + off).as("id"),
+          translate(col("text"), " ", "_").as("text"))
+      val grown = operators.SuffixArray.gramIndexAppend(
+        s.read.parquet(s"${saIndexMemo(s, dir)}/grams"), batchA, k = 11)
+      val g = tmpArtifact("gramsidx2", dir, "")
+      grown.write.mode("overwrite").parquet(g)
+      val batchB = Tables.documents(s, dir).where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + lit(2L) * off).as("id"),
+          concat(lit("zz "),
+            substring(translate(col("text"), " ", "_"), 21, 60),
+            lit(" "), substring(col("text"), 21, 40), lit(" yy")).as("text"))
+      operators.SuffixArray.ingestDuplicateSpans(
+        s.read.parquet(g), batchB, k = 11)
+        .orderBy(col("id"), col("span_start"))
+    }),
+
     // ---- the PRODUCTION phrase layout: bigram key (q150's selectivity)
     // bucketed by that key (q149's zero-Exchange discipline) — the
     // composition SCALE.md's finding 2 concludes with; answers identical
@@ -3964,6 +3994,45 @@ object SparkEntry {
          |bat AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id,
          |    'zq' || doc_id::VARCHAR || ' ' || substr(text, 21, 90) || ' qz' AS text
          |  FROM documents WHERE doc_id % 15 = 0),
+         |bg AS (SELECT id, off, substr(text, CAST(off + 1 AS INT), 11) AS gram
+         |  FROM (SELECT id, text,
+         |      unnest(generate_series(0, CAST(length(text) AS BIGINT) - 11)) AS off
+         |    FROM bat WHERE length(text) >= 11)),
+         |m AS (SELECT b.id, b.off, c.wdoc, c.woff FROM bg b JOIN cw c USING (gram)),
+         |mk AS (SELECT id, off, wdoc, woff,
+         |    CASE WHEN off > coalesce(max(off + 11) OVER (PARTITION BY id ORDER BY off
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM m),
+         |mg AS (SELECT id, off, wdoc, woff,
+         |    sum(brk) OVER (PARTITION BY id ORDER BY off) AS grp FROM mk)
+         |SELECT id, min(off) AS span_start, max(off) + 11 - min(off) AS span_len,
+         |  arg_min(wdoc, off) AS witness_doc, arg_min(woff, off) AS witness_off
+         |FROM mg GROUP BY id, grp
+         |ORDER BY id, span_start""".stripMargin,
+
+    // the fold replayed as the REBUILD it provably equals under the
+    // fresh-id contract: witness table over corpus ∪ A (stored witnesses
+    // can never move — batch ids exceed every corpus id), then batch B's
+    // probe + islands merge, the q180 chain
+    "q183_gram_index_fold" ->
+      s"""WITH cd AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0),
+         |ba AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id,
+         |    replace(text, ' ', '_') AS text
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |refd AS (SELECT id, text FROM cd UNION ALL SELECT id, text FROM ba),
+         |cg AS (SELECT id, off, substr(text, CAST(off + 1 AS INT), 11) AS gram
+         |  FROM (SELECT id, text,
+         |      unnest(generate_series(0, CAST(length(text) AS BIGINT) - 11)) AS off
+         |    FROM refd WHERE length(text) >= 11)),
+         |cw AS (SELECT gram, id AS wdoc, off AS woff FROM (
+         |  SELECT gram, id, off,
+         |    row_number() OVER (PARTITION BY gram ORDER BY id, off) AS rn FROM cg)
+         |  WHERE rn = 1),
+         |bat AS (SELECT doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents) AS id,
+         |    'zz ' || substr(replace(text, ' ', '_'), 21, 60) || ' ' ||
+         |      substr(text, 21, 40) || ' yy' AS text
+         |  FROM documents WHERE doc_id % 20 = 0),
          |bg AS (SELECT id, off, substr(text, CAST(off + 1 AS INT), 11) AS gram
          |  FROM (SELECT id, text,
          |      unnest(generate_series(0, CAST(length(text) AS BIGINT) - 11)) AS off

@@ -387,6 +387,27 @@ object SuffixArray {
       .agg(min(struct(col("id"), col("off"))).as("w"))
       .select(col("gram"), col("w.id").as("doc"), col("w.off").as("off"))
 
+  /** Fold an ACCEPTED batch into the stored [[gramIndex]] WITHOUT
+    * re-scanning the corpus — the SA family's index-maintenance half
+    * (the [[graft.operators.Dedup.lshIndexAppend]] discipline): tomorrow's
+    * batch must see today's accepted docs' grams. Provably ≡ a rebuild
+    * over corpus ∪ batch WHEN batch ids exceed every corpus id (the
+    * fresh-id ingest contract, max(id)+1-derived): the witness is the
+    * lexicographic min (doc, off) per gram, so for a gram the corpus
+    * already has, the stored witness always beats any fresh-id batch
+    * occurrence and survives unchanged — only grams the corpus has
+    * NEVER seen enter, with their batch-local witness. One |batch|-sized
+    * map pass + one anti-join against the stored index; nothing
+    * corpus-sized shuffles (an un-ordered id space would instead need a
+    * groupBy-min over the union — corpus-sized — which is exactly what
+    * the contract buys out). SuffixArraySpec pins append ≡ rebuild
+    * byte-equality and the requirement's necessity. */
+  def gramIndexAppend(stored: DataFrame, batch: DataFrame, k: Int): DataFrame = {
+    val fresh = gramIndex(batch, k)
+      .join(stored.select("gram"), Seq("gram"), "left_anti")
+    stored.unionByName(fresh)
+  }
+
   /** EXACT-substring dedup at INGEST — [[duplicateSpans]]' daily-batch
     * form, probing the STORED [[gramIndex]] with one equi-join instead of
     * rebuilding the suffix array over corpus ∪ batch (the reference's own

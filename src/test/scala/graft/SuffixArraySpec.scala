@@ -283,6 +283,37 @@ class SuffixArraySpec extends SparkSpec {
     assert(!spans.exists(_._1 == 12L))
   }
 
+  test("gramIndexAppend ≡ rebuild over the union under the fresh-id contract; stored witnesses never move") {
+    import spark.implicits._
+    val k = 5
+    val corpus = Seq(
+      (3L, "shared gram here"), // 'share','hared',... incl. grams batch repeats
+      (7L, "other corpus doc")).toDF("id", "text")
+    // fresh-id batch: one doc REPEATING a corpus gram (witness must stay
+    // the corpus's), one doc with wholly novel grams (enters with its own)
+    val batch = Seq(
+      (100L, "shared gram again"),
+      (101L, "zzzzz novel yyyyy")).toDF("id", "text")
+    val stored = SuffixArray.gramIndex(corpus, k)
+    val appended = SuffixArray.gramIndexAppend(stored, batch, k)
+    val rebuilt = SuffixArray.gramIndex(corpus.unionByName(batch), k)
+    def s3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s3(appended) === s3(rebuilt))
+    // the repeated gram kept its corpus witness; the novel gram entered
+    // with a batch witness
+    val m = s3(appended).map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(m("share") === ((3L, 0L)))
+    assert(m("novel")._1 === 101L)
+    // the contract is NECESSARY: a batch id BELOW the corpus range makes
+    // the rebuild's witness move where the append keeps the stored one —
+    // this is why ingest ids are max(id)+1-derived
+    val lowBatch = Seq((0L, "shared gram again")).toDF("id", "text")
+    val appended2 = SuffixArray.gramIndexAppend(stored, lowBatch, k)
+    val rebuilt2 = SuffixArray.gramIndex(corpus.unionByName(lowBatch), k)
+    assert(s3(appended2) !== s3(rebuilt2))
+  }
+
   test("ingest probe ≡ union-rebuild cross spans (the q179-shape equivalence, without paying the rebuild)") {
     import spark.implicits._
     val k = 11

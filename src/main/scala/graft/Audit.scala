@@ -604,6 +604,32 @@ object Audit {
     audit("q183_gram_index_fold")(
       ("fold + probe equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")))
+    audit("q184_dedup_first_ann")(
+      // the deduped beam plans like q100: checkpoint-rooted keeper set,
+      // equi-joins, partial limits — the dedup itself is audited below
+      ("beam equi-joins only", p =>
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
+      ("beam + final top-k partial limits", p =>
+        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4))
+    // q184's keeper selection, pre-materialization: candidate generation
+    // is a bucket equi-join (never all-pairs) and the keeper cut is one
+    // anti-join
+    locally {
+      import org.apache.spark.sql.functions.col
+      val p = Tables.points(spark, dir)
+      val planted = p.unionByName(
+        p.where(col("id") % 10 === 0)
+          .select((col("id") + 100000).as("id"), col("vec")))
+      val dupIds = graft.operators.Dedup.embeddingNearDups(planted, threshold = 0.99)
+        .select(col("id_b").as("id")).distinct()
+      val plan = planted.join(dupIds, Seq("id"), "left_anti")
+        .queryExecution.executedPlan.toString
+      val ok1 = !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct")
+      val ok2 = plan.contains("LeftAnti")
+      println(f"q184 keeper selection   ${if (ok1) "OK " else "MISS"} bucket equi-join, never all-pairs")
+      println(f"q184 keeper selection   ${if (ok2) "OK " else "MISS"} keeper cut is an anti-join")
+    }
     // the gram-index fold itself (q183 materializes it before the probe,
     // so its plan is audited on the operator directly): novel grams enter
     // via ONE anti-join against the stored index — nothing corpus-sized

@@ -1170,6 +1170,36 @@ object SparkEntry {
     "q182_churn_health" -> ((s, dir) =>
       graphChurnRepaired(s, dir).health.orderBy(col("shard_id"))),
 
+    // ---- DEDUP-FIRST ANN (SCALE.md's duplicate-clique remedy as a
+    // hash-checked pipeline — ChurnBench measured recall 0.10 → 0.81 at
+    // 10× with this ordering): plant near-dup families (the q28 set with
+    // fresh ids), collapse them to representatives with the embedding
+    // near-dup pass (SRP bucket join + cosine ≥ 0.99 verify, keeper =
+    // family id-min via one anti-join), rebuild the graph index over the
+    // representatives on the EXISTING centroid router, and hash-check the
+    // routed beam over the deduped index. The oracle replays bucketing,
+    // verify, keeper selection, assignment, graph build, and every beam
+    // round — the whole composition under one hash
+    "q184_dedup_first_ann" -> ((s, dir) => {
+      val p = Tables.points(s, dir)
+      val planted = p.unionByName(
+        p.where(col("id") % 10 === 0)
+          .select((col("id") + freshIdOffset(p, "id")).as("id"), col("vec")))
+      val dupIds = Dedup.embeddingNearDups(planted, threshold = 0.99)
+        .select(col("id_b").as("id")).distinct()
+      val keepSharded = Sharding.assignLit(
+        planted.join(dupIds, Seq("id"), "left_anti"),
+        centroidArrMemo(s, dir), keepVec = true)
+        .select(col("shard_id"), col("id"), col("vec")).localCheckpoint()
+      val adj = GraphAnn.buildShardGraph(keepSharded, Params.graphDegree)
+        .localCheckpoint()
+      val ep = GraphAnn.entryPoints(keepSharded, fitCentroidsMemo(s, dir),
+        Params.graphEntries).localCheckpoint()
+      GraphAnn.topK(GraphAnn.beamVisitExact(keepSharded, adj, ep,
+        graphRoutesDf(s, dir),
+        ef = Params.beamEf, rounds = Params.beamRounds), k = 10)
+    }),
+
     // ---- streaming ANN SERVING end to end: queries arrive as a real
     // Structured Streaming source, each micro-batch probes the STATIC
     // graph index (foreachBatch -> routed beam -> append), and the
@@ -6176,6 +6206,15 @@ object SparkEntry {
            Params.beamRounds)}
          |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM dres""".stripMargin,
 
+    // the dedup-first pipeline replayed end to end: planted families,
+    // SRP bucketing + cosine verify, keeper anti-join, assignment, graph
+    // build over representatives, every beam round
+    "q184_dedup_first_ann" ->
+      s"""WITH ${Oracles.dedupFirstAnnCtes(Params.k, Params.iters, 25, 10,
+           Params.t, Params.graphDegree, Params.graphEntries, Params.beamEf,
+           Params.beamRounds)}
+         |SELECT qid, rnk AS "rank", neighbor_id, dist, shard_id FROM ddres""".stripMargin,
+
     // the churn-health anti-join replayed over the same churn chain:
     // survivors with no repaired adjacency source row, counted per routed
     // shard
@@ -6960,6 +6999,81 @@ object Oracles {
          |  SELECT qid, id AS neighbor_id, shard_id, dist,
          |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
          |  FROM dv$rounds) WHERE rnk <= $topK)""".stripMargin)
+    sb.toString
+  }
+
+  /** Dedup-first ANN CTEs (q184): the SCALE.md duplicate-clique remedy
+    * replayed end to end on top of [[routedCtes]]' cfin/routes — planted
+    * near-dup families (fresh ids), SRP-bucketed cosine verify, keeper
+    * anti-join (family id-min survives), assignment to the existing
+    * router, exact graph build over the representatives, and the
+    * unrolled beam. Final relation `ddres`. */
+  def dedupFirstAnnCtes(k: Int, iters: Int, stride: Int, topK: Int, t: Int,
+      degree: Int, entries: Int, ef: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(routedCtes(k, iters, stride, topK, t))
+    sb.append(",\n")
+    sb.append(
+      s"""ddp AS (SELECT id, vec FROM pts
+         |  UNION ALL SELECT id + (SELECT max(id) + 1 FROM pts) AS id, vec
+         |  FROM pts WHERE id % 10 = 0),
+         |ddbk AS (SELECT id, vec, array_to_string(list_transform(generate_series(0, 7), k ->
+         |    CASE WHEN list_sum(list_transform(generate_series(0, 63),
+         |      i -> CAST(vec[i+1] AS DOUBLE) * (((k*31 + i*7) % 13) - 6))) > 0
+         |    THEN '1' ELSE '0' END), '') AS bucket FROM ddp),
+         |dddup AS (SELECT DISTINCT id_b AS id FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    ${rHU(s"${dotp("a.vec", "b.vec")} / (sqrt(${dotp("a.vec", "a.vec")}) * sqrt(${dotp("b.vec", "b.vec")}))", 4)} AS cosine
+         |  FROM ddbk a JOIN ddbk b ON a.bucket = b.bucket AND a.id < b.id)
+         |  WHERE cosine >= 0.99),
+         |ddkeep AS (SELECT id, vec FROM ddp WHERE id NOT IN (SELECT id FROM dddup)),
+         |dda AS (SELECT d.id, d.vec, c.shard_id,
+         |    round(${l2("d.vec", "c.centroid")}, 4) AS dr
+         |  FROM ddkeep d CROSS JOIN cfin c),
+         |ddkp AS (SELECT id, vec, shard_id FROM (
+         |  SELECT id, vec, shard_id,
+         |    row_number() OVER (PARTITION BY id ORDER BY dr, shard_id) AS rn FROM dda)
+         |  WHERE rn = 1),
+         |ddgap AS (SELECT a.shard_id, a.id AS src, b.id AS dst,
+         |    round(${l2("a.vec", "b.vec")}, 4) AS d
+         |  FROM ddkp a JOIN ddkp b ON a.shard_id = b.shard_id AND a.id <> b.id),
+         |ddadj AS (SELECT shard_id, src, dst FROM (
+         |  SELECT shard_id, src, dst,
+         |    row_number() OVER (PARTITION BY shard_id, src ORDER BY d, dst) AS rn
+         |  FROM ddgap) WHERE rn <= $degree),
+         |ddep AS (SELECT shard_id, id FROM (
+         |  SELECT s.shard_id, s.id,
+         |    row_number() OVER (PARTITION BY s.shard_id
+         |      ORDER BY round(${l2("s.vec", "c.centroid")}, 4), s.id) AS rn
+         |  FROM ddkp s JOIN cfin c ON c.shard_id = s.shard_id) WHERE rn <= $entries),
+         |ddv0 AS (SELECT r.qid, r.shard_id, e.id,
+         |    round(${l2("r.qvec", "p.vec")}, 4) AS dist
+         |  FROM routes r JOIN ddep e ON e.shard_id = r.shard_id
+         |  JOIN ddkp p ON p.shard_id = e.shard_id AND p.id = e.id),
+         |""".stripMargin)
+    for (r <- 1 to rounds) {
+      val prev = s"ddv${r - 1}"
+      sb.append(
+        s"""ddf$r AS (SELECT qid, shard_id, id FROM (
+           |  SELECT qid, shard_id, id,
+           |    row_number() OVER (PARTITION BY qid, shard_id ORDER BY dist, id) AS rn
+           |  FROM $prev) WHERE rn <= $ef),
+           |ddn$r AS (SELECT DISTINCT f.qid, f.shard_id, a.dst AS id
+           |  FROM ddf$r f JOIN ddadj a ON a.shard_id = f.shard_id AND a.src = f.id),
+           |ddv$r AS (SELECT DISTINCT qid, shard_id, id, dist FROM (
+           |  SELECT qid, shard_id, id, dist FROM $prev
+           |  UNION ALL
+           |  SELECT n.qid, n.shard_id, n.id,
+           |    round(${l2("r.qvec", "p.vec")}, 4) AS dist
+           |  FROM ddn$r n JOIN routes r ON r.qid = n.qid AND r.shard_id = n.shard_id
+           |  JOIN ddkp p ON p.shard_id = n.shard_id AND p.id = n.id)),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""ddres AS (SELECT qid, rnk, neighbor_id, dist, shard_id FROM (
+         |  SELECT qid, id AS neighbor_id, shard_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+         |  FROM ddv$rounds) WHERE rnk <= $topK)""".stripMargin)
     sb.toString
   }
 

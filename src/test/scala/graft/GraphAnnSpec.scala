@@ -382,6 +382,53 @@ class GraphAnnSpec extends SparkSpec {
     assert(rs.last >= rs.head - 0.1, s"recall decayed across churn: $rs")
   }
 
+  test("dedup-first restores beam reachability on a duplicate-clique geometry (the q184/SCALE.md remedy)") {
+    import graft.operators.Dedup
+    // three angularly-separated families of 4 near-identical points in
+    // ONE shard: every point's exact degree-3 list is exactly its own
+    // family, so the graph is three disjoint cliques and a beam can
+    // never leave its entry family — the duplicate-heavy navigability
+    // failure ChurnBench measured at 10×. Collapsing families to
+    // representatives (the engine's own embedding near-dup pass) makes
+    // every region reachable with the SAME beam budget.
+    def fam(axis: Int, ids: Seq[Long]): Seq[(Int, Long, Array[Float])] =
+      ids.zipWithIndex.map { case (id, j) =>
+        (0, id, Array.fill(8)(0f).updated(axis, 5f)
+          .updated((axis + 4) % 8, 0.01f * (j + 1)))
+      }
+    val pts = fam(0, Seq(1L, 2L, 3L, 4L)) ++ fam(1, Seq(11L, 12L, 13L, 14L)) ++
+      fam(2, Seq(21L, 22L, 23L, 24L))
+    val synth = pts.toDF("shard_id", "id", "vec")
+    val adj = GraphAnn.buildShardGraph(synth, degree = 3)
+    // the full graph IS three cliques: every edge stays within a family
+    val famOf = (id: Long) => id / 10
+    adj.collect().foreach(r =>
+      assert(famOf(r.getLong(1)) === famOf(r.getLong(2)), "cross-family edge"))
+    val entries = Seq((0, 1L)).toDF("shard_id", "id") // seed inside family 0
+    val q = Seq((0L, Array.fill(8)(0f).updated(1, 5f).toSeq, 0))
+      .toDF("qid", "qvec", "shard_id") // query NEAR family 1
+    val full = GraphAnn.beamSearch(synth, adj, entries, q,
+      k = 6, ef = 4, rounds = 3).collect().map(_.getLong(2))
+    // trapped: only family 0 (the entry's) is ever visited
+    assert(full.map(famOf).toSet === Set(0L))
+    // dedup first: the engine's own near-dup pass collapses each family
+    // to its id-min representative; the rebuilt graph is fully connected
+    val dupIds = Dedup.embeddingNearDups(
+      synth.select(col("id"), col("vec")), threshold = 0.99)
+      .select(col("id_b").as("id")).distinct()
+    val keepers = synth.join(dupIds, Seq("id"), "left_anti")
+      .select(col("shard_id"), col("id"), col("vec"))
+    assert(keepers.collect().map(_.getLong(1)).toSet === Set(1L, 11L, 21L))
+    val adjK = GraphAnn.buildShardGraph(keepers, degree = 3)
+    val got = GraphAnn.beamSearch(keepers, adjK, entries, q,
+      k = 3, ef = 4, rounds = 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    // same budget, every family reachable — and ranked by true distance
+    // to the query (family 1's representative first)
+    assert(got.map(_._2).toSet === Set(1L, 11L, 21L))
+    assert(got.find(_._1 == 1).map(_._2) === Some(11L))
+  }
+
   test("entryPoints: e nearest the shard centroid, id tie-break") {
     val e = 3
     val got = GraphAnn.entryPoints(sharded, cents, e).collect()

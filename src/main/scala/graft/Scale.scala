@@ -543,11 +543,13 @@ object ScaleBench {
       System.setProperty("graft.knnproj",
         (8 + math.ceil(math.log(n) / math.log(2)).toInt).toString)
       // stream state-store parallelism tracks arrival RATE (events per
-      // micro-batch ×N on the fixed 30-day span): 8 → 25 → 32 (core cap),
-      // keeping per-partition batch volume bounded while per-batch commit
-      // overhead never dominates — see SparkEntry.withStreamConf
+      // micro-batch ×N on the fixed 30-day span): 2 → 6 → 20 (√N growth,
+      // core-capped), keeping per-partition batch volume bounded while
+      // per-batch commit overhead never dominates — see
+      // SparkEntry.withStreamConf (r11 sizing: per-store commit is a
+      // fixed cost, so partitions carry ~3k+ rows each at 1×)
       System.setProperty("graft.streamparts",
-        math.min(32L, math.round(8 * math.sqrt(n.toDouble))).toString)
+        math.min(32L, math.max(2L, math.round(2 * math.sqrt(n.toDouble)))).toString)
       spark.conf.set("spark.sql.shuffle.partitions", math.max(32, n))
       // first-touch warm-up, then the (timed, untimed-in-queries) index
       // builds — memo scaling is itself part of the evidence
@@ -589,7 +591,7 @@ object ScaleBench {
       println(s"""{"scale":$n,"dir":"$dir","memo_build_s":${f"$memoSecs%.1f"},"passes":$passes,"queries":$qs}""")
       System.setProperty("graft.shards", "8")
       System.setProperty("graft.knnproj", "8")
-      System.setProperty("graft.streamparts", "8")
+      System.setProperty("graft.streamparts", "2")
     }
     // ratio summary vs the smallest scale
     val base = scales.min

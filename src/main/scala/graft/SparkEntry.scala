@@ -2697,15 +2697,22 @@ object SparkEntry {
     * default — at 32 partitions a 15-batch run over sf0.1 spends more
     * wall on store commits than on rows. The same per-deployment-knob
     * discipline as graft.shards / graft.knnproj: `-Dgraft.streamparts`
-    * (default 8); ScaleBench raises it with the corpus so per-partition
-    * batch volume stays bounded while commit overhead never dominates. */
+    * (default 2); ScaleBench raises it with the corpus so per-partition
+    * batch volume stays bounded while commit overhead never dominates.
+    * Default sizing (r11, measured): the sf0.1 feeds carry ~6.7k events
+    * per micro-batch (100k rows / 15 chunks); at 8 partitions the summed
+    * per-partition store commit time was 85 s (q151) / 46 s (q158)
+    * against ~3 s of row work — per-store commit is a FIXED cost, so
+    * partitions must be few enough that each carries real volume (~3k
+    * rows/partition at 2). Halving from 8 to 2 cut q151 trigger time
+    * 25.4 → 12.2 s and q158 18.8 → 10.1 s with identical output. */
   private def withStreamConf[T](s: SparkSession, rocksdb: Boolean = false)
       (body: => T): T = {
     val pk = "spark.sql.shuffle.partitions"
     val sk = "spark.sql.streaming.stateStore.providerClass"
     val pprev = s.conf.getOption(pk)
     val sprev = s.conf.getOption(sk)
-    s.conf.set(pk, sys.props.getOrElse("graft.streamparts", "8"))
+    s.conf.set(pk, sys.props.getOrElse("graft.streamparts", "2"))
     if (rocksdb) s.conf.set(sk,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try body finally {

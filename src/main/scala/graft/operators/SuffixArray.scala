@@ -244,12 +244,30 @@ object SuffixArray {
     * to the shuffled left-join form that handles adversarially
     * duplicate-heavy corpora. */
   def lcpDescent(idx: SaIndex, pairSet: DataFrame,
-      broadcastThreshold: Long = 500000L): DataFrame = {
+      broadcastThreshold: Long = 500000L,
+      maxNeededLcp: Option[Long] = None): DataFrame = {
     var pairs = pairSet
       .select(col("rank"), col("pos_a"), col("pos_b"), lit(0L).as("l"))
       .localCheckpoint()
-    val small = pairs.count() <= broadcastThreshold
-    for (k <- idx.history.indices.reverse) {
+    val nPairs = pairs.count()
+    // empty pair set: the descent is ~log2(n) sequential checkpoint
+    // rounds that would each produce zero rows — return the (empty)
+    // frame directly instead of paying them (r11)
+    if (nPairs == 0L)
+      return pairs.select(col("rank"), col("pos_a"), col("pos_b"),
+        col("l").as("lcp"))
+    val small = nPairs <= broadcastThreshold
+    // round skip under a caller-declared need cap (r11): restricted to
+    // the rounds {k : 2^k ≤ cap}, the greedy descent returns
+    // min(lcp, 2^(K+1)-1) with K = ⌊log2 cap⌋ — and 2^(K+1)-1 ≥ cap, so
+    // a consumer that only uses min(lcp, cap) (duplicateSpansFrom clips
+    // every span at the doc-terminator distances) sees a value
+    // indistinguishable from the full descent's, while the top
+    // ~log2(n/cap) rounds never run. With no cap every history round
+    // runs, exactly as before.
+    val rounds = idx.history.indices.reverse
+      .filter(k => maxNeededLcp.forall(cap => (1L << k) <= cap))
+    for (k <- rounds) {
       val step = 1L << k
       val sent = idx.sa.sparkSession.range(1)
         .select(lit(idx.n).as("pos"), lit(-2L).as("r"))
@@ -521,8 +539,17 @@ object SuffixArray {
     val resolved = probed.where(!saturated)
       .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
         least(col("l64"), col("dist_a"), col("dist_b")).as("span_len"))
+    // the deep pairs' spans are clipped at least(lcp, dist_a, dist_b), so
+    // no descent value beyond the pair set's max min-side distance is
+    // ever observable — declare that cap and let the descent skip its
+    // top rounds (at sf0.1: doc lengths ≪ n, so ~7 rounds instead of 11)
+    val capRow = probed.where(saturated)
+      .agg(max(least(col("dist_a"), col("dist_b")))).head
+    // null ⇔ no saturated pair — the descent early-exits on the empty set
+    val needCap = if (capRow.isNullAt(0)) 0L else capRow.getLong(0)
     val deep = lcpDescent(idx,
-        probed.where(saturated).select(col("rank"), col("pos_a"), col("pos_b")))
+        probed.where(saturated).select(col("rank"), col("pos_a"), col("pos_b")),
+        maxNeededLcp = Some(needCap))
       .join(probed.select(col("rank"), col("doc_a"), col("off_a"),
         col("doc_b"), col("off_b"), col("dist_a"), col("dist_b")), Seq("rank"))
       .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),

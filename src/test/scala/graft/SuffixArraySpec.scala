@@ -86,6 +86,37 @@ class SuffixArraySpec extends SparkSpec {
     assert(lcps(texts) === bruteLcp(corpus))
   }
 
+  test("lcpDescent round cap: capped descent agrees with the full one up to the cap") {
+    import spark.implicits._
+    // repetitive corpus: adjacent LCPs well past the caps under test
+    val rnd = new scala.util.Random(13)
+    val texts = Seq.tabulate(3)(d =>
+      (d.toLong, Seq.fill(70)("ab" (rnd.nextInt(2))).mkString))
+    val idx = SuffixArray.buildFull(texts.toDF("id", "text"))
+    val pairSet = SuffixArray.adjacentPairs(idx)
+    val full = SuffixArray.lcpDescent(idx, pairSet)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (cap <- Seq(1L, 7L, 16L, 100L)) {
+      val capped = SuffixArray.lcpDescent(idx, pairSet, maxNeededLcp = Some(cap))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(capped.keySet === full.keySet)
+      capped.foreach { case (t, l) =>
+        // the contract: min(l, cap) == min(full, cap) — a consumer that
+        // clips at cap cannot tell the runs apart
+        assert(math.min(l, cap) === math.min(full(t), cap),
+          s"rank $t: capped=$l full=${full(t)} cap=$cap")
+        // and the capped value never exceeds what its allowed steps can
+        // count (2^(K+1)-1), nor undershoots a full lcp below the cap
+        if (full(t) <= cap) assert(l === full(t))
+      }
+    }
+    // empty pair set: early-exit returns an empty frame with the lcp col
+    val empty = SuffixArray.lcpDescent(idx, pairSet.where(lit(false)))
+    assert(empty.columns.toSeq === Seq("rank", "pos_a", "pos_b", "lcp"))
+    assert(empty.count() === 0L)
+    idx.unpersist()
+  }
+
   test("buildFull history sink: the parquet-spilled index equals the pinned one") {
     import spark.implicits._
     // repetitive 2-letter corpus: several doubling rounds, real LCP work

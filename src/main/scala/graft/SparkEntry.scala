@@ -3089,9 +3089,16 @@ object SparkEntry {
     val ep = s.read.parquet(s"$base/ep")
       .where(col("shard_id").isin(routedShards: _*))
     val cents = fitCentroidsMemo(s, dir)
+    // materialize the deletion set once (r11): deleteIndex references it
+    // from ~9 join sites across the three artifact chains, and each
+    // reference would otherwise re-run the rank-1 entryPoints window
+    // (distance kernels over every routed point) — measured ~4x the
+    // query's useful task time. A tiny id frame, same pin discipline as
+    // the churn chain's g1.
     val del = sharded.where(col("id") % 7 === 3).select(col("id"))
       .unionByName(GraphAnn.entryPoints(sharded, cents, e = 1).select(col("id")))
       .distinct()
+      .localCheckpoint()
     GraphAnn.deleteIndex(sharded, adj, ep, cents, del,
       Params.graphDegree, Params.graphEntries)
   }
@@ -3137,9 +3144,14 @@ object SparkEntry {
         (g1.points.localCheckpoint(), g1.adjacency.localCheckpoint(),
           g1.entries.localCheckpoint())
       else (g1.points, g1.adjacency, g1.entries)
-    val del = pts1.where(col("id") % 7 === 3).select(col("id"))
+    // the deletion set is referenced from ~9 join sites across the three
+    // artifact chains; materialized once like g1 (r11 — each reference
+    // re-ran the rank-1 entryPoints window over the grown layout).
+    // materialize=false keeps it composed for Audit's plan assertions.
+    val del0 = pts1.where(col("id") % 7 === 3).select(col("id"))
       .unionByName(GraphAnn.entryPoints(pts1, cents, e = 1).select(col("id")))
       .distinct()
+    val del = if (materialize) del0.localCheckpoint() else del0
     GraphAnn.deleteIndex(pts1, adj1, ep1, cents, del,
       Params.graphDegree, Params.graphEntries)
   }

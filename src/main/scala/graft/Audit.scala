@@ -201,18 +201,30 @@ object Audit {
       ("packing tail is RDD two-phase (pinned counts)", p =>
         p.contains("SerializeFromObject") && !p.contains("Exchange")))
     audit("q100_graph_ann")(
-      // driver-known route set -> literal isin over the partitionBy
-      // layout: the probe path reads ONLY routed shards' files
-      ("routed-shard partition pruning on index scans", p =>
-        p.contains("PartitionFilters: [shard_id") && p.contains(" IN (")),
-      // every beam expansion keys on (shard_id, id) — a nested loop would
-      // mean the traversal degenerated to frontier x shard
+      // the executed beam materializes each round (r11 — the composed DAG
+      // duplicated the visited subtree 2^rounds), so the final plan roots
+      // at the last round's checkpoint: assert the final cut here, the
+      // full beam shape on the composed twin below
       ("adjacency expansion equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
-      // per-round beam cut (ef) and the final top-k both run as partial
-      // per-partition limits before their shuffles
-      ("beam + final top-k partial limits", p =>
-        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4))
+      ("final top-k partial limit", p =>
+        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 1))
+    // the SAME beam left composed in one DAG (Audit's plan-shape hook):
+    // routed-shard pruning must reach the parquet scans, every expansion
+    // keys on (shard_id, id), and each round's ef cut + the final top-k
+    // run as partial per-partition limits
+    locally {
+      val plan = graft.operators.GraphAnn
+        .topK(SparkEntry.graphVisitedComposed(spark, dir), k = 10)
+        .queryExecution.executedPlan.toString
+      val ok1 = plan.contains("PartitionFilters: [shard_id") && plan.contains(" IN (")
+      val ok2 = !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct")
+      val ok3 = plan.linesIterator.count(_.contains("WindowGroupLimit")) >= 4
+      println(f"q100 composed beam      ${if (ok1) "OK " else "MISS"} routed-shard partition pruning on index scans")
+      println(f"q100 composed beam      ${if (ok2) "OK " else "MISS"} adjacency expansion equi-joins only")
+      println(f"q100 composed beam      ${if (ok3) "OK " else "MISS"} beam + final top-k partial limits")
+    }
     audit("q103_graph_pq_probe")(
       // DiskANN shape: the WALK prices nodes by PQ codes; raw vectors are
       // scanned exactly once, by the exact-refine tail
@@ -555,17 +567,25 @@ object Audit {
       // lists union through with no window at all
       ("damage-only re-cut partial limit", _.contains("WindowGroupLimit")))
     audit("q172_graph_delete_search")(
-      // the beam runs over the repaired artifacts PERSISTED to the
-      // build's partitioned layout and re-read (r11: the localCheckpoint
-      // stand-in replaced by write+read), so the final plan roots at
-      // parquet scans — which must carry the routed-shard partition
-      // pruning on the POST-REPAIR index, same contract as the build's
+      // the executed beam materializes each round (r11), so the final
+      // plan roots at the last round's checkpoint; the post-repair
+      // partition pruning and full beam shape are asserted on the
+      // composed twin over the SAME written artifacts, below
       ("beam equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
-      ("beam + final top-k partial limits", p =>
-        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4),
-      ("post-repair scans partition-pruned", p =>
-        p.contains("PartitionFilters: [shard_id") && p.contains(" IN (")))
+      ("final top-k partial limit", p =>
+        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 1))
+    // composed beam over the gidxdel serving artifacts the query just
+    // wrote: the re-read scans must carry the routed-shard pruning (the
+    // POST-REPAIR index keeps the build's layout contract)
+    locally {
+      val plan = SparkEntry.servedBeamComposed(spark, dir, "gidxdel")
+        .queryExecution.executedPlan.toString
+      val ok1 = plan.contains("PartitionFilters: [shard_id") && plan.contains(" IN (")
+      val ok2 = plan.linesIterator.count(_.contains("WindowGroupLimit")) >= 4
+      println(f"q172 served beam        ${if (ok1) "OK " else "MISS"} post-repair scans partition-pruned")
+      println(f"q172 served beam        ${if (ok2) "OK " else "MISS"} beam + final top-k partial limits")
+    }
     // q172's repair chain, pre-materialization: the layout/adjacency
     // scans must read ONLY routed shards' files, and the repair must
     // stay equi-join-shaped
@@ -605,12 +625,13 @@ object Audit {
       ("fold + probe equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")))
     audit("q184_dedup_first_ann")(
-      // the deduped beam plans like q100: checkpoint-rooted keeper set,
-      // equi-joins, partial limits — the dedup itself is audited below
+      // the deduped beam plans like q100 (rounds materialized since r11;
+      // the shared beam shape is asserted on q100's composed twin) — the
+      // dedup itself is audited below
       ("beam equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
-      ("beam + final top-k partial limits", p =>
-        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4))
+      ("final top-k partial limit", p =>
+        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 1))
     // q184's keeper selection, pre-materialization: candidate generation
     // is a bucket equi-join (never all-pairs) and the keeper cut is one
     // anti-join
@@ -649,10 +670,17 @@ object Audit {
     audit("q178_graph_churn_search")(
       ("beam equi-joins only", p =>
         !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")),
-      ("beam + final top-k partial limits", p =>
-        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 4),
-      ("post-churn scans partition-pruned", p =>
-        p.contains("PartitionFilters: [shard_id") && p.contains(" IN (")))
+      ("final top-k partial limit", p =>
+        p.linesIterator.count(_.contains("WindowGroupLimit")) >= 1))
+    // composed beam over the gidxchurn serving artifacts (q172's pattern)
+    locally {
+      val plan = SparkEntry.servedBeamComposed(spark, dir, "gidxchurn")
+        .queryExecution.executedPlan.toString
+      val ok1 = plan.contains("PartitionFilters: [shard_id") && plan.contains(" IN (")
+      val ok2 = plan.linesIterator.count(_.contains("WindowGroupLimit")) >= 4
+      println(f"q178 served beam        ${if (ok1) "OK " else "MISS"} post-churn scans partition-pruned")
+      println(f"q178 served beam        ${if (ok2) "OK " else "MISS"} beam + final top-k partial limits")
+    }
     audit("q182_churn_health")(
       // the health readout is one anti-join + two per-shard counts over
       // shard_id-keyed inputs — a nested loop would mean points x edges

@@ -3323,7 +3323,8 @@ object SparkEntry {
     * index artifact to the driver-known routed shards, run the
     * fixed-round beam. q100 cuts plain top-k from it; q105 post-filters
     * it first (the filtered-ANN pattern). */
-  private def graphVisited(s: SparkSession, dir: String): DataFrame = {
+  private def graphVisited(s: SparkSession, dir: String,
+      materializeRounds: Boolean = true): DataFrame = {
     val base = graphIndexDir(s, dir)
     val routedShards = Pq.routeLit(queryBatchMemoArr(s, dir),
       centroidArrMemo(s, dir), t = Params.t).map(_._2).distinct.sorted.toSeq
@@ -3333,7 +3334,30 @@ object SparkEntry {
       .where(col("shard_id").isin(routedShards: _*))
     val ep = s.read.parquet(s"$base/ep")
     GraphAnn.beamVisitExact(layout, adj, ep, graphRoutesDf(s, dir),
-      ef = Params.beamEf, rounds = Params.beamRounds)
+      ef = Params.beamEf, rounds = Params.beamRounds,
+      materializeRounds = materializeRounds)
+  }
+
+  /** The q100 beam with every round left COMPOSED in one DAG — Audit's
+    * plan-shape hook (the executed queries materialize each round, which
+    * hides the beam's scans/joins/window cuts behind LogicalRDD roots). */
+  private[graft] def graphVisitedComposed(s: SparkSession, dir: String): DataFrame =
+    graphVisited(s, dir, materializeRounds = false)
+
+  /** A composed (un-materialized) beam over an already-written serving
+    * index (q172's `gidxdel` / q178's `gidxchurn` artifact dirs) — Audit
+    * asserts the post-repair partition pruning and beam shape on this
+    * plan; callers must have run the query (the artifacts exist). */
+  private[graft] def servedBeamComposed(s: SparkSession, dir: String,
+      prefix: String): DataFrame = {
+    val base = tmpArtifact(prefix, dir, "")
+    val routedShards = routedShardsList(s, dir)
+    GraphAnn.topK(GraphAnn.beamVisitExact(
+      s.read.parquet(s"$base/points").where(col("shard_id").isin(routedShards: _*)),
+      s.read.parquet(s"$base/adj").where(col("shard_id").isin(routedShards: _*)),
+      s.read.parquet(s"$base/ep").where(col("shard_id").isin(routedShards: _*)),
+      graphRoutesDf(s, dir), ef = Params.beamEf, rounds = Params.beamRounds,
+      materializeRounds = false), k = 10)
   }
 
   /** The graph-ANN probe over the persisted index (q100; q101 scores it). */

@@ -410,7 +410,8 @@ object GraphAnn {
       entries: DataFrame,
       routes: DataFrame,
       ef: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      materializeRounds: Boolean = true): DataFrame = {
     val vecs = shardedPoints.select(col("shard_id"), col("id"), col("vec"))
     val routesB = broadcast(routes.select(col("qid"), col("qvec"), col("shard_id")))
     // distance-annotate a (qid, shard_id, id) node set: one equi-join to
@@ -422,7 +423,8 @@ object GraphAnn {
         .withColumn("dist", round(l2Dist(col("qvec"), col("vec")), 4))
         .select(col("qid"), col("shard_id"), col("id"), col("dist"))
     beamVisit(annotate,
-      adjacency, entries, routes.select(col("qid"), col("shard_id")), ef, rounds)
+      adjacency, entries, routes.select(col("qid"), col("shard_id")), ef, rounds,
+      materializeRounds)
   }
 
   /** The beam CORE with a caller-supplied distance annotator — the knob
@@ -442,11 +444,22 @@ object GraphAnn {
       entries: DataFrame,
       routePairs: DataFrame,
       ef: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      materializeRounds: Boolean = true): DataFrame = {
     var visited = annotate(
       routePairs.select(col("qid"), col("shard_id"))
         .join(entries, "shard_id")
         .select(col("qid"), col("shard_id"), col("id")))
+    // each round references `visited` TWICE (frontier cut + union), so
+    // the composed DAG duplicates the previous round's subtree and the
+    // plan grows 2^rounds: q172/q178's final explain was 29k lines /
+    // 1,548 Exchange nodes, paid at ANALYSIS time on every execution
+    // (r11). Materializing each round keeps the plan linear in `rounds`
+    // — the visited set is bounded by |Q|·t·(E + rounds·ef·degree), a
+    // localCheckpoint like the maintenance chains'. materializeRounds =
+    // false keeps the DAG composed so Audit can assert the beam's join/
+    // window shapes on one plan.
+    if (materializeRounds) visited = visited.localCheckpoint()
     val wBeam = Window.partitionBy(col("qid"), col("shard_id"))
       .orderBy(col("dist"), col("id"))
     for (_ <- 1 to rounds) {
@@ -461,10 +474,9 @@ object GraphAnn {
         .select(col("qid"), col("shard_id"), col("dst").as("id"))
         .distinct()
       // distinct after the union dedups re-discovered nodes; dist is a
-      // pure function of (qid, id) so the row set stays well-defined. At
-      // cluster scale each round's visited would be checkpointed; at
-      // bounded `rounds` the composed plan is fine as one DAG.
+      // pure function of (qid, id) so the row set stays well-defined
       visited = visited.unionByName(annotate(nbrs)).distinct()
+      if (materializeRounds) visited = visited.localCheckpoint()
     }
     visited
   }

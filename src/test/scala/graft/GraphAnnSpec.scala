@@ -101,6 +101,23 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("beamVisitExact: materialized rounds equal the composed DAG row for row") {
+    // r11 materializes each beam round (the composed plan duplicated the
+    // visited subtree 2^rounds); materialization must be invisible in the
+    // result — pin equality against the composed form
+    val adj = GraphAnn.buildShardGraph(sharded, degree = 4)
+    val ep = GraphAnn.entryPoints(sharded, cents, e = 2)
+    val routes = ShardedSearch.route(queries, cents, t = 2)
+      .select(col("qid"), col("qvec"), col("shard_id"))
+    def rows(materialize: Boolean) =
+      GraphAnn.beamVisitExact(sharded, adj, ep, routes, ef = 4, rounds = 3,
+          materializeRounds = materialize)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(rows(materialize = true) === rows(materialize = false))
+  }
+
   test("insertBatch is byte-identical to a from-scratch rebuild over the union") {
     val deg = 5
     val centArr = cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))

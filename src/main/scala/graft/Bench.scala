@@ -2,7 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
-  * prints one JSON line for the driver.
+  * prints two JSON lines for the driver — a compact summary, then the full
+  * per-query `{"metric":"total",...}` line LAST (the driver archives a
+  * bounded tail of stdout and parses from the end, so the complete map
+  * must be the final line).
   *
   * Noise model on this box: multi-minute background storms inflate a
   * contiguous STRETCH of wall-clock; back-to-back repeats of one query sit
@@ -106,24 +109,31 @@ object Bench {
       }
     }
     def fmt(v: Double) = if (v.isNaN) "null" else v.toString
+    // stdout carries per-query minima rounded to 3 decimals (ms precision —
+    // all a cross-round comparison can use) so the driver-archived line
+    // stays as small as possible; target/bench_last.json keeps full
+    // precision plus the per-query maxima (the storm-visibility artifact)
+    def fmt3(v: Double) =
+      if (v.isNaN) "null" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val mins = timings.map { case (n, ts) => n -> (if (ts.isEmpty) Double.NaN else ts.min) }
     val maxs = timings.map { case (n, ts) => n -> (if (ts.isEmpty) Double.NaN else ts.max) }
-    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }.mkString("{", ",", "}")
+    val qsFull = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val qmax = maxs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fl = failedSet.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.values.filterNot(_.isNaN).sum
     // a failed query must be impossible to miss: named in the JSON line AND
     // a nonzero exit code
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qmax,"failed":$fl,"passes":$passes,"sf":"$sfDir"}"""
-    println(fullLine)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"passes":$passes,"sf":"$sfDir"}"""
     // both the driver's tail archive AND sbt's own log can truncate the
     // ~5 KB per-query line — persist the full map to a file so analysis
     // never depends on a log line surviving intact
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
-        fullLine.getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_max":$qmax,"failed":$fl,"passes":$passes,"sf":"$sfDir"}"""
+          .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // the SCALE.md bench-convention note is GENERATED from this run's
     // numbers (the r8/r9 recurring drift: the hand-written note staled
@@ -136,10 +146,14 @@ object Bench {
     // subset or a nonstandard SF must never overwrite the published note
     // with non-canonical numbers (ADVICE r10); target/bench_note.md is
     // always written, and SPARK_GRAFT_BENCH_SPLICE=1 forces the splice
+    // ... and on the canonical 32-core config: the driver ALSO benches at a
+    // lower core count (scaling measurement), and that run must not
+    // overwrite the published note with low-parallelism numbers (r11: the
+    // driver's local[8] run spliced 8-core numbers into SCALE.md)
     val canonicalRun = sys.env.get("SPARK_GRAFT_BENCH_SPLICE") match {
       case Some(v) => v == "1" // explicit override wins either way
       case None => only.isEmpty && passes == 3 &&
-        sfDir == "/root/testdata/sf0.1"
+        sfDir == "/root/testdata/sf0.1" && cpus == "32"
     }
     try {
       val ok = mins.filterNot(_._2.isNaN)
@@ -182,13 +196,18 @@ object Bench {
           s"failed (${t.getClass.getName}: ${String.valueOf(t.getMessage)
             .linesIterator.take(1).mkString}) — SCALE.md note may be stale")
     }
-    // the driver archives only a ~2 KB TAIL of this process's output, which
-    // truncates the full per-query line mid-map and loses the total — so the
-    // LAST line is a compact self-contained summary (total + slowest 5 +
-    // failures) guaranteed to fit inside the archived tail
+    // the driver archives only a ~2 KB TAIL of this process's output. Print
+    // a compact self-contained summary (total + slowest 5 + failures) FIRST,
+    // then the full per-query line LAST (VERDICT r11 contract repair: the
+    // driver parses the last line, and r10/r11 both lost their per-query
+    // comparison because the full line printed before the summary and was
+    // truncated mid-map by the tail archive). The full line is kept as
+    // small as honesty allows — 3-decimal minima, no per-query maxima — so
+    // as much of it as possible survives any tail cut.
     val slowest = mins.toSeq.filterNot(_._2.isNaN).sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + fmt3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"summary","total":$total,"unit":"sec","n_queries":${mins.size},"slowest":$slowest,"failed":$fl,"passes":$passes,"sf":"$sfDir"}""")
+    println(fullLine)
     spark.stop()
     if (failedSet.nonEmpty) sys.exit(1)
   }

@@ -11,7 +11,11 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val suffix = args(1)
-    val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
+    // varargs per the usage string: every remaining arg contributes
+    // (space- or comma-separated) substrings — args beyond the third were
+    // silently ignored before (ADVICE r11)
+    val names = args.drop(2).flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    require(names.nonEmpty, "usage: PlanDump <outDir> <suffix> <query substrings...>")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -23,8 +27,11 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.prebuildMemos(spark, sfDir) catch { case _: Throwable => () }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    for ((name, fn) <- SparkEntry.queries.toSeq
-         if names.exists(name.contains)) {
+    val matched = SparkEntry.queries.toSeq
+      .filter { case (name, _) => names.exists(name.contains) }
+    require(matched.nonEmpty,
+      s"no query matches any of: ${names.mkString(", ")}")
+    for ((name, fn) <- matched) {
       val df = fn(spark, sfDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

@@ -66,5 +66,13 @@ object Verify {
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} queries FAILED: " +
         failures.map(_._1).mkString(", "))
+    // one machine-readable LAST line (VERDICT r11 contract repair): an
+    // empty driver artifact must be distinguishable from a verify that ran
+    // N queries and dumped them — nothing Verify printed before this said
+    // how many queries it processed
+    val ran = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+    println(s"""{"metric":"verify","n_queries":${ran.size},"n_failed":${failures.size},"failed":${
+      failures.map("\"" + _._1 + "\"").mkString("[", ",", "]")},"out":"$outDir"}""")
   }
 }

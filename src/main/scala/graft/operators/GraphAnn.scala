@@ -459,7 +459,7 @@ object GraphAnn {
     // localCheckpoint like the maintenance chains'. materializeRounds =
     // false keeps the DAG composed so Audit can assert the beam's join/
     // window shapes on one plan.
-    if (materializeRounds) visited = visited.localCheckpoint()
+    if (materializeRounds) visited = Ckpt.cut(visited)
     val wBeam = Window.partitionBy(col("qid"), col("shard_id"))
       .orderBy(col("dist"), col("id"))
     for (_ <- 1 to rounds) {
@@ -476,7 +476,7 @@ object GraphAnn {
       // distinct after the union dedups re-discovered nodes; dist is a
       // pure function of (qid, id) so the row set stays well-defined
       visited = visited.unionByName(annotate(nbrs)).distinct()
-      if (materializeRounds) visited = visited.localCheckpoint()
+      if (materializeRounds) visited = Ckpt.cut(visited)
     }
     visited
   }

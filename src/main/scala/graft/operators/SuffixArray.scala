@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Distributed SUFFIX ARRAY construction by prefix doubling — the
   * infrastructure behind exact-substring dedup at corpus scale (Lee et
@@ -20,25 +21,29 @@ import org.apache.spark.sql.functions._
   *
   *  - the k-shift is a positional EQUI-JOIN (pos ↔ pos+k), never an
   *    unpartitioned window;
-  *  - the pair re-rank is a DENSE RANK computed with the repo's
-  *    range-partition discipline (epochShuffle / packCounts): range
-  *    partition + partition-local sort, one count row per partition
-  *    driver-merged into exclusive offsets, then a partition-local sweep
-  *    — equal keys are never split across range partitions, so local
-  *    distinct counts compose into an exact global dense rank. No
-  *    single-partition sort anywhere.
+  *  - the pair re-rank is a GROUP-START rank (Larsson–Sadakane: label =
+  *    rows in strictly smaller groups) computed with the repo's
+  *    range-partition discipline — equal keys are never split across
+  *    partitions, so partition-local sweeps compose exactly. Group-start
+  *    labels freeze the moment a group goes singleton, so CONVERGED
+  *    suffixes drop out of every later round: round m only re-ranks the
+  *    rows still in non-singleton groups, and from round 2 on placement
+  *    is a deterministic bucket of the label (no range-sampling pass, no
+  *    driver offset merge — see groupStartRank). The final labels equal
+  *    the dense build's ranks exactly. No single-partition sort anywhere.
   *
-  * Each round materializes via localCheckpoint: the next round's sampling
-  * pass plus two sweep passes would otherwise re-execute the whole
-  * doubling chain (and 20 rounds of lineage would re-sample the range
-  * partitioner per pass).
+  * Each round materializes via localCheckpoint: the next round's passes
+  * would otherwise re-execute the whole doubling chain.
   *
   * Scale: rounds = ceil(log2 n) (~47 at 100 T chars); per round one
-  * equi-join shuffle + one range shuffle over n rows. The driver holds
-  * one long per partition per round plus a 1-row max aggregate (the
-  * early-exit check — extra rounds past distinctness are no-ops, which
-  * is what lets a fixed-round oracle replay an early-exiting build).
-  * Positions are int64; ranks stay < n so nothing overflows. */
+  * positional equi-join against the n-row labeling (a broadcast of the
+  * active side once it fits — the labeling then streams map-side) + one
+  * shuffle of the ACTIVE rows only, shrinking geometrically for typical
+  * text. The driver holds one long per partition for the first refining
+  * round only (early-exit: a round with no non-singleton group left is
+  * final — extra rounds past distinctness are no-ops, which is what lets
+  * a fixed-round oracle replay an early-exiting build). Positions are
+  * int64; ranks stay < n so nothing overflows. */
 object SuffixArray {
 
   /** Truly release a `localCheckpoint`ed frame: `Dataset.unpersist` only
@@ -46,66 +51,162 @@ object SuffixArray {
     * the persisted rows live on the checkpoint RDD behind the plan's
     * LogicalRDD leaf, and stay pinned until GC unless released there.
     * (Without this, "unpersist the previous round" silently retained the
-    * full O(n log n) history and the O(n)-pinned claim was false.) */
+    * full O(n log n) history and the O(n)-pinned claim was false.)
+    * Walks the whole plan, not just a root leaf: the group-start build's
+    * frames are UNIONs of per-round checkpoints, so every LogicalRDD leaf
+    * under the frame must be released. */
   private def dropCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
+    df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
 
-  /** Dense rank of `df`'s rows under the (r, r2) sort key, as
-    * ((pos, r = dense rank, 0-based), total distinct keys). Equal keys
-    * co-locate under the range partitioner, so partition-local distinct
-    * counts + exclusive offsets give the exact global dense rank — and
-    * their sum is the distinct-key total, which the build's early-exit
-    * check (all ranks distinct ⇔ total == n) reads for free instead of
-    * paying a separate max-aggregate pass over the round's output. */
-  private def denseRankPairs(df: DataFrame): (DataFrame, Long) = {
+  /** Active rows above this count take the shift lookup as a shuffled
+    * join; at or below it the active side broadcasts and the n-row label
+    * frame streams map-side (§3.1) — no shuffle of the big side. */
+  private val BroadcastActives = 500000L
+
+  /** ENDGAME threshold (build mode): once the active set fits here, the
+    * remaining doubling rounds are resolved on the DRIVER — every label
+    * a future round can probe sits at pos + k·2^j for a CURRENTLY active
+    * pos (probes only ever originate at active rows), so one broadcast
+    * semi-join against the current labeling fetches all ≤ |active|·log₂n
+    * of them, and the remaining rounds are a local loop over ≤ 128k rows
+    * instead of ~log₂(n/k) more Spark rounds that each pay a fixed
+    * ~0.5 s of job/planning floor regardless of row count (measured:
+    * rounds with 88 active rows cost the same wall as rounds with 5k).
+    * Driver memory is bounded by the threshold (≤ 128k·log₂n longs ≈ 100 MB worst-case),
+    * independent of corpus size — the knob is a driver-RAM constant,
+    * not a data-scaled one. */
+  private val EndgameRows = 131072L
+
+  /** GROUP-START rank of `df`'s rows under the (r, r2) sort key — the
+    * Larsson–Sadakane labeling: rank of a key group = number of ROWS in
+    * strictly smaller groups, not the dense group index. Group-start
+    * ranks are what let converged suffixes drop out of later doubling
+    * rounds: a singleton group's rank equals its suffix's final position
+    * in the sorted order and never changes again (refining other groups
+    * only renumbers rows INSIDE those groups), whereas a dense rank
+    * shifts on every split anywhere to its left. Per round the labels
+    * stay injective per group and order-consistent with the final suffix
+    * order, and once every group is a singleton the group-start rank IS
+    * the dense rank — so the final SA is identical to the dense build's.
+    *
+    * Two modes. `global = true` (the first refining round, whose incoming
+    * r is the raw code point, not a row count): rank = rows before the
+    * key globally — sampling-based range partition (the code-point space
+    * is skewed), one count row per partition driver-merged into exclusive
+    * prefix offsets, then a partition-local sweep; the denseRank
+    * discipline, emitting group starts. `global = false` (later rounds:
+    * incoming r is itself a group-start rank in [0, n) and every row of a
+    * non-singleton r group is still present): rank = r + rows before the
+    * key INSIDE its r group — which needs no cross-partition coordination
+    * at all, because an r group never splits when rows are placed by a
+    * DETERMINISTIC bucket of r (equal r ⇒ equal bucket). That kills both
+    * per-round driver jobs: no range-sampling pass, no offset collect —
+    * one shuffle + sweep job per round, sized by `rowsHint` (the caller's
+    * active-row count) rather than a fixed partition constant (§2).
+    *
+    * Returns the materialized (localCheckpoint) frame (pos, r,
+    * single = the row's group is a singleton, i.e. converged) and the
+    * count of rows in non-singleton groups = the next round's active set
+    * size. In within mode that count rides an add-only accumulator on the
+    * checkpoint job — safe for the termination test (`== 0`): retries can
+    * only inflate a nonzero count, and a true zero has nothing to add. */
+  private def groupStartRank(df: DataFrame, global: Boolean, n: Long,
+      rowsHint: Long): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val keyed = df
-      .select(col("pos"), col("r"), col("r2"))
-      .repartitionByRange(col("r"), col("r2"))
-      .sortWithinPartitions(col("r"), col("r2"))
-      .rdd
-    val counts = keyed.mapPartitionsWithIndex { (pid, it) =>
-      var n = 0L
-      var lastR = Long.MinValue
-      var lastR2 = Long.MinValue
-      var seen = false
-      it.foreach { row =>
-        val r = row.getLong(1); val r2 = row.getLong(2)
-        if (!seen || r != lastR || r2 != lastR2) { n += 1; seen = true }
-        lastR = r; lastR2 = r2
-      }
-      Iterator.single((pid, n))
-    }.collect().sortBy(_._1)
-    val offsets = new Array[Long](counts.length)
-    var acc = 0L
-    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
-    val bc = spark.sparkContext.broadcast(offsets)
-    val ranked = keyed.mapPartitionsWithIndex { (pid, it) =>
-      var rk = bc.value(pid) - 1
-      var lastR = Long.MinValue
-      var lastR2 = Long.MinValue
-      var seen = false
-      it.map { row =>
-        val r = row.getLong(1); val r2 = row.getLong(2)
-        if (!seen || r != lastR || r2 != lastR2) { rk += 1; seen = true }
-        lastR = r; lastR2 = r2
-        (row.getLong(0), rk)
-      }
-    }.toDF("pos", "r")
-    (ranked, acc)
+    if (global) {
+      val keyed = df.select(col("pos"), col("r"), col("r2"))
+        .repartitionByRange(col("r"), col("r2"))
+        .sortWithinPartitions(col("r"), col("r2"))
+        .rdd
+      val stats = keyed.mapPartitionsWithIndex { (pid, it) =>
+        var nRows = 0L; var lastR = 0L; var lastR2 = 0L
+        var runLen = 0L; var singles = 0L
+        it.foreach { row =>
+          val r = row.getLong(1); val r2 = row.getLong(2)
+          if (nRows > 0L && r == lastR && r2 == lastR2) runLen += 1
+          else { if (runLen == 1L) singles += 1; runLen = 1L }
+          nRows += 1; lastR = r; lastR2 = r2
+        }
+        if (runLen == 1L) singles += 1
+        Iterator.single((pid, nRows, singles))
+      }.collect().sortBy(_._1)
+      val bases = new Array[Long](stats.length)
+      var acc = 0L
+      stats.foreach { case (pid, rows, _) => bases(pid) = acc; acc += rows }
+      val nActive = stats.map { case (_, rows, s) => rows - s }.sum
+      val bc = spark.sparkContext.broadcast(bases)
+      val ranked = keyed.mapPartitionsWithIndex { (pid, it0) =>
+        val it = it0.buffered
+        var cnt = bc.value(pid)
+        var haveKey = false; var keyR = 0L; var keyR2 = 0L; var runRank = 0L
+        new Iterator[(Long, Long, Boolean)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (Long, Long, Boolean) = {
+            val row = it.next()
+            val pos = row.getLong(0); val r = row.getLong(1); val r2 = row.getLong(2)
+            val newRun = !haveKey || r != keyR || r2 != keyR2
+            if (newRun) { runRank = cnt; haveKey = true; keyR = r; keyR2 = r2 }
+            cnt += 1
+            val single = newRun && (!it.hasNext ||
+              { val nx = it.head; nx.getLong(1) != r || nx.getLong(2) != r2 })
+            (pos, runRank, single)
+          }
+        }
+      }.toDF("pos", "r", "single").pipe(Ckpt.cut)
+      (ranked, nActive)
+    } else {
+      val acc = spark.sparkContext.longAccumulator("sa_next_active")
+      // shuffle width scales with the shrinking active set (target ~16k
+      // rows/task, capped at the session's shuffle parallelism) instead
+      // of paying a fixed task count for a handful of late-round rows;
+      // ~64 buckets per partition keep the pid hash spread even (§2.5)
+      val parts = math.max(1L, math.min(
+        spark.conf.get("spark.sql.shuffle.partitions").toLong,
+        rowsHint / 16384L + 1L)).toInt
+      val buckets = parts.toLong * 64L
+      val keyed = df.select(col("pos"), col("r"), col("r2"))
+        .withColumn("pid", (col("r") * buckets / n).cast("long"))
+        .repartition(parts, col("pid"))
+        .sortWithinPartitions(col("r"), col("r2"))
+        .rdd
+      val ranked = keyed.mapPartitionsWithIndex { (_, it0) =>
+        val it = it0.buffered
+        var curR = 0L; var haveR = false; var cnt = 0L
+        var haveKey = false; var keyR = 0L; var keyR2 = 0L; var runRank = 0L
+        new Iterator[(Long, Long, Boolean)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (Long, Long, Boolean) = {
+            val row = it.next()
+            val pos = row.getLong(0); val r = row.getLong(1); val r2 = row.getLong(2)
+            if (!haveR || r != curR) { curR = r; haveR = true; cnt = 0L }
+            val newRun = !haveKey || r != keyR || r2 != keyR2
+            if (newRun) { runRank = r + cnt; haveKey = true; keyR = r; keyR2 = r2 }
+            cnt += 1
+            val single = newRun && (!it.hasNext ||
+              { val nx = it.head; nx.getLong(1) != r || nx.getLong(2) != r2 })
+            if (!single) acc.add(1L)
+            (pos, runRank, single)
+          }
+        }
+      }.toDF("pos", "r", "single").pipe(Ckpt.cut)
+      (ranked, acc.value)
+    }
   }
 
   /** [[buildFull]]'s result: `sa` = final (pos, rank); `history(k)` =
     * (pos, r) where r is the rank of the suffix TRUNCATED to its first
     * 2^k characters (history(0) = raw code points — equality there is
     * exactly character equality, which is all the LCP descent compares);
-    * `n` = corpus length in characters. Every table is localCheckpointed
-    * and stays pinned until [[SaIndex.unpersist]]. */
+    * `n` = corpus length in characters. In-memory history frames are
+    * unions over the per-round checkpoints (frozen parts + that round's
+    * ranking) and stay pinned until [[SaIndex.unpersist]], which walks
+    * every union leaf; sink-backed frames are parquet reads (nothing
+    * pinned) carrying an extra `single` column consumers ignore. */
   final case class SaIndex(sa: DataFrame, history: Seq[DataFrame], n: Long) {
     def unpersist(): Unit = history.foreach(SuffixArray.dropCheckpoint)
   }
@@ -133,12 +234,65 @@ object SuffixArray {
     * persistent-artifact path (saIndexMemo) and the only sane retention
     * at corpus scale: 100 T chars × ~47 rounds must live on shared
     * storage, not in executor memory. [[build]] is the third retention
-    * mode — no history at all, each round dropped as the next lands. */
+    * mode — no history: each round pins only its own ranking, and the
+    * union of frozen rows (Σ|active_k| ≈ O(n) for typical text) is the
+    * final SA. */
   def buildFull(docs: DataFrame, sink: Option[String] = None): SaIndex =
     core(docs, keepHistory = true, sink)
 
+  /** The [[EndgameRows]] local loop: exactly the distributed rounds'
+    * semantics — key by (label, label at pos+k), sort, GROUP-START
+    * relabel within each label group, freeze singletons, double k — over
+    * the collected active rows. `snap` holds the current label of every
+    * position a probe can touch; positions that were active at
+    * collection evolve in `cur` and shadow it (a frozen-before position's
+    * snapshot label is final; a collected-active one freezes here with
+    * its final label and keeps answering probes). Returns every input
+    * row's final (pos, rank). */
+  private def endgameResolve(act: Array[(Long, Long)],
+      snap: java.util.HashMap[Long, Long], n: Long,
+      k0: Long): Array[(Long, Long)] = {
+    val cur = new java.util.HashMap[Long, Long](act.length * 2)
+    act.foreach { case (p, r) => cur.put(p, r) }
+    var live = act
+    var k = k0
+    while (live.nonEmpty && k < n) {
+      val sorted = live.map { case (p, r) =>
+        val q = p + k
+        val r2 =
+          if (q >= n) -1L
+          else if (cur.containsKey(q)) cur.get(q)
+          else snap.get(q) // every q < n is in the full labeling
+        (p, r, r2)
+      }.sortBy(t => (t._2, t._3))
+      val stillLive = Array.newBuilder[(Long, Long)]
+      var i = 0
+      var curR = 0L; var haveR = false; var cnt = 0L
+      while (i < sorted.length) {
+        val r = sorted(i)._2; val r2 = sorted(i)._3
+        if (!haveR || r != curR) { curR = r; haveR = true; cnt = 0L }
+        var j = i + 1
+        while (j < sorted.length && sorted(j)._2 == r && sorted(j)._3 == r2)
+          j += 1
+        val label = r + cnt
+        cnt += (j - i)
+        var m = i
+        while (m < j) {
+          cur.put(sorted(m)._1, label)
+          if (j - i > 1) stillLive += ((sorted(m)._1, label))
+          m += 1
+        }
+        i = j
+      }
+      live = stillLive.result()
+      k *= 2
+    }
+    act.map { case (p, _) => (p, cur.get(p)) }
+  }
+
   private def core(docs: DataFrame, keepHistory: Boolean,
       sink: Option[String]): SaIndex = {
+    require(sink.isEmpty || keepHistory, "a sink implies keepHistory")
     val spark = docs.sparkSession
     // per-doc start offsets: the packCounts two-phase prefix sum over
     // (length + 1 terminator) in id order
@@ -148,15 +302,18 @@ object SuffixArray {
       .select(col("id"), col("start_off"))
     // one row per character; initial rank = code point (terminator = 1),
     // correct because single-char ranks only need to be ORDER-consistent
-    var sa = docs.join(offs, "id")
+    val init = docs.join(offs, "id")
       .select(col("start_off"),
         posexplode(split(concat(col("text"), lit("\u0001")), "")))
       .select((col("start_off") + col("pos")).as("pos"),
         ascii(col("col")).cast("long").as("r"))
-      .localCheckpoint()
-    val n = sa.count()
+      .pipe(Ckpt.cut)
+    val n = init.count()
     // spill round k to the sink and hand back the parquet read — the
-    // checkpoint behind it can then drop without losing the round
+    // checkpoint behind it can then drop without losing the round. The
+    // sink history carries the `single` flag (h0: all false) so each
+    // round can read yesterday's frozen set back off parquet instead of
+    // pinning it; history consumers only ever select (pos, r).
     def emit(k: Int, df: DataFrame): DataFrame = sink match {
       case Some(base) =>
         df.write.mode("overwrite").parquet(s"$base/h$k")
@@ -164,36 +321,139 @@ object SuffixArray {
       case None => df
     }
     var history =
-      if (keepHistory) Vector(emit(0, sa)) else Vector.empty[DataFrame]
+      if (keepHistory)
+        Vector(emit(0, if (sink.isDefined)
+          init.withColumn("single", lit(false)) else init))
+      else Vector.empty[DataFrame]
+    // Larsson–Sadakane bookkeeping (groupStartRank scaladoc): rows whose
+    // group went singleton carry FINAL labels and leave the working set.
+    //  - active: rows still in non-singleton groups (the only rows later
+    //    rounds re-rank);
+    //  - frozenParts (no-sink modes): lazy filters over the pinned round
+    //    checkpoints whose union with `active` is the complete current
+    //    labeling — the shift side and, at the end, the SA itself;
+    //  - sink mode reads the complete labeling back from the previous
+    //    round's parquet instead, so only the current round stays pinned
+    //    (the O(n)-at-any-instant retention claim).
+    var frozenParts = Vector.empty[DataFrame]
+    var active: DataFrame = init
+    var activeRows = n
+    var cur: DataFrame = init
     var round = 0
     var k = 1L
-    var done = false
+    var done = n == 0
     while (!done && k < n) {
-      val shifted = sa.select((col("pos") - k).as("pos"), col("r").as("r2"))
-      val paired = sa.join(shifted, Seq("pos"), "left")
-        .select(col("pos"), col("r"),
-          coalesce(col("r2"), lit(-1L)).as("r2")) // past-end = smallest
-      // all ranks distinct <=> the sweep counted n distinct pair-keys:
-      // further rounds are no-ops. The check is the rank sweep's own
-      // count total — not a separate max-aggregate pass over the output
-      val (ranked, distinct) = denseRankPairs(paired)
-      val next = ranked.localCheckpoint()
-      // the outgoing round's checkpoint only backs the in-memory history;
-      // spilled or dropped history lets it go the moment the next lands
-      if (!keepHistory || sink.isDefined) dropCheckpoint(sa)
-      sa = next
+      // ENDGAME (build mode, past the global round): resolve every
+      // remaining round on the driver — one broadcast semi-join fetches
+      // all labels future probes can touch, then [[endgameResolve]]
+      // replays the rounds locally. History mode stays distributed (it
+      // must emit a frame per round).
+      if (!keepHistory && round >= 1 && activeRows <= EndgameRows) {
+        import spark.implicits._
+        val labelsNow = (frozenParts :+ active).reduce(_ unionByName _)
+        val act = active.select(col("pos"), col("r")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val ks = Iterator.iterate(k)(_ * 2).takeWhile(_ < n).toSeq
+        val pset = new java.util.HashSet[Long]
+        act.foreach { case (p, _) =>
+          ks.foreach { kk => val q = p + kk; if (q < n) pset.add(q) } }
+        import scala.jdk.CollectionConverters._
+        val probeDf = pset.asScala.toSeq.toDF("pos")
+        val snapRows = labelsNow.join(broadcast(probeDf), Seq("pos"))
+          .select(col("pos"), col("r")).collect()
+        val snap = new java.util.HashMap[Long, Long](snapRows.length * 2)
+        snapRows.foreach(r => snap.put(r.getLong(0), r.getLong(1)))
+        val t0e = System.nanoTime()
+        val fin = endgameResolve(act, snap, n, k)
+        if (sys.props.contains("graft.saprof"))
+          println(f"[saprof] endgame at round=$round k=$k active=$activeRows " +
+            f"probes=${snapRows.length} wall=${(System.nanoTime() - t0e) / 1e9}%6.3f s")
+        active = spark.createDataset(fin.toIndexedSeq).toDF("pos", "r")
+        activeRows = 0
+        done = true
+      } else {
+      val labels =
+        if (sink.isDefined) history.last.select(col("pos"), col("r"))
+        else (frozenParts :+ active).reduce(_ unionByName _)
+      val shifted = labels.select((col("pos") - k).as("pos"), col("r").as("r2"))
+      // every active pos < n-k has a label at pos+k; the rest are past
+      // the end (r2 = -1 ranks smallest). Writing the null case as its
+      // own branch lets small-active rounds run the lookup as a
+      // BROADCAST of the active side — the n-row label frame streams
+      // map-side, nothing shuffles (§3.1); large rounds keep the
+      // shuffled equi-join.
+      val inRange = active.where(col("pos") < n - k)
+      val withIn =
+        if (activeRows <= BroadcastActives)
+          shifted.join(broadcast(inRange), Seq("pos"))
+        else inRange.join(shifted, Seq("pos"))
+      val paired = withIn.select(col("pos"), col("r"), col("r2"))
+        .unionByName(active.where(col("pos") >= n - k)
+          .select(col("pos"), col("r"), lit(-1L).as("r2")))
+      val t0 = System.nanoTime()
+      val (next, nActive) =
+        groupStartRank(paired, global = round == 0, n, activeRows)
       round += 1
-      if (keepHistory) history :+= emit(round, sa)
-      done = distinct == n
+      // -Dgraft.saprof=1: per-round wall + active-set size (guide §1 —
+      // the measurement behind the Larsson sizing decisions)
+      if (sys.props.contains("graft.saprof"))
+        println(f"[saprof] round=$round%2d k=$k%8d active_in=$activeRows%8d " +
+          f"active_out=$nActive%8d wall=${(System.nanoTime() - t0) / 1e9}%6.3f s")
+      // coalesce (narrow, no shuffle) each filter to a row-proportional
+      // task count: the labels union accumulates one branch per round,
+      // and without this every later round schedules the PARENT
+      // checkpoint's full partition count per branch — measured ~100
+      // near-empty tasks per sub-5k-row round, the late-round wall floor
+      def sized(df: DataFrame, rows: Long) = df.coalesce(math.max(1L,
+        math.min(spark.conf.get("spark.sql.shuffle.partitions").toLong,
+          rows / 65536L + 1L)).toInt)
+      val newFrozen = sized(
+        next.where(col("single")).select(col("pos"), col("r")),
+        activeRows - nActive)
+      val newActive = sized(
+        next.where(!col("single")).select(col("pos"), col("r")), nActive)
+      if (keepHistory) {
+        // the complete labeling after this round: frozen-so-far ∪ this
+        // round's ranking (frozen labels are final — see groupStartRank)
+        val fullNow =
+          if (sink.isDefined)
+            history.last.where(col("single"))
+              .select(col("pos"), col("r"), col("single"))
+              .unionByName(next.select(col("pos"), col("r"), col("single")))
+          else (frozenParts :+ newFrozen :+ newActive).reduce(_ unionByName _)
+        history :+= emit(round, fullNow)
+      }
+      if (sink.isDefined) {
+        // the emitted parquet now carries everything `cur` backed
+        dropCheckpoint(cur)
+        cur = next
+      } else {
+        // no-sink: each round's checkpoint stays pinned — its frozen
+        // filter is referenced until the end (total pinned = Σ|active_k|,
+        // the classic Larsson working-set bound). The init frame is only
+        // dead in BUILD mode (in-memory history(0) is init itself).
+        if (!keepHistory && round == 1) dropCheckpoint(cur)
+        cur = next
+        frozenParts :+= newFrozen
+      }
+      active = newActive
+      activeRows = nActive
+      done = nActive == 0
       k *= 2
+      }
     }
     if (sink.isDefined) {
       // fully parquet-backed index: the final round is already spilled as
       // the last history entry, so nothing stays pinned
       val last = history.last
-      dropCheckpoint(sa)
+      dropCheckpoint(cur)
       SaIndex(last.select(col("pos"), col("r").as("rank")), history, n)
-    } else SaIndex(sa.select(col("pos"), col("r").as("rank")), history, n)
+    } else {
+      // at termination every row is frozen (or the loop never ran and
+      // everything is still `active`): the union IS the final SA
+      val sa = (frozenParts :+ active).reduce(_ unionByName _)
+      SaIndex(sa.select(col("pos"), col("r").as("rank")), history, n)
+    }
   }
 
   /** LCP between RANK-ADJACENT suffixes: one row per rank t ∈ [1, n),
@@ -248,7 +508,7 @@ object SuffixArray {
       maxNeededLcp: Option[Long] = None): DataFrame = {
     var pairs = pairSet
       .select(col("rank"), col("pos_a"), col("pos_b"), lit(0L).as("l"))
-      .localCheckpoint()
+      .pipe(Ckpt.cut)
     val nPairs = pairs.count()
     // empty pair set: the descent is ~log2(n) sequential checkpoint
     // rounds that would each produce zero rows — return the (empty)
@@ -271,7 +531,9 @@ object SuffixArray {
       val step = 1L << k
       val sent = idx.sa.sparkSession.range(1)
         .select(lit(idx.n).as("pos"), lit(-2L).as("r"))
-      val hk = idx.history(k).unionByName(sent)
+      // the sink-backed history carries an extra `single` flag — the
+      // descent only ever reads (pos, r)
+      val hk = idx.history(k).select(col("pos"), col("r")).unionByName(sent)
       val ha = hk.select(col("pos").as("pa"), col("r").as("ra"))
       val hb = hk.select(col("pos").as("pb"), col("r").as("rb"))
       val next = (if (small)
@@ -286,7 +548,7 @@ object SuffixArray {
         .select(col("rank"), col("pos_a"), col("pos_b"),
           (col("l") + when(col("ra").isNotNull && col("ra") === col("rb") &&
             col("ra") =!= lit(-2L), lit(step)).otherwise(lit(0L))).as("l"))
-        .localCheckpoint()
+        .pipe(Ckpt.cut)
       dropCheckpoint(pairs)
       pairs = next
     }
@@ -533,7 +795,7 @@ object SuffixArray {
       .withColumn("l64", graft.functions.TextExpressions
         .commonPrefixLen(col("win_a"), col("win_b")))
       .drop("win_a", "win_b")
-      .localCheckpoint()
+      .pipe(Ckpt.cut)
     val saturated = col("l64") === W &&
       least(col("dist_a"), col("dist_b")) >= W
     val resolved = probed.where(!saturated)

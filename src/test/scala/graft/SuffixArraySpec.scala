@@ -117,6 +117,42 @@ class SuffixArraySpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("group-start labels: each round's label = rows with strictly smaller truncated suffix") {
+    import spark.implicits._
+    // repetitive 2-letter corpus: groups survive many rounds, so the
+    // group-start (Larsson–Sadakane) labeling is exercised well past the
+    // first refining round, with converged rows frozen along the way
+    val rnd = new scala.util.Random(3)
+    val texts = Seq.tabulate(4)(d =>
+      (d.toLong, Seq.fill(50)("ab" (rnd.nextInt(2))).mkString))
+    val corpus = texts.map(_._2).map(_ + "\u0001").mkString
+    val idx = SuffixArray.buildFull(texts.toDF("id", "text"))
+    val positions = corpus.indices.map(_.toLong)
+    idx.history.zipWithIndex.foreach { case (h, k) =>
+      val lab = h.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every round is a COMPLETE labeling (frozen ∪ active)
+      assert(lab.keySet === positions.toSet, s"round $k not a full labeling")
+      val width = 1L << k
+      val trunc = positions.map(p => p -> corpus.substring(p.toInt,
+        math.min(corpus.length.toLong, p + width).toInt)).toMap
+      // equality semantics the LCP descent relies on: equal label ⇔ equal
+      // 2^k-truncated suffix (a strict prefix never ties its extension)
+      // ... and from round 1 on, the exact group-start value: rows in
+      // strictly smaller truncated-suffix groups (round 0 is the raw code
+      // point, order-consistent but not a row count)
+      for (p <- positions) {
+        val smaller = positions.count(q => trunc(q) < trunc(p))
+        if (k > 0) assert(lab(p) === smaller,
+          s"round $k pos $p: label ${lab(p)} != group start $smaller")
+        positions.foreach { q =>
+          assert((lab(p) == lab(q)) === (trunc(p) == trunc(q)),
+            s"round $k: label equality diverges from prefix equality at ($p,$q)")
+        }
+      }
+    }
+    idx.unpersist()
+  }
+
   test("buildFull history sink: the parquet-spilled index equals the pinned one") {
     import spark.implicits._
     // repetitive 2-letter corpus: several doubling rounds, real LCP work

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 import graft.operators.{AsOfJoin, Bq, Corpus, Dedup, GraphAnn, Intervals, Ivm, Kanndi, Knn, Layout, Multimodal, Packing, Pq, Quality, Retrieval, Sharding, ShardedSearch, Sketches, Skew, Snapshot, Sq, Stats, Streaming, TextStats, Timeseries}
 
@@ -1190,14 +1191,15 @@ object SparkEntry {
       val keepSharded = Sharding.assignLit(
         planted.join(dupIds, Seq("id"), "left_anti"),
         centroidArrMemo(s, dir), keepVec = true)
-        .select(col("shard_id"), col("id"), col("vec")).localCheckpoint()
+        .select(col("shard_id"), col("id"), col("vec")).pipe(operators.Ckpt.cut)
       // adjacency + entries both read the pinned keeper set and are
       // independent of each other — overlap their builds (§2.6)
       val fAdj = scala.concurrent.Future(
-        GraphAnn.buildShardGraph(keepSharded, Params.graphDegree)
-          .localCheckpoint())(scala.concurrent.ExecutionContext.global)
-      val ep = GraphAnn.entryPoints(keepSharded, fitCentroidsMemo(s, dir),
-        Params.graphEntries).localCheckpoint()
+        operators.Ckpt.cut(
+          GraphAnn.buildShardGraph(keepSharded, Params.graphDegree)))(
+        scala.concurrent.ExecutionContext.global)
+      val ep = operators.Ckpt.cut(GraphAnn.entryPoints(keepSharded,
+        fitCentroidsMemo(s, dir), Params.graphEntries))
       val adj = scala.concurrent.Await.result(fAdj,
         scala.concurrent.duration.Duration.Inf)
       GraphAnn.topK(GraphAnn.beamVisitExact(keepSharded, adj, ep,
@@ -2710,7 +2712,15 @@ object SparkEntry {
     * against ~3 s of row work — per-store commit is a FIXED cost, so
     * partitions must be few enough that each carries real volume (~3k
     * rows/partition at 2). Halving from 8 to 2 cut q151 trigger time
-    * 25.4 → 12.2 s and q158 18.8 → 10.1 s with identical output. */
+    * 25.4 → 12.2 s and q158 18.8 → 10.1 s with identical output.
+    *
+    * Checkpoint-compatibility constraint (ADVICE r11): a stateful query's
+    * state-store partition count is FROZEN at first checkpoint creation —
+    * raising graft.streamparts later cannot re-shard existing state
+    * without discarding the checkpoint. Size the knob BEFORE a
+    * deployment's first run (ScaleBench's max(2, 2·√N) rate formula is
+    * the sizing rule); the bench is unaffected because every timed run
+    * starts from a fresh checkpoint dir. */
   private def withStreamConf[T](s: SparkSession, rocksdb: Boolean = false)
       (body: => T): T = {
     val pk = "spark.sql.shuffle.partitions"
@@ -3069,19 +3079,33 @@ object SparkEntry {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    Seq(
+    // await ALL three before surfacing any failure: throwing on the first
+    // while siblings are still writing would let a catch-and-retry caller
+    // race in-flight mode("overwrite") writes to the same dirs (ADVICE r11)
+    val done = Seq(
       Future(idx.points.write.mode("overwrite").partitionBy("shard_id")
         .parquet(s"$base/points")),
       Future(idx.adjacency.write.mode("overwrite").partitionBy("shard_id")
         .parquet(s"$base/adj")),
       Future(idx.entries.coalesce(1).write.mode("overwrite")
         .parquet(s"$base/ep"))
-    ).foreach(Await.result(_, Duration.Inf))
+    ).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    done.collectFirst { case scala.util.Failure(t) => t }.foreach(throw _)
+    openServedIndex(s, base, routedShards)
+  }
+
+  /** Re-open a served index's on-disk artifacts with routed-shard
+    * pruning — the ONE construction of the serving read path, shared by
+    * the query ([[serveGraphIndex]]) and by Audit's composed beam twin
+    * ([[servedBeamComposed]]), so an audit "partition pruning OK" can
+    * only pass if the executed query's own reads carry the filter
+    * (ADVICE r11: the twin used to rebuild the reads itself). */
+  private[graft] def openServedIndex(s: SparkSession, base: String,
+      routedShards: Seq[Int]): GraphAnn.GraphIndex =
     GraphAnn.GraphIndex(
       s.read.parquet(s"$base/points").where(col("shard_id").isin(routedShards: _*)),
       s.read.parquet(s"$base/adj").where(col("shard_id").isin(routedShards: _*)),
       s.read.parquet(s"$base/ep").where(col("shard_id").isin(routedShards: _*)))
-  }
 
   /** q172's repair chain, pruned to the routed shards at the SCANS: every
     * repair join keys on shard_id within the shard, and a point's
@@ -3113,7 +3137,7 @@ object SparkEntry {
     val del = sharded.where(col("id") % 7 === 3).select(col("id"))
       .unionByName(GraphAnn.entryPoints(sharded, cents, e = 1).select(col("id")))
       .distinct()
-      .localCheckpoint()
+      .pipe(operators.Ckpt.cut)
     GraphAnn.deleteIndex(sharded, adj, ep, cents, del,
       Params.graphDegree, Params.graphEntries)
   }
@@ -3160,9 +3184,9 @@ object SparkEntry {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
-        val fs = Seq(Future(g1.points.localCheckpoint()),
-          Future(g1.adjacency.localCheckpoint()),
-          Future(g1.entries.localCheckpoint()))
+        val fs = Seq(Future(operators.Ckpt.cut(g1.points)),
+          Future(operators.Ckpt.cut(g1.adjacency)),
+          Future(operators.Ckpt.cut(g1.entries)))
           .map(Await.result(_, Duration.Inf))
         (fs(0), fs(1), fs(2))
       } else (g1.points, g1.adjacency, g1.entries)
@@ -3173,7 +3197,7 @@ object SparkEntry {
     val del0 = pts1.where(col("id") % 7 === 3).select(col("id"))
       .unionByName(GraphAnn.entryPoints(pts1, cents, e = 1).select(col("id")))
       .distinct()
-    val del = if (materialize) del0.localCheckpoint() else del0
+    val del = if (materialize) operators.Ckpt.cut(del0) else del0
     GraphAnn.deleteIndex(pts1, adj1, ep1, cents, del,
       Params.graphDegree, Params.graphEntries)
   }
@@ -3351,11 +3375,9 @@ object SparkEntry {
   private[graft] def servedBeamComposed(s: SparkSession, dir: String,
       prefix: String): DataFrame = {
     val base = tmpArtifact(prefix, dir, "")
-    val routedShards = routedShardsList(s, dir)
+    val idx = openServedIndex(s, base, routedShardsList(s, dir))
     GraphAnn.topK(GraphAnn.beamVisitExact(
-      s.read.parquet(s"$base/points").where(col("shard_id").isin(routedShards: _*)),
-      s.read.parquet(s"$base/adj").where(col("shard_id").isin(routedShards: _*)),
-      s.read.parquet(s"$base/ep").where(col("shard_id").isin(routedShards: _*)),
+      idx.points, idx.adjacency, idx.entries,
       graphRoutesDf(s, dir), ef = Params.beamEf, rounds = Params.beamRounds,
       materializeRounds = false), k = 10)
   }

@@ -2728,13 +2728,38 @@ object SparkEntry {
     val pprev = s.conf.getOption(pk)
     val sprev = s.conf.getOption(sk)
     s.conf.set(pk, sys.props.getOrElse("graft.streamparts", "2"))
-    if (rocksdb) s.conf.set(sk,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // -Dgraft.streamrocksdb=1 forces RocksDB state for the queries that
+    // default to the HDFS provider — A/B measurement knob (the provider
+    // is an execution detail, outputs are identical either way). Only
+    // one-way: transformWithState queries REQUIRE RocksDB, so there is
+    // no force-off.
+    val useRocks = rocksdb || sys.props.get("graft.streamrocksdb").contains("1")
+    // changelog checkpointing for RocksDB state (r12, measured): per-batch
+    // commit then ships the batch's CHANGES instead of zipping a full
+    // snapshot — q158/q160/q177 summed commitTimeMs 5.2 s → 1.6 s (q160),
+    // family bench 34.5 → 32.9 s at sf0.1, and at real scale the per-batch
+    // upload stops growing with state size (the production-recommended
+    // setting). Outputs identical (provider internals only; the full
+    // oracle verify re-ran green). -Dgraft.rocksdbchangelog=0 restores the
+    // snapshot-per-commit format for comparison.
+    val ck = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val cprev = s.conf.getOption(ck)
+    if (useRocks) {
+      s.conf.set(sk,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(ck, sys.props.getOrElse("graft.rocksdbchangelog", "true"))
+    }
     try body finally {
       pprev match { case Some(v) => s.conf.set(pk, v); case None => s.conf.unset(pk) }
-      if (rocksdb) sprev match {
-        case Some(v) => s.conf.set(sk, v)
-        case None => s.conf.unset(sk)
+      if (useRocks) {
+        sprev match {
+          case Some(v) => s.conf.set(sk, v)
+          case None => s.conf.unset(sk)
+        }
+        cprev match {
+          case Some(v) => s.conf.set(ck, v)
+          case None => s.conf.unset(ck)
+        }
       }
     }
   }

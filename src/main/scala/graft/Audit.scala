@@ -4,6 +4,10 @@ object Audit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // same engine conf as Bench/Verify: bucketed scans report their
+      // sortBy order (one file per bucket by construction), so the
+      // audited plans match the executed ones
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"

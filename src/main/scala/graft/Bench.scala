@@ -47,6 +47,10 @@ object Bench {
       // UTC session — pin it here like Verify/SparkSpec do, so Bench can't
       // time different instants than the verified path on a non-UTC host
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed scans report their sortBy order (writeBucketed
+      // guarantees the one-file-per-bucket layout that makes the claim
+      // sound), so bucket-side SMJ sorts are elided (r12, guide SS2.4)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

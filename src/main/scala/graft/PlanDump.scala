@@ -22,6 +22,10 @@ object PlanDump {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed scans report their sortBy order (writeBucketed
+      // guarantees the one-file-per-bucket layout that makes the claim
+      // sound), so bucket-side SMJ sorts are elided (r12, guide SS2.4)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

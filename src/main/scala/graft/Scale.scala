@@ -213,6 +213,10 @@ object StateBench {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed scans report their sortBy order (writeBucketed
+      // guarantees the one-file-per-bucket layout that makes the claim
+      // sound), so bucket-side SMJ sorts are elided (r12, guide SS2.4)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -359,6 +363,10 @@ object ChurnBench {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed scans report their sortBy order (writeBucketed
+      // guarantees the one-file-per-bucket layout that makes the claim
+      // sound), so bucket-side SMJ sorts are elided (r12, guide SS2.4)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -524,6 +532,10 @@ object ScaleBench {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed scans report their sortBy order (writeBucketed
+      // guarantees the one-file-per-bucket layout that makes the claim
+      // sound), so bucket-side SMJ sorts are elided (r12, guide SS2.4)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()

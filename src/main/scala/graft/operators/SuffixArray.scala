@@ -578,8 +578,23 @@ object SuffixArray {
   }
 
   /** The fast path's probe width: pairs whose within-doc LCP verdict fits
-    * W characters skip the rank descent entirely. */
+    * W characters skip the deep path entirely. */
   private val W = 64
+
+  /** Deep-path guards: window-saturated pairs resolve via the full-clip-
+    * width doc-tail probe only while the pair set is the cheap side — at
+    * most this many rows AND at most [[DeepWindowBytes]] of summed clip
+    * width (the probe broadcasts the pair set with its win_a windows
+    * attached, so the summed clip width IS its payload bound). Past
+    * either, the capped rank descent runs instead: its rounds carry
+    * ranks, never text, so an adversarially duplicate-heavy corpus costs
+    * O((n + pairs)·log cap), not O(pairs × doc-tail). */
+  private val DeepWindowPairs = 500000L
+  private val DeepWindowBytes = 64L << 20
+
+  /** -Dgraft.sa.deepwindow=0 forces the descent path for every saturated
+    * pair — the A/B measurement knob and the spec's equivalence pin. */
+  private def deepWindowEnabled = !sys.props.get("graft.sa.deepwindow").contains("0")
 
   /** EXACT-substring corpus REWRITE — the end of the Lee et al. pipeline
     * (their §4: cut every duplicated span, keep one occurrence): for each
@@ -763,11 +778,27 @@ object SuffixArray {
     * reported span is min(lcp, dist_a, dist_b), which those characters
     * can never move. Only window-SATURATED pairs — W matching characters
     * with both terminators beyond W, i.e. a genuine ≥ W-char duplicate —
-    * take the [[lcpDescent]], and they broadcast against the history
-    * (nothing shuffles) until an adversarially duplicate-heavy corpus
-    * pushes them past the threshold. The DuckDB oracle replays the pure
-    * descent for every pair; the two forms agree on every clipped span
-    * by the argument above (SuffixArraySpec pins both paths). */
+    * take a SECOND window probe at FULL CLIP WIDTH (r12): the reported
+    * span is least(lcp, dist_a, dist_b), and a doc-local window of width
+    * m = least(dist_a, dist_b) satisfies CPL(win_a, win_b) = min(lcp, m)
+    * exactly — below m both windows are still inside their doc text, so
+    * character equality tracks the corpus until either the true
+    * divergence (< m) or the window end (= m) — hence
+    * least(CPL, dist_a, dist_b) = least(lcp, dist_a, dist_b)
+    * unconditionally, same as the rank descent's clipped answer. The
+    * probe is two equi-joins of the saturated set (broadcast) against
+    * the doc table — O(|saturated| × doc-tail) bytes, no rank-history
+    * access, and crucially no log(cap) SEQUENTIAL checkpoint rounds
+    * (measured ~0.3-0.5 s of fixed job/planning floor per round
+    * regardless of row count). An adversarially duplicate-heavy corpus
+    * — saturated pairs past [[DeepWindowPairs]] rows or
+    * [[DeepWindowBytes]] summed clip width, where per-pair doc-tail
+    * payloads stop being the cheap side — falls back to the capped
+    * [[lcpDescent]], whose rounds carry ranks, never text. The DuckDB
+    * oracle replays the pure descent for every pair; all forms agree on
+    * every clipped span by the argument above (SuffixArraySpec pins the
+    * window path ≡ the forced-descent path on >=W-char duplicates;
+    * -Dgraft.sa.deepwindow=0 forces the descent for A/B and tests). */
   def duplicateSpansFrom(idx: SaIndex, docs: DataFrame,
       minLen: Int): DataFrame = {
     val offs = Packing.packCounts(
@@ -801,21 +832,56 @@ object SuffixArray {
     val resolved = probed.where(!saturated)
       .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
         least(col("l64"), col("dist_a"), col("dist_b")).as("span_len"))
-    // the deep pairs' spans are clipped at least(lcp, dist_a, dist_b), so
-    // no descent value beyond the pair set's max min-side distance is
-    // ever observable — declare that cap and let the descent skip its
-    // top rounds (at sf0.1: doc lengths ≪ n, so ~7 rounds instead of 11)
-    val capRow = probed.where(saturated)
-      .agg(max(least(col("dist_a"), col("dist_b")))).head
-    // null ⇔ no saturated pair — the descent early-exits on the empty set
-    val needCap = if (capRow.isNullAt(0)) 0L else capRow.getLong(0)
-    val deep = lcpDescent(idx,
-        probed.where(saturated).select(col("rank"), col("pos_a"), col("pos_b")),
-        maxNeededLcp = Some(needCap))
-      .join(probed.select(col("rank"), col("doc_a"), col("off_a"),
-        col("doc_b"), col("off_b"), col("dist_a"), col("dist_b")), Seq("rank"))
-      .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
-        least(col("lcp"), col("dist_a"), col("dist_b")).as("span_len"))
+    // ONE job sizes the deep strategy (count + summed clip width) and, for
+    // the descent fallback, its round cap: no value beyond the pair set's
+    // max min-side distance is ever observable after the clip
+    val statRow = probed.where(saturated)
+      .agg(count(lit(1)),
+        sum(least(col("dist_a"), col("dist_b"))),
+        max(least(col("dist_a"), col("dist_b")))).head
+    val nDeep = statRow.getLong(0)
+    val deepBytes = if (statRow.isNullAt(1)) 0L else statRow.getLong(1)
+    val deep =
+      if (nDeep == 0L)
+        // no saturated pair: neither deep path runs (even the descent's
+        // empty fast path pays a checkpoint + count)
+        probed.where(lit(false))
+          .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
+            lit(0L).as("span_len"))
+      else if (deepWindowEnabled && nDeep <= DeepWindowPairs &&
+          deepBytes <= DeepWindowBytes) {
+        // full-clip-width window probe (scaladoc): two broadcast joins of
+        // the saturated set against the doc table, pair side broadcast —
+        // the doc table streams map-side, nothing shuffles, no rounds
+        val pairsB = broadcast(probed.where(saturated)
+          .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
+            col("dist_a"), col("dist_b")))
+        val withA = docs
+          .select(col("id").as("doc_a"), col("text").as("text_a"))
+          .join(pairsB, Seq("doc_a"))
+          .withColumn("win_a", expr(
+            "substring(text_a, CAST(off_a + 1 AS INT), " +
+              "CAST(least(dist_a, dist_b) AS INT))"))
+          .drop("text_a")
+        docs.select(col("id").as("doc_b"), col("text").as("text_b"))
+          .join(broadcast(withA), Seq("doc_b"))
+          .withColumn("win_b", expr(
+            "substring(text_b, CAST(off_b + 1 AS INT), " +
+              "CAST(least(dist_a, dist_b) AS INT))"))
+          .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
+            least(graft.functions.TextExpressions.commonPrefixLen(
+                col("win_a"), col("win_b")),
+              col("dist_a"), col("dist_b")).as("span_len"))
+      } else {
+        val needCap = statRow.getLong(2)
+        lcpDescent(idx,
+            probed.where(saturated).select(col("rank"), col("pos_a"), col("pos_b")),
+            maxNeededLcp = Some(needCap))
+          .join(probed.select(col("rank"), col("doc_a"), col("off_a"),
+            col("doc_b"), col("off_b"), col("dist_a"), col("dist_b")), Seq("rank"))
+          .select(col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
+            least(col("lcp"), col("dist_a"), col("dist_b")).as("span_len"))
+      }
     resolved.unionByName(deep)
       .where(col("span_len") >= minLen)
   }

@@ -224,7 +224,40 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
-  test("duplicateSpans: window-saturated pairs (>= 64-char runs) take the descent and stay exact") {
+  test("duplicateSpans deep path: window probe equals the forced descent on >= W-char duplicates") {
+    import spark.implicits._
+    // long shared runs (saturate the W=64 window) in several shapes:
+    // cross-doc, within-doc repeat, identical twins (clip at doc length),
+    // and a shared-prefix pair of different lengths (dist_a != dist_b)
+    val needle = ("qwertyuiop" * 12).take(110)
+    val texts = Seq(
+      0L -> ("aa" + needle + "bb" + needle + "cc"), // within-doc repeat
+      1L -> ("dd" + needle),
+      2L -> (needle + "ee"),
+      3L -> ("ff" + needle.take(90)),
+      4L -> ("identical twin documents! " * 5),
+      5L -> ("identical twin documents! " * 5))
+    val docs = texts.toDF("id", "text")
+    val idx = SuffixArray.buildFull(docs)
+    def spans() = SuffixArray.duplicateSpansFrom(idx, docs, minLen = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val viaWindow = spans()
+    System.setProperty("graft.sa.deepwindow", "0")
+    val viaDescent = try spans()
+    finally System.clearProperty("graft.sa.deepwindow")
+    assert(viaWindow === viaDescent)
+    // and the window path's verdicts are verbatim + in-bounds on their own
+    val byId = texts.toMap
+    viaWindow.foreach { case (a, o1, b, o2, l) =>
+      assert(l <= byId(a).length - o1 && l <= byId(b).length - o2)
+      assert(byId(a).substring(o1.toInt, (o1 + l).toInt) ===
+        byId(b).substring(o2.toInt, (o2 + l).toInt))
+    }
+    idx.unpersist()
+  }
+
+  test("duplicateSpans: window-saturated pairs (>= 64-char runs) resolve deep and stay exact") {
     import spark.implicits._
     // a 100-char needle (> the 64-char probe window) shared by docs 0 and
     // 2, plus a fully-identical doc pair (3, 4) whose clip must cap the

@@ -7,7 +7,7 @@ import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass MinHash signature over a shingle array.
@@ -371,6 +371,66 @@ case class CommonPrefixLen(left: Expression, right: Expression)
       : Expression = copy(left = l, right = r)
 }
 
+/** Big-endian pack of the `m` characters of a pure-ASCII string starting
+  * at (0-based) character `off` into one non-negative long, `bits` bits
+  * per character; positions past the string's end contribute 0 — which
+  * sorts strictly below every real character, so packed-value order
+  * equals truncated-suffix order and packed-value EQUALITY equals
+  * truncated-suffix equality (given no real character is chr(0)).
+  * Caller contract (SuffixArray.core verifies both before packing): the
+  * string is pure ASCII (byte = character, so indexing is O(1)) and
+  * m * bits <= 63 (the value stays non-negative). */
+case class PackChars(str: Expression, off: Expression, m: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = str
+  override def right: Expression = off
+  override def prettyName: String = "pack_chars"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (str.dataType, off.dataType) match {
+      case (StringType, IntegerType) if m >= 1 && bits >= 1 && m * bits <= 63 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (string, int) and 1 <= m*bits <= 63")
+    }
+
+  override protected def nullSafeEval(s: Any, o: Any): Any = {
+    val u = s.asInstanceOf[UTF8String]
+    val nb = u.numBytes()
+    val o0 = o.asInstanceOf[Int]
+    var acc = 0L
+    var j = 0
+    while (j < m) {
+      val i = o0 + j
+      acc = (acc << bits) | (if (i < nb) (u.getByte(i) & 0xffL) else 0L)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, o) => {
+      val nb = ctx.freshName("nb")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      s"""
+         |int $nb = $s.numBytes();
+         |${ev.value} = 0L;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $i = $o + $j;
+         |  ${ev.value} = (${ev.value} << $bits) |
+         |    ($i < $nb ? ((long) $s.getByte($i)) & 0xffL : 0L);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(str = l, off = r)
+}
+
 object TextExpressions {
   /** MinHash signature column: array of numHashes hex-string minima. */
   def minhashSig(shingles: Column, numHashes: Int = 16): Column =
@@ -379,6 +439,10 @@ object TextExpressions {
   /** Character count of the longest common prefix (codegen'd byte loop). */
   def commonPrefixLen(a: Column, b: Column): Column =
     column(CommonPrefixLen(expression(a), expression(b)))
+
+  /** Packed ASCII window: m chars from (0-based) off, bits bits each. */
+  def packChars(str: Column, off: Column, m: Int, bits: Int): Column =
+    column(PackChars(expression(str), expression(off), m, bits))
 
   /** 32-bit SimHash bit string over a token array — single map-stage pass. */
   def simhash32(tokens: Column): Column =

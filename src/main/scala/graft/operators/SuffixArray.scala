@@ -290,6 +290,12 @@ object SuffixArray {
     act.map { case (p, _) => (p, cur.get(p)) }
   }
 
+  /** Packed-init width cap (build mode): at 7 bits/char a 63-bit long
+    * holds 9 ASCII characters, so the doubling starts at k = 9 instead of
+    * k = 1 — the first ~log2(9) full-corpus-size rounds (the most
+    * expensive ones: nothing has converged yet) never run. */
+  private val PackCharsMax = 9L
+
   private def core(docs: DataFrame, keepHistory: Boolean,
       sink: Option[String]): SaIndex = {
     require(sink.isEmpty || keepHistory, "a sink implies keepHistory")
@@ -300,15 +306,74 @@ object SuffixArray {
         docs.select(col("id"), (length(col("text")) + 1).as("n")),
         blockTokens = Long.MaxValue)
       .select(col("id"), col("start_off"))
-    // one row per character; initial rank = code point (terminator = 1),
-    // correct because single-char ranks only need to be ORDER-consistent
-    val init = docs.join(offs, "id")
-      .select(col("start_off"),
-        posexplode(split(concat(col("text"), lit("\u0001")), "")))
-      .select((col("start_off") + col("pos")).as("pos"),
-        ascii(col("col")).cast("long").as("r"))
-      .pipe(Ckpt.cut)
+    // PACKED INITIAL LABELS (build mode, r12): rank-by-first-character
+    // needs ceil(log2 m) doubling rounds — each a full-corpus shuffle +
+    // checkpoint, nothing converged yet — before labels reflect m
+    // characters. When the corpus is pure ASCII (byte = character, O(1)
+    // indexing) and free of chr(0), the init pass instead emits the
+    // first mPack characters packed big-endian at 7 bits each into one
+    // long (PackChars): packed-value ORDER is truncated-suffix order and
+    // packed EQUALITY is truncated-suffix equality (past-end pads 0,
+    // strictly below every real character incl. the chr(1) terminator),
+    // which is precisely the init contract — so the doubling starts at
+    // k = mPack and the first refinement already reflects 2·mPack
+    // characters. The final SA is identical to the unpacked build's (the
+    // labels are order-consistent at every k either way; SuffixArraySpec
+    // pins packed ≡ unpacked ≡ brute force). mPack is clamped to
+    // min-doc-length + 2 so ONE next doc always covers the cross-
+    // terminator tail (no chained lookahead), and to n - 1 so at least
+    // one refinement round turns packed values into group-start ranks.
+    // HISTORY mode never packs: history(k) must be the rank of the
+    // first 2^k characters exactly (the LCP descent's step contract).
+    val mPack: Int = if (keepHistory) 1 else {
+      val st = docs.agg(
+        sum(length(col("text")) + 1),
+        min(length(col("text"))),
+        max(when(octet_length(col("text")) =!= length(col("text")), 1)
+          .otherwise(0)),
+        max(when(instr(col("text"), "\u0000") > 0, 1).otherwise(0))).head
+      if (st.isNullAt(0) || st.getInt(2) == 1 || st.getInt(3) == 1) 1
+      else Seq(PackCharsMax, st.getInt(1).toLong + 2L, st.getLong(0) - 1L)
+        .min.max(1L).toInt
+    }
+    val init =
+      if (mPack <= 1)
+        // one row per character; initial rank = code point (terminator =
+        // 1), correct because single-char ranks only need to be
+        // ORDER-consistent
+        docs.join(offs, "id")
+          .select(col("start_off"),
+            posexplode(split(concat(col("text"), lit("\u0001")), "")))
+          .select((col("start_off") + col("pos")).as("pos"),
+            ascii(col("col")).cast("long").as("r"))
+          .pipe(Ckpt.cut)
+      else {
+        val d = docs.join(offs, "id")
+          .select(col("text"), length(col("text")).as("tlen"), col("start_off"))
+        // the mPack-1 characters FOLLOWING a doc's terminator are the
+        // head of the NEXT doc's text+terminator: a positional equi-join
+        // on the next doc's start offset (= start_off + tlen + 1) — the
+        // build's own join discipline, no window over the doc order. The
+        // mPack clamp guarantees one next doc covers the whole tail; the
+        // LAST doc has no successor — there the corpus truly ends and
+        // PackChars pads 0.
+        val tails = d.select(col("start_off").as("nstart"),
+          substring(concat(col("text"), lit("\u0001")), 1, mPack - 1).as("tail"))
+        d.join(tails, col("nstart") === col("start_off") + col("tlen") + 1,
+            "left")
+          .select(col("start_off"), col("tlen"),
+            concat(col("text"), lit("\u0001"),
+              coalesce(col("tail"), lit(""))).as("ext"))
+          .select(col("start_off"), col("ext"),
+            posexplode(sequence(lit(0), col("tlen"))).as(Seq("off", "ignored")))
+          .select((col("start_off") + col("off")).as("pos"),
+            graft.functions.TextExpressions.packChars(
+              col("ext"), col("off"), mPack, bits = 7).as("r"))
+          .pipe(Ckpt.cut)
+      }
     val n = init.count()
+    if (sys.props.contains("graft.saprof"))
+      println(s"[saprof] init n=$n packed_m=$mPack")
     // spill round k to the sink and hand back the parquet read — the
     // checkpoint behind it can then drop without losing the round. The
     // sink history carries the `single` flag (h0: all false) so each
@@ -340,7 +405,7 @@ object SuffixArray {
     var activeRows = n
     var cur: DataFrame = init
     var round = 0
-    var k = 1L
+    var k = mPack.toLong
     var done = n == 0
     while (!done && k < n) {
       // ENDGAME (build mode, past the global round): resolve every

@@ -52,6 +52,35 @@ class SuffixArraySpec extends SparkSpec {
     assert(got === brute("\u0001ba\u0001"))
   }
 
+  test("packed init: packed build = unpacked buildFull = brute force; guards fall back") {
+    import spark.implicits._
+    // ASCII corpus with a SHORT doc (clamps mPack to min-doc-len + 2, so
+    // the cross-terminator tail still fits ONE next doc) and long repeats
+    // (ties must survive into the doubling rounds either way)
+    val texts = Seq(0L -> "abracadabra abracadabra", 1L -> "abr",
+      2L -> "cadabra abracadabra!")
+    val docs = texts.toDF("id", "text")
+    val corpus = texts.map(_._2).map(_ + "\u0001").mkString
+    val packed = SuffixArray.build(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed === brute(corpus))
+    // buildFull never packs (history(k) = rank of first 2^k chars is its
+    // contract) — its final sa must equal the packed build's exactly
+    val idx = SuffixArray.buildFull(docs)
+    val unpacked = idx.sa.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    idx.unpersist()
+    assert(packed === unpacked)
+    // non-ASCII corpus: the octet-length guard falls back to per-char init
+    val nonAscii = Seq(0L -> "h\u00e9llo w\u00f6rld h\u00e9llo", 1L -> "w\u00f6rld w\u00f6rld")
+    val corpus2 = nonAscii.map(_._2).map(_ + "\u0001").mkString
+    assert(ranks(nonAscii) === brute(corpus2))
+    // chr(0) inside a doc: the NUL guard falls back (the packed past-end
+    // pad is 0 and would alias a real chr(0))
+    val withNul = Seq(0L -> "ab\u0000ab", 1L -> "ab\u0000")
+    assert(ranks(withNul) === brute("ab\u0000ab\u0001ab\u0000\u0001"))
+  }
+
   // ---- LCP descent + exact duplicate spans -------------------------------
 
   /** Reference adjacent-LCPs: sort the actual suffixes, compare
